@@ -1,0 +1,49 @@
+"""Cross-engine exact-arithmetic helpers.
+
+The driver verifies each query by hashing Spark's result against a
+DuckDB oracle's result. Double-precision SUM/AVG are order-dependent,
+and Spark's partitioned partial aggregation will not, in general, add
+in the same order as DuckDB — so naive `F.sum(double)` can differ in
+the last ulps and fail a value-hash even though both are "right".
+
+Fix: aggregate through DECIMAL (exact, associative, order-free), then
+cast the final value back to DOUBLE. Both engines round the same
+input double to the same decimal (scale >= 4 avoids rounding-mode
+ties, which require a binary-exact half at the decimal boundary —
+impossible for scale 6 since 5e-7 is not a binary fraction), sum
+exactly, and convert the identical decimal to the identical double.
+
+The oracle SQL must mirror the same pattern; `SQL_DSUM`/`SQL_DAVG`
+format helpers keep the two sides in lock-step.
+
+At 100 TB this costs one widened column in the partial aggregate —
+decimal(38,6) sums are still map-side-combined and whole-stage
+codegen'd by Tungsten; it does not change the shuffle shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(38,6)"
+
+
+def dsum(c: Column | str) -> Column:
+    """Order-independent exact sum of a double column, returned as double."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.sum(c.cast(DEC)).cast("double")
+
+
+def davg(c: Column | str) -> Column:
+    """Order-independent avg: exact decimal sum / non-null count, as double."""
+    c = F.col(c) if isinstance(c, str) else c
+    return (F.sum(c.cast(DEC)).cast("double") / F.count(c)).cast("double")
+
+
+def SQL_DSUM(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
+
+
+def SQL_DAVG(expr: str) -> str:
+    return f"(CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({expr}))"

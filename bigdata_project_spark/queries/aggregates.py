@@ -1,0 +1,342 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+The reference implements only a set()-dedup (CrawlData.py:12,34) and
+*declares* "Aggregates" (README.md:22); this module is the concrete
+aggregation surface: hash group-by with partial/final agg (Catalyst
+does map-side combine automatically), rollup/cube, filtered aggs,
+exact medians, moments, collect-to-array, min_by/max_by, and
+approx-distinct (HLL++).
+
+Scale notes: every query here is a single shuffle on the group keys;
+decimal partial sums stay inside whole-stage codegen. Rollup/cube
+expand rows before the shuffle (grouping-set expansion) which is the
+same strategy a 1000-executor cluster wants — no driver collection
+anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from bigdata_project_spark.exact import DEC, SQL_DAVG, SQL_DSUM, davg, dsum
+from bigdata_project_spark.registry import query
+from bigdata_project_spark.tables import load
+
+
+@query(
+    "agg_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {SQL_DSUM('l_quantity')} AS sum_qty,
+           {SQL_DSUM('l_extendedprice')} AS sum_base_price,
+           {SQL_DSUM('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {SQL_DSUM('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {SQL_DAVG('l_quantity')} AS avg_qty,
+           {SQL_DAVG('l_extendedprice')} AS avg_price,
+           {SQL_DAVG('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "flagship"),
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary: scan -> filter -> hash agg.
+
+    Flagship: exercises predicate pushdown to parquet, column pruning,
+    partial+final HashAggregate, and exact decimal arithmetic.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_rollup_region_nation",
+    oracle=f"""
+    SELECT r_name, n_name,
+           COUNT(s_suppkey) AS n_suppliers,
+           {SQL_DSUM('s_acctbal')} AS total_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tags=("agg", "rollup"),
+)
+def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup region -> nation -> grand total.
+
+    Mirrors the reference's declared region/district/ward hierarchy
+    aggregation (SURVEY.md §2.4); dims are broadcast.
+    """
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("s_suppkey").alias("n_suppliers"),
+        dsum("s_acctbal").alias("total_acctbal"),
+    )
+
+
+@query(
+    "agg_cube_status_priority",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {SQL_DSUM('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 2^2 grouping sets in one pass."""
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+
+
+@query(
+    "agg_distinct_per_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(DISTINCT CAST(c_acctbal > 0 AS INT)) AS n_bal_signs
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("agg", "distinct"),
+)
+def agg_distinct_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-aggregation — the scalable form of the
+    reference's in-memory set() dedup (CrawlData.py:12,34)."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.countDistinct((F.col("c_acctbal") > 0).cast("int")).alias("n_bal_signs"),
+    )
+
+
+@query(
+    "agg_approx_count_distinct",
+    oracle=None,  # HLL++ sketch differs between engines by design; rows-only check
+    tags=("agg", "approx"),
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB-scale way to
+    count distinct keys without an exact shuffle-heavy expansion."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+@query(
+    "agg_conditional",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+           {SQL_DSUM("CASE WHEN o_totalprice > 100000 THEN o_totalprice ELSE 0 END")} AS big_revenue,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS DOUBLE) / COUNT(*) AS open_ratio
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "conditional"),
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/conditional aggregates via CASE WHEN inside agg."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        dsum(F.when(F.col("o_totalprice") > 100000, F.col("o_totalprice")).otherwise(0.0)).alias("big_revenue"),
+        (F.count(F.when(F.col("o_orderstatus") == "O", 1)).cast("double") / F.count("*")).alias("open_ratio"),
+    )
+
+
+@query(
+    "agg_median_exact",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderstatus, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           (MIN(o_totalprice) + MAX(o_totalprice)) / 2 AS median_price,
+           MIN(n) AS n_orders
+    FROM ranked
+    WHERE rn IN ((n + 1) / 2, n / 2 + 1)
+    GROUP BY o_orderstatus
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median via rank-and-pick — engine-independent (no float
+    interpolation ambiguity): the two middle rows are selected by an
+    integer rank and averaged with one deterministic (a+b)/2."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("o_orderstatus")).alias("n"),
+    )
+    mid = ranked.filter((F.col("rn") == (F.col("n") + 1) / 2) | (F.col("rn") == F.col("n") / 2 + 1))
+    return mid.groupBy("o_orderstatus").agg(
+        ((F.min("o_totalprice") + F.max("o_totalprice")) / 2).alias("median_price"),
+        F.min("n").alias("n_orders"),
+    )
+
+
+@query(
+    "agg_percentile_native",
+    oracle=None,  # percentile interpolation order differs in last-ulp; rows-only
+    tags=("agg", "percentile", "approx"),
+)
+def agg_percentile_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native exact/approx percentiles (percentile, percentile_approx)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.percentile("o_totalprice", 0.9).alias("p90"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
+    )
+
+
+@query(
+    "agg_stats_moments",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_quantity, 0) AS BIGINT) AS q,
+               CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS pc
+        FROM lineitem
+    ), s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(q) AS DOUBLE) AS sx,
+               CAST(SUM(q * q) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(pc AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(pc AS DECIMAL(38,0)) * pc) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(pc AS DECIMAL(38,0)) * q) AS DOUBLE) AS sxy
+        FROM c
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           n,
+           (sxx - sx * sx / n) / (n - 1) AS var_qty,
+           SQRT((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+           (n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS corr_qty_price
+    FROM s
+    """,
+    tags=("agg", "stats"),
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance / stddev / correlation from exact sufficient statistics
+    (one pass, map-side combinable — the textbook way to do moments on
+    100 TB without a second scan).
+
+    Cross-engine exactness note: money is converted to integer cents
+    (prices are 2-decimal; ROUND(x*100) is engine-independent because
+    the product lands within 1e-8 of an integer) so every sum is exact
+    integer/decimal arithmetic — no double summation order anywhere.
+    Casting arbitrary double products to decimal is NOT portable: the
+    engines' double->decimal roundings disagree once |x|*10^scale
+    nears 2^53 or the true value ties at the rounding digit.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    q = F.round(F.col("l_quantity"), 0).cast("long")
+    pc = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    c = l.select("l_returnflag", q.alias("q"), pc.alias("pc"))
+    qd, pcd = F.col("q"), F.col("pc").cast("decimal(38,0)")
+    s = c.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(qd).cast("double").alias("sx"),
+        F.sum(qd * qd).cast("double").alias("sxx"),
+        F.sum(pcd).cast("double").alias("sy"),
+        F.sum(pcd * F.col("pc")).cast("double").alias("syy"),
+        F.sum(pcd * qd).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
+    return s.select(
+        "l_returnflag",
+        "n",
+        ((sxx - sx * sx / n) / (n - 1)).alias("var_qty"),
+        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("stddev_qty"),
+        ((n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))).alias("corr_qty_price"),
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT n_regionkey,
+           ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT n_name)), ',') AS nations,
+           COUNT(*) AS n_nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    tags=("agg", "collect"),
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set -> sort_array -> join: deterministic collect-to-array."""
+    n = load(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("nations"),
+        F.count("*").alias("n_nations"),
+    )
+
+
+@query(
+    "agg_minmaxby",
+    oracle="""
+    SELECT c_nationkey,
+           ARG_MAX(c_name, c_custkey) AS newest_customer,
+           ARG_MIN(c_name, c_custkey) AS oldest_customer,
+           MAX(c_acctbal) AS max_bal,
+           MIN(c_acctbal) AS min_bal
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    tags=("agg", "minmaxby"),
+)
+def agg_minmaxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by over a unique ordering key (deterministic)."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_name", "c_custkey").alias("newest_customer"),
+        F.min_by("c_name", "c_custkey").alias("oldest_customer"),
+        F.max("c_acctbal").alias("max_bal"),
+        F.min("c_acctbal").alias("min_bal"),
+    )

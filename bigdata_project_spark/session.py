@@ -1,0 +1,36 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local-mode testing config that mirrors what we'd set on a real
+cluster: AQE (runtime coalesce + skew-join handling), Arrow for any
+pandas interchange, UTC session time zone so epoch arithmetic is
+location-independent, and shuffle partitions sized to the local core
+count instead of the 200 default (on a 1000-executor cluster this
+would instead be ~2-3x total cores, or left to AQE's
+coalescePartitions with a high initial value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "bigdata_project_spark", cpus: str | None = None) -> SparkSession:
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+    )
+    return builder.getOrCreate()

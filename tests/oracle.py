@@ -1,0 +1,71 @@
+"""Local mirror of the driver's DuckDB-oracle comparison.
+
+Runs a registry query on Spark and its oracle SQL on DuckDB over the
+same parquet tables, then compares row count, column names, and an
+order-insensitive multiset of canonicalized rows. Stricter than any
+reasonable hasher: floats must match bit-exactly (our determinism
+contract in registry.py makes that achievable), so if this passes,
+the driver's hash comparison passes too.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from dataclasses import dataclass
+
+import duckdb
+
+from bigdata_project_spark.tables import TABLES
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _canon(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return float(v)
+    if isinstance(v, int):
+        return int(v)
+    # dates, datetimes, decimals, strings -> canonical string
+    return str(v)
+
+
+@dataclass
+class CompareResult:
+    name: str
+    spark_rows: int
+    oracle_rows: int
+    ok: bool
+    detail: str = ""
+
+
+def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> CompareResult:
+    s_cols = sorted(spark_df.columns)
+    s_rows = [tuple(_canon(r[c]) for c in s_cols) for r in spark_df.collect()]
+
+    rel = con.sql(sql)
+    d_cols_raw = list(rel.columns)
+    d_idx = [d_cols_raw.index(c) for c in sorted(d_cols_raw)]
+    d_rows = [tuple(_canon(row[i]) for i in d_idx) for row in rel.fetchall()]
+
+    if sorted(d_cols_raw) != s_cols:
+        return CompareResult(name, len(s_rows), len(d_rows), False, f"columns differ: spark={s_cols} duckdb={sorted(d_cols_raw)}")
+    if len(s_rows) != len(d_rows):
+        return CompareResult(name, len(s_rows), len(d_rows), False, "row count differs")
+    sc, dc = Counter(s_rows), Counter(d_rows)
+    if sc != dc:
+        only_s = list((sc - dc).items())[:3]
+        only_d = list((dc - sc).items())[:3]
+        return CompareResult(name, len(s_rows), len(d_rows), False, f"values differ; spark-only={only_s} duckdb-only={only_d}")
+    return CompareResult(name, len(s_rows), len(d_rows), True)

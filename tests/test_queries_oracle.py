@@ -1,0 +1,30 @@
+"""Every registry query vs its DuckDB oracle (the driver's t2, locally)."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdata_project_spark.registry import REGISTRY, _ensure_loaded
+from tests.oracle import compare, duckdb_con
+
+_ensure_loaded()
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb_con(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(name, spark, sf_dir, con):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, sf_dir)
+    if spec.oracle is None:
+        # rows-only check (mirrors the driver's weaker gate)
+        n = df.count()
+        assert n >= 0
+        return
+    res = compare(name, df, con, spec.oracle)
+    assert res.ok, f"{name}: {res.detail} (spark={res.spark_rows} oracle={res.oracle_rows})"

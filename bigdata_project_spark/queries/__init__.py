@@ -1,3 +1,10 @@
 """Query modules — importing this package populates the registry."""
 
-from bigdata_project_spark.queries import aggregates  # noqa: F401
+from bigdata_project_spark.queries import (  # noqa: F401
+    aggregates,
+    events,
+    joins,
+    scalars,
+    setops_sorts,
+    windows,
+)

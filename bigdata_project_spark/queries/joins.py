@@ -1,0 +1,314 @@
+"""Join operators (SURVEY.md §2.3).
+
+The reference implements zero joins ([code] count 0); this is the
+standard relational join surface its declared analytics layer
+(README.md:29-32) needs: inner/outer/semi/anti equi-joins, broadcast
+hash joins for dims, theta/range join, as-of join, cross join.
+
+Scale notes: dims (region/nation/supplier/part, price bands) are
+broadcast — no shuffle of the fact side; fact-fact joins
+(orders x lineitem) shuffle on the join key and AQE handles skew.
+The as-of join is the union+last_value pattern — a single shuffle by
+key, no per-row lookups — which scales to arbitrarily large event
+streams (vs. the naive range-join-then-argmax which explodes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from bigdata_project_spark.exact import SQL_DSUM, dsum
+from bigdata_project_spark.registry import query
+from bigdata_project_spark.tables import load
+
+
+@query(
+    "join_revenue_per_nation",
+    oracle=f"""
+    SELECT n_name,
+           COUNT(*) AS n_orders,
+           {SQL_DSUM('o_totalprice')} AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("join", "inner"),
+)
+def join_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join chain fact->dim->dim; nation broadcast."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    )
+
+
+@query(
+    "join_broadcast_brand_volume",
+    oracle=f"""
+    SELECT p_brand,
+           COUNT(*) AS n_lineitems,
+           {SQL_DSUM('l_quantity')} AS total_qty
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_size >= 30
+    GROUP BY p_brand
+    """,
+    tags=("join", "broadcast"),
+)
+def join_broadcast_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash join: big fact x small dim, filter pushed to the
+    dim side before broadcast (no shuffle of lineitem)."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") >= 30)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_lineitems"), dsum("l_quantity").alias("total_qty"))
+    )
+
+
+@query(
+    "join_left_outer_customer_orders",
+    oracle=f"""
+    SELECT c_nationkey,
+           COUNT(*) AS n_customers,
+           COUNT(CASE WHEN o.o_custkey IS NULL THEN 1 END) AS rows_without_orders,
+           {SQL_DSUM('COALESCE(o_totalprice, 0)')} AS spend
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c_nationkey
+    """,
+    tags=("join", "outer"),
+)
+def join_left_outer_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with no orders."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return j.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("rows_without_orders"),
+        dsum(F.coalesce(F.col("o_totalprice"), F.lit(0))).alias("spend"),
+    )
+
+
+@query(
+    "join_full_outer_nation_presence",
+    oracle="""
+    WITH hc AS (
+        SELECT c_nationkey AS nk, COUNT(*) AS n_rich
+        FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey
+    ), sp AS (
+        SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+        FROM supplier GROUP BY s_nationkey
+    )
+    SELECT COALESCE(hc.nk, sp.nk) AS nationkey,
+           COALESCE(n_rich, 0) AS n_rich,
+           COALESCE(n_suppliers, 0) AS n_suppliers
+    FROM hc FULL OUTER JOIN sp ON hc.nk = sp.nk
+    """,
+    tags=("join", "outer"),
+)
+def join_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates with disjoint key coverage."""
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    hc = c.filter(F.col("c_acctbal") > 9000).groupBy(F.col("c_nationkey").alias("nk")).agg(F.count("*").alias("n_rich"))
+    sp = s.groupBy(F.col("s_nationkey").alias("nk2")).agg(F.count("*").alias("n_suppliers"))
+    j = hc.join(sp, hc.nk == sp.nk2, "full")
+    return j.select(
+        F.coalesce("nk", "nk2").alias("nationkey"),
+        F.coalesce("n_rich", F.lit(0)).alias("n_rich"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@query(
+    "join_semi_big_spenders",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    GROUP BY c_mktsegment
+    """,
+    tags=("join", "semi"),
+)
+def join_semi_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS): customers with at least one big order.
+    Semi-join avoids duplicating customer rows per matching order."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "join_anti_never_ordered",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_nationkey
+    """,
+    tags=("join", "anti"),
+)
+def join_anti_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS): customers that never ordered —
+    the scalable form of the reference's 'listings never seen before'
+    set-membership check (SURVEY.md §2.3)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+_BANDS = [(0, 0, 100000), (1, 100000, 200000), (2, 200000, 300000), (3, 300000, 400000), (4, 400000, 600000)]
+_BANDS_SQL = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _BANDS)
+
+
+@query(
+    "join_range_price_bands",
+    oracle=f"""
+    SELECT band_id,
+           COUNT(*) AS n_orders,
+           {SQL_DSUM('o_totalprice')} AS revenue
+    FROM orders
+    JOIN (VALUES {_BANDS_SQL}) AS b(band_id, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band_id
+    """,
+    tags=("join", "range"),
+)
+def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join against a broadcast band table (BNLJ on a
+    tiny broadcast side — the right physical plan for interval
+    lookup; at scale the alternative is a bucketized equi-join)."""
+    o = load(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_BANDS, ["band_id", "lo", "hi"])
+    cond = (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi)
+    return (
+        o.join(F.broadcast(bands), cond)
+        .groupBy("band_id")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    )
+
+
+@query(
+    "join_asof_purchase_click",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, MAX(event_id) AS click_event_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    ), purchases AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS purchase_event_id,
+           p.user_id AS user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           c.click_event_id AS click_event_id,
+           epoch_us(c.ts) AS click_ts_us
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest click at-or-before it
+    (attribution). Implemented with the scalable union+last_value
+    pattern — one shuffle on user_id, no range-join explosion:
+    tag both sides, sort by (ts, side), carry the last click struct
+    forward with last(..., ignorenulls=True), keep purchase rows.
+    Equivalent to DuckDB's native ASOF JOIN (the oracle).
+    """
+    ev = load(spark, sf_dir, "events")
+    # collapse same-(user, ts) clicks to one row so the as-of pick is deterministic
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+        .select("user_id", "ts", "click_event_id", F.lit(0).alias("side"), F.lit(None).cast("long").alias("event_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("click_event_id"), F.lit(1).alias("side"), "event_id"
+    )
+    unioned = clicks.unionByName(purchases)
+    w = W.partitionBy("user_id").orderBy("ts", "side").rowsBetween(W.unboundedPreceding, W.currentRow)
+    click_info = F.when(F.col("side") == 0, F.struct(F.col("ts").alias("cts"), F.col("click_event_id").alias("cid")))
+    carried = unioned.withColumn("last_click", F.last(click_info, ignorenulls=True).over(w))
+    return carried.filter(F.col("side") == 1).select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("user_id"),
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.col("last_click.cid").alias("click_event_id"),
+        F.unix_micros("last_click.cts").alias("click_ts_us"),
+    )
+
+
+@query(
+    "join_cross_region_status",
+    oracle="""
+    SELECT r_name, o_orderstatus,
+           COUNT(*) AS n_combos
+    FROM region
+    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    GROUP BY r_name, o_orderstatus
+    """,
+    tags=("join", "cross"),
+)
+def join_cross_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (small x small only — guarded use at scale)."""
+    r = load(spark, sf_dir, "region")
+    s = load(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(s).groupBy("r_name", "o_orderstatus").agg(F.count("*").alias("n_combos"))
+
+
+@query(
+    "join_shipping_priority_top10",
+    oracle=f"""
+    SELECT o_orderkey,
+           {SQL_DSUM('l_extendedprice * (1 - l_discount)')} AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_orderkey, orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "topk", "flagship"),
+)
+def join_shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-style: selective dim filter -> fact-fact join ->
+    agg -> deterministic top-k (TakeOrderedAndProject)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"), "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )

@@ -1,0 +1,254 @@
+"""Scalar function surface (SURVEY.md §2.8).
+
+String / date-time / math / null-handling / array / JSON / conversion
+functions, mirroring the families the reference exercises at the
+ingest edge (projection+rename CrawlData.py:71-88, guarded divide
+:67-69, epoch-millis timestamps :86, `.get()` null defaults :72-87)
+plus the [ext] analytics surface.
+
+All expressions are built-in pyspark.sql.functions — JVM-side, inside
+whole-stage codegen; zero Python UDFs in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_project_spark.registry import query
+from bigdata_project_spark.tables import load
+
+
+@query(
+    "scalar_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS INT) AS brand_num,
+           lower(p_type) AS type_lower,
+           upper(p_name) AS name_upper,
+           length(p_name) AS name_len,
+           string_split(p_name, ' ')[1] AS first_word,
+           concat(p_brand, ':', p_type) AS brand_type,
+           substring(p_name, 1, 3) AS name_prefix,
+           CAST(contains(p_name, 'red') AS INT) AS has_red,
+           CAST(p_type LIKE '%ECO%' AS INT) AS is_eco,
+           replace(p_name, ' ', '_') AS name_snake,
+           trim('  ' || p_name || ' ') AS name_trimmed
+    FROM part
+    WHERE p_partkey % 4 = 0
+    """,
+    tags=("scalar", "string"),
+)
+def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: regexp_extract, case-norm, split-first-token,
+    concat, substring, contains/LIKE, replace, trim — the Spark form
+    of the reference's name-normalization needs (SURVEY §2.8)."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 4 == 0)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("int").alias("brand_num"),
+        F.lower("p_type").alias("type_lower"),
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.substring("p_name", 1, 3).alias("name_prefix"),
+        F.col("p_name").contains("red").cast("int").alias("has_red"),
+        F.col("p_type").like("%ECO%").cast("int").alias("is_eco"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("name_trimmed"),
+    )
+
+
+@query(
+    "scalar_date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(week(o_orderdate) AS INT) AS iso_week,
+           dayname(CAST(o_orderdate AS DATE)) AS dow_name,
+           strftime(o_orderdate, '%Y-%m-%d') AS iso_date,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
+           epoch_us(o_orderdate) AS order_epoch_us
+    FROM orders
+    WHERE o_orderkey % 16 = 0
+    """,
+    tags=("scalar", "datetime"),
+)
+def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: extraction, truncation, formatting, diffing,
+    epoch conversion (the reference's epoch-millis post_time handling,
+    CrawlData.py:86, generalized)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 16 == 0)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.date_format("o_orderdate", "EEEE").alias("dow_name"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_date"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.last_day(d).cast("string").alias("month_end"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+        F.unix_micros("o_orderdate").alias("order_epoch_us"),
+    )
+
+
+@query(
+    "scalar_math_guarded",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity IS NOT NULL AND l_quantity > 0
+                THEN l_extendedprice / l_quantity END AS unit_price,
+           round(l_extendedprice / 1000, 2) AS price_k,
+           CAST(floor(l_quantity / 10) AS BIGINT) AS qty_decade,
+           CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+           abs(l_extendedprice - 50000) AS dist_from_50k,
+           sqrt(l_quantity) AS qty_sqrt,
+           CAST(l_quantity AS BIGINT) % 7 AS qty_mod7,
+           greatest(l_discount, l_tax) AS max_rate,
+           least(l_discount, l_tax) AS min_rate
+    FROM lineitem
+    WHERE l_orderkey % 32 = 0
+    """,
+    tags=("scalar", "math"),
+)
+def scalar_math_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family incl. the reference's null-guarded divide
+    (price_per_m2 = price/area iff both truthy and area>0,
+    CrawlData.py:67-69) re-expressed as a when() guard."""
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 32 == 0)
+    q = F.col("l_quantity")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(q.isNotNull() & (q > 0), F.col("l_extendedprice") / q).alias("unit_price"),
+        F.round(F.col("l_extendedprice") / 1000, 2).alias("price_k"),
+        F.floor(q / 10).alias("qty_decade"),
+        F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
+        F.abs(F.col("l_extendedprice") - 50000).alias("dist_from_50k"),
+        F.sqrt(q).alias("qty_sqrt"),
+        (q.cast("long") % 7).alias("qty_mod7"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    )
+
+
+@query(
+    "scalar_null_handling",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           COALESCE(NULLIF(l_discount, 0), -1) AS disc_or_sentinel,
+           CAST(NULLIF(l_discount, 0) IS NULL AS INT) AS is_zero_disc,
+           CASE WHEN NULLIF(l_tax, 0) IS NOT NULL THEN 'taxed' ELSE 'untaxed' END AS tax_flag,
+           COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS flag_or_none
+    FROM lineitem
+    WHERE l_orderkey % 32 = 1
+    """,
+    tags=("scalar", "null"),
+)
+def scalar_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null family: nullif/coalesce/isnull — the engine-side form of
+    the reference's `.get()` defaults (CrawlData.py:72-87)."""
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 32 == 1)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(F.nullif(F.col("l_discount"), F.lit(0)), F.lit(-1)).alias("disc_or_sentinel"),
+        F.isnull(F.nullif(F.col("l_discount"), F.lit(0))).cast("int").alias("is_zero_disc"),
+        F.when(F.nullif(F.col("l_tax"), F.lit(0)).isNotNull(), "taxed").otherwise("untaxed").alias("tax_flag"),
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")).alias("flag_or_none"),
+    )
+
+
+@query(
+    "scalar_array_functions",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_elem,
+           CAST(embedding[64] AS DOUBLE) AS last_elem,
+           CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+             + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE) AS head4_sum,
+           CAST(CAST(embedding[1] AS DOUBLE) > 0 AS INT) AS first_positive
+    FROM embeddings
+    WHERE vec_id % 5 = 0
+    """,
+    tags=("scalar", "array"),
+)
+def scalar_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family over the embedding column: size, element_at, and
+    an explicit (order-fixed) small reduction. Elements are widened
+    float->double (exact) so both engines emit identical cells."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    el = lambda i: F.element_at("embedding", i).cast("double")  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        el(1).alias("first_elem"),
+        el(64).alias("last_elem"),
+        (el(1) + el(2) + el(3) + el(4)).alias("head4_sum"),
+        (el(1) > 0).cast("int").alias("first_positive"),
+    )
+
+
+@query(
+    "scalar_json_extraction",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           CAST(json_extract_string(props, '$.missing') IS NULL AS INT) AS missing_is_null
+    FROM events
+    WHERE event_id % 8 = 0
+    """,
+    tags=("scalar", "json"),
+)
+def scalar_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: path extraction from the events.props payload —
+    the engine-side form of the reference's raw["ad"] access
+    (CrawlData.py:65)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 8 == 0)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        F.isnull(F.get_json_object("props", "$.missing")).cast("int").alias("missing_is_null"),
+    )
+
+
+@query(
+    "scalar_case_conversion",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'hot'
+                WHEN o_orderpriority = '3-MEDIUM' THEN 'warm'
+                ELSE 'cold' END AS priority_tier,
+           CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) AS price_str,
+           printf('%s|%s', o_orderstatus, o_orderpriority) AS status_key,
+           CAST(o_orderstatus = 'O' AS INT) AS is_open
+    FROM orders
+    WHERE o_orderkey % 16 = 1
+    """,
+    tags=("scalar", "conditional"),
+)
+def scalar_case_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN chains + cast/format conversions (the reference's
+    CSV stringification edge, CrawlData.py:97-100, generalized)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 16 == 1)
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hot")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "warm")
+        .otherwise("cold")
+        .alias("priority_tier"),
+        # floor-then-cast: Spark's double->long cast truncates while
+        # DuckDB's rounds; floor() is identical in both engines
+        F.floor("o_totalprice").cast("string").alias("price_str"),
+        F.format_string("%s|%s", "o_orderstatus", "o_orderpriority").alias("status_key"),
+        (F.col("o_orderstatus") == "O").cast("int").alias("is_open"),
+    )

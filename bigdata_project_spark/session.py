@@ -32,5 +32,8 @@ def get_spark(app_name: str = "bigdata_project_spark", cpus: str | None = None) 
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # testbed events.parquet stores TIMESTAMP(NANOS) which Spark's
+        # vectorized reader rejects; read as long and convert in load()
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     return builder.getOrCreate()

@@ -10,6 +10,8 @@ reads a partitioned lake directory and prunes partitions.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -29,10 +31,27 @@ TABLES = (
 BROADCAST_DIMS = {"region", "nation", "supplier"}
 
 
+# Columns stored as parquet TIMESTAMP(NANOS); with
+# spark.sql.legacy.parquet.nanosAsLong they arrive as epoch-nanos
+# longs and are converted to microsecond timestamps here (integer
+# `div`, no double round-trip — epoch-nanos exceed 2^53).
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANOS_TS_COLS.get(name, ()):
+        if isinstance(df.schema[c].dataType, T.LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    # ms-precision parquet timestamps read as TIMESTAMP_NTZ; normalize
+    # to TIMESTAMP (session tz is UTC, so values are unchanged) so the
+    # full timestamp function surface (unix_micros, window, ...) applies
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

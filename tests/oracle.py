@@ -27,18 +27,25 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon(v):
+    """Type-tagged canonical cell value.
+
+    int and float are tagged separately even though 2 == 2.0 in
+    Python: the driver's hasher may stringify cells, and a Spark
+    BIGINT next to a DuckDB DOUBLE ('2' vs '2.0') must be caught as
+    a mismatch here, not there.
+    """
     if v is None:
         return None
     if isinstance(v, bool):
-        return bool(v)
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return float(v)
+            return ("f", "NaN")
+        return ("f", v)
     if isinstance(v, int):
-        return int(v)
+        return ("i", v)
     # dates, datetimes, decimals, strings -> canonical string
-    return str(v)
+    return ("s", str(v))
 
 
 @dataclass

@@ -13,10 +13,16 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Make the repo importable no matter where the driver launches from.
+# Make the repo importable no matter where the driver launches from —
+# both in this process and in Spark Python workers (PYTHONPATH is what
+# the worker processes inherit; sys.path edits don't propagate).
+import os  # noqa: E402
+
 _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
+if _REPO not in os.environ.get("PYTHONPATH", ""):
+    os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from bigdata_project_spark.registry import all_oracles, all_queries  # noqa: E402
 

@@ -1,0 +1,14 @@
+"""LLM-data-pipeline operators (SURVEY.md §2.10 + BASELINE north star).
+
+Deduplication (exact / MinHash-LSH / n-gram Jaccard / fingerprint),
+similarity search (brute-force + LSH-bucketed ANN), text analysis
+(stats, lang-id, tokenization, fingerprinting), and multimodal binary
+column plumbing. Importing this package registers their queries.
+"""
+
+from bigdata_project_spark.operators import (  # noqa: F401
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)

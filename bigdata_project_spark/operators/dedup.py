@@ -1,0 +1,301 @@
+"""Deduplication operators over the documents table (SURVEY.md §2.10).
+
+The reference's only dedup is an in-memory `set()` of ids
+(CrawlData.py:12,34). This module is the 100 TB-scale dedup family a
+training-data pipeline needs:
+
+- exact content-hash dedup (md5 group-by);
+- word-shingle n-gram Jaccard similarity (all candidate pairs that
+  share a shingle — exact but O(pairs-sharing-a-shingle));
+- MinHash + LSH banding (the scale path: the shingle->signature->
+  band->bucket-join pipeline bounds the candidate set, then exact
+  Jaccard verifies candidates).
+
+Everything is deterministic md5-based arithmetic, so each operator
+has a full DuckDB oracle — no seeded randomness. All shingling and
+hashing stays in JVM built-ins (split/transform/md5) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_project_spark.registry import query
+from bigdata_project_spark.tables import load
+
+SHINGLE_N = 5
+
+# DuckDB CTEs producing (doc_id, shingle) distinct word-5-grams and
+# per-doc shingle counts — mirrored by shingle_df() below.
+_SQL_SHINGLES = f"""
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS words
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(words[r.r + 1 : r.r + {SHINGLE_N}], ' ') AS shingle
+        FROM toks, LATERAL (SELECT unnest(range(greatest(len(words) - {SHINGLE_N - 1}, 0))) AS r) r
+    ),
+    doc_counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+
+
+def words_col(text: Column) -> Column:
+    """Lowercased whitespace tokens, empties removed."""
+    return F.array_remove(F.split(F.lower(text), r"\s+"), "")
+
+
+def shingle_df(spark: SparkSession, sf_dir: str, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, shingle): distinct word n-gram shingles per document.
+
+    Shingling is pure array algebra (split/sequence/transform/slice)
+    inside whole-stage codegen; explode fans out to (doc, shingle)
+    rows for the bucket/candidate joins.
+    """
+    # the testbed table is a single parquet file -> one input split;
+    # shingling is CPU-bound, so spread it across the executor cores
+    # (on a real lake the scan itself yields many splits and this
+    # repartition is a no-op cost-wise: it moves only doc_id+text)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = load(spark, sf_dir, "documents").repartition(n_part, "doc_id")
+    words = words_col(F.col("text"))
+    n_sh = F.size(words) - (n - 1)
+    shingles = F.when(
+        n_sh > 0,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n_sh - 1),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.explode(shingles).alias("shingle"))
+
+
+@query(
+    "dedup_exact_hash",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    tags=("dedup", "llm"),
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the min doc_id.
+
+    Deterministic replacement for dropDuplicates(): at 100 TB this is
+    one shuffle on a 128-bit hash (uniform keys, no skew) instead of
+    shuffling full document text.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) AS jaccard
+    FROM inter
+    JOIN doc_counts ca ON ca.doc_id = doc_a
+    JOIN doc_counts cb ON cb.doc_id = doc_b
+    """,
+    tags=("dedup", "llm"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: exact word-5-gram Jaccard for every pair of
+    documents sharing at least one shingle (shingle-join candidate
+    generation — the exact-but-bounded variant; the MinHash-LSH query
+    below is the form that scales when the candidate set explodes)."""
+    sh = shingle_df(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    return (
+        inter.join(ca, F.col("ca.doc_id") == F.col("doc_a"))
+        .join(cb, F.col("cb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (F.col("n_common").cast("double") / (F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_common"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+_N_HASHES = 8
+_BAND_SIZE = 2  # 4 bands x 2 rows: P(candidate) = 1-(1-j^2)^4
+
+
+def _minhash_aggs() -> list[Column]:
+    """min(md5(seed || ':' || shingle)) per seed — a deterministic
+    MinHash signature (md5 is identical across engines; min over hex
+    strings is plain binary string order)."""
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(_N_HASHES)
+    ]
+
+
+_SQL_SIGS = ",\n".join(
+    f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(_N_HASHES)
+)
+_SQL_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {k} AS band, h{2 * k} || h{2 * k + 1} AS band_key FROM sigs"
+    for k in range(_N_HASHES // _BAND_SIZE)
+)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    sigs AS (SELECT doc_id, {_SQL_SIGS} FROM sh GROUP BY doc_id),
+    bands AS ({_SQL_BANDS}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_common) AS jaccard
+    FROM inter i
+    JOIN doc_counts ca ON ca.doc_id = i.doc_a
+    JOIN doc_counts cb ON cb.doc_id = i.doc_b
+    """,
+    tags=("dedup", "llm", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup pipeline: shingle -> 8-hash MinHash
+    signature -> 4 bands of 2 -> bucket-join candidates -> exact
+    Jaccard verification of candidates only.
+
+    This is the 100 TB shape: the only wide operation is an equi-join
+    on (band, band_key) whose buckets are near-dup clusters, instead
+    of joining on raw shingles (whose hot keys explode). Deterministic
+    seeded hashing via md5(seed || shingle) — reproducible across
+    engines and runs, no RNG state.
+    """
+    # one pass computes the signature AND the shingle count; shingles
+    # are persisted because they feed both the signatures and the
+    # candidate verification join (otherwise Spark re-derives the
+    # explode for every consumer)
+    sh = shingle_df(spark, sf_dir).persist()
+    sigs = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"), *_minhash_aggs())
+    counts = sigs.select("doc_id", "n_sh")
+    bands = None
+    for k in range(_N_HASHES // _BAND_SIZE):
+        band = sigs.select(
+            "doc_id",
+            F.lit(k).alias("band"),
+            F.concat(F.col(f"h{2 * k}"), F.col(f"h{2 * k + 1}")).alias("band_key"),
+        )
+        bands = band if bands is None else bands.unionByName(band)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify candidates ONLY: intersections are computed per candidate
+    # pair (LSH's whole point — the shingle join is restricted to the
+    # bucket-collision pairs, not all pairs sharing a shingle)
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sb.shingle") == F.col("sa.shingle")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    return (
+        inter.join(ca, F.col("ca.doc_id") == F.col("doc_a"))
+        .join(cb, F.col("cb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_common").cast("double") / (F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_common"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+@query(
+    "dedup_fingerprint_winnow",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id, MIN(md5(substring(text, r.r + 1, 8))) AS fingerprint,
+               COUNT(DISTINCT substring(text, r.r + 1, 8)) AS n_grams
+        FROM documents, LATERAL (SELECT unnest(range(greatest(length(text) - 7, 1))) AS r) r
+        GROUP BY doc_id
+    )
+    SELECT doc_id, fingerprint, n_grams,
+           COUNT(*) OVER (PARTITION BY fingerprint) AS n_docs_sharing
+    FROM grams
+    """,
+    tags=("dedup", "llm", "fingerprint"),
+)
+def dedup_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: min-hash over character 8-grams (a
+    1-fingerprint winnowing scheme). Docs sharing a fingerprint are
+    near-dup candidates; the fingerprint column is group-by-able at
+    any scale (single 32-char key per doc)."""
+    from pyspark.sql.window import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    pos = F.sequence(F.lit(0), F.greatest(F.length("text") - 8, F.lit(0)))
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.transform(pos, lambda i: F.substring(F.col("text"), i + 1, 8))).alias("gram"),
+    )
+    fp = grams.groupBy("doc_id").agg(
+        F.min(F.md5("gram")).alias("fingerprint"),
+        F.countDistinct("gram").alias("n_grams"),
+    )
+    return fp.select(
+        "doc_id",
+        "fingerprint",
+        "n_grams",
+        F.count("*").over(W.partitionBy("fingerprint")).alias("n_docs_sharing"),
+    )

@@ -1,0 +1,128 @@
+"""Multimodal column plumbing (SURVEY.md §2.10).
+
+Image/audio/video payloads are opaque `binary` columns with typed
+metadata; decode / feature-extraction runs as Arrow-batched
+mapInPandas. The decode libraries (PIL/ffmpeg/...) are not in this
+container, so the decoder is STUBBED with a deterministic fake
+(byte-level statistics standing in for pixel statistics) behind the
+same plumbing a real decoder uses: binary column in, fixed-schema
+feature struct + float vector out, batch-at-a-time.
+
+The testbed has no binary table, so documents.text is encoded to
+UTF-8 bytes as the stand-in payload.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigdata_project_spark.registry import query
+from bigdata_project_spark.tables import load
+
+
+def _payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text as an opaque binary payload + metadata struct —
+    the multimodal storage model: (id, bytes, metadata)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.col("source").alias("origin"),
+            F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+@query(
+    "multimodal_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS digest,
+           source AS origin,
+           'text/plain' AS mime,
+           to_base64(encode(substring(text, 1, 8))) AS head_b64
+    FROM documents
+    """,
+    tags=("multimodal", "llm"),
+)
+def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata path: byte length, content digest,
+    payload head — all JVM-side on the binary column (what a manifest/
+    catalog scan over 100 TB of media does without decoding)."""
+    p = _payload_df(spark, sf_dir)
+    return p.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.md5("payload").alias("digest"),
+        F.col("meta.origin").alias("origin"),
+        F.col("meta.mime").alias("mime"),
+        F.base64(F.substring("payload", 1, 8)).alias("head_b64"),
+    )
+
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("max_byte", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> dict:
+    """Decode an image payload into pixels.
+
+    STUB: real decoding needs an image library that is not available
+    in this container. The Spark-side plumbing (binary in, typed
+    feature row out, Arrow batches) is real and tested with the
+    deterministic fake below.
+    """
+    raise NotImplementedError("image decoding requires PIL/libvips; not available in this container")
+
+
+@query("multimodal_decode_features", oracle=None, tags=("multimodal", "llm", "udf"))
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads: the
+    multimodal decode shape — Arrow batches of (id, bytes) in, typed
+    feature rows (scalars + float vector) out. Decoder is the
+    deterministic stub; swap `fake_features` for a real decoder
+    (`decode_image`) on a cluster with the media libraries installed.
+    Partitioning: payloads stay where they are; no shuffle — the
+    extraction is embarrassingly parallel map-side work.
+
+    NB everything the UDF closure touches is defined INSIDE this
+    function so cloudpickle serializes it by value — Python workers
+    must not need this repo on their import path.
+    """
+    p = _payload_df(spark, sf_dir).select("doc_id", "payload")
+
+    def fake_features(payload: bytes) -> tuple[int, float, int, list[float]]:
+        # deterministic stand-in for decode+feature-extract: byte
+        # statistics + an 8-bin byte histogram as the 'feature vector'
+        n = len(payload)
+        if n == 0:
+            return 0, 0.0, 0, [0.0] * 8
+        hist = [0] * 8
+        for by in payload:
+            hist[by >> 5] += 1
+        return n, sum(payload) / n, max(payload), [h / n for h in hist]
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(doc_id), *fake_features(bytes(payload)))
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "n_bytes", "mean_byte", "max_byte", "features"])
+
+    return p.mapInPandas(extract, _FEATURE_SCHEMA)

@@ -1,0 +1,207 @@
+"""Similarity search over the embeddings table (SURVEY.md §2.10).
+
+Brute-force cosine top-k (the correctness baseline) and an
+LSH-bucketed approximate variant (the 100 TB path: random-hyperplane
+signatures turn the O(n^2) cross join into an equi-join on bucket).
+
+Determinism: cosine terms are generated as explicit left-associated
+64-term expression chains, identically in the Spark plan and the
+DuckDB oracle. float32*float32 is exact in double (24+24 <= 53
+mantissa bits), and a fixed association order makes the sum IEEE-
+reproducible across engines — no decimal casts needed. Hyperplane
+signs come from Python hashlib md5 (hard-coded constants at plan
+build, not RNG state).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from bigdata_project_spark.registry import query
+from bigdata_project_spark.tables import load
+
+DIM = 64
+_QUERY_IDS = (0, 1, 2)
+_TOP_K = 10
+
+
+def _dot_col(a: str, b: str) -> Column:
+    """Explicit left-associated dot product of two embedding columns."""
+    terms = [
+        F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
+        for i in range(1, DIM + 1)
+    ]
+    return reduce(lambda x, y: x + y, terms)
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, DIM + 1)
+    )
+
+
+def with_norm(df: DataFrame) -> DataFrame:
+    """Attach the L2 norm-squared (exact double chain) to each vector."""
+    return df.withColumn("norm_sq", _dot_col("embedding", "embedding"))
+
+
+_SQL_NORMED = f"""
+    normed AS (
+        SELECT vec_id, embedding, label,
+               {_sql_dot('embedding', 'embedding')} AS norm_sq
+        FROM embeddings
+    )
+"""
+
+
+@query(
+    "sim_knn_bruteforce",
+    oracle=f"""
+    WITH {_SQL_NORMED},
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               ({_sql_dot('q.embedding', 'c.embedding')})
+                 / (SQRT(q.norm_sq) * SQRT(c.norm_sq)) AS cosine
+        FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id IN {_QUERY_IDS}
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rank
+        FROM pairs
+    ) WHERE rank <= {_TOP_K}
+    """,
+    tags=("similarity", "llm", "knn"),
+)
+def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the (tiny) query set against all
+    vectors, per-query row_number top-k. This is the ground-truth
+    baseline; at 100 TB the scan side stays fully distributed and the
+    query side is a broadcast — one pass, no shuffle of the corpus."""
+    emb = with_norm(load(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("norm_sq").alias("q_norm_sq"),
+    )
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    cosine = _dot_col("q_embedding", "embedding") / (F.sqrt("q_norm_sq") * F.sqrt("norm_sq"))
+    scored = pairs.select("query_id", "vec_id", cosine.alias("cosine"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return scored.select("*", F.row_number().over(w).alias("rank")).filter(F.col("rank") <= _TOP_K)
+
+
+_N_PLANES = 4
+
+
+def _plane_signs() -> list[list[int]]:
+    """Deterministic pseudo-random hyperplane signs from md5 — build-
+    time constants, identical in the Spark plan and the oracle SQL."""
+    signs = []
+    for j in range(_N_PLANES):
+        row = []
+        for i in range(DIM):
+            h = hashlib.md5(f"plane:{j}:{i}".encode()).hexdigest()
+            row.append(-1 if int(h[0], 16) < 8 else 1)
+        signs.append(row)
+    return signs
+
+
+_SIGNS = _plane_signs()
+
+
+def _proj_col(j: int) -> Column:
+    terms = [
+        F.element_at("embedding", i + 1).cast("double") * F.lit(float(_SIGNS[j][i]))
+        for i in range(DIM)
+    ]
+    return reduce(lambda x, y: x + y, terms)
+
+
+def _sql_proj(j: int) -> str:
+    return " + ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE) * ({float(_SIGNS[j][i])})" for i in range(DIM)
+    )
+
+
+_SQL_BUCKET = " || ".join(
+    f"CAST(CAST({_sql_proj(j)} >= 0 AS INT) AS VARCHAR)" for j in range(_N_PLANES)
+)
+
+
+@query(
+    "sim_ann_lsh_bucketed",
+    oracle=f"""
+    WITH {_SQL_NORMED},
+    bucketed AS (
+        SELECT vec_id, embedding, norm_sq, {_SQL_BUCKET} AS bucket
+        FROM normed
+    ),
+    pairs AS (
+        SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+               ({_sql_dot('a.embedding', 'b.embedding')})
+                 / (SQRT(a.norm_sq) * SQRT(b.norm_sq)) AS cosine
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, neighbor_id, cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM pairs
+    ) WHERE rank <= 5
+    """,
+    tags=("similarity", "llm", "lsh", "ann"),
+)
+def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via random-hyperplane LSH:
+    4-bit signature buckets -> cosine only within buckets -> top-5
+    per vector. The candidate join is an equi-join on bucket — the
+    shape that survives 100x scale-up (vs. the brute-force cross
+    join); recall tunes with planes/bands."""
+    emb = with_norm(load(spark, sf_dir, "embeddings"))
+    bucket = F.concat_ws("", *[(_proj_col(j) >= 0).cast("int").cast("string") for j in range(_N_PLANES)])
+    bucketed = emb.withColumn("bucket", bucket)
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") != F.col("b.vec_id"))
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        (
+            _dot_col("a.embedding", "b.embedding")
+            / (F.sqrt(F.col("a.norm_sq")) * F.sqrt(F.col("b.norm_sq")))
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return pairs.select("*", F.row_number().over(w).alias("rank")).filter(F.col("rank") <= 5)
+
+
+@query(
+    "sim_centroid_per_label",
+    oracle=f"""
+    SELECT label, i.r AS pos,
+           CAST(SUM(CAST(CAST(embedding[i.r + 1] AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE)
+             / COUNT(*) AS centroid,
+           COUNT(*) AS n_vectors
+    FROM embeddings, LATERAL (SELECT unnest(range({DIM})) AS r) i
+    GROUP BY label, i.r
+    """,
+    tags=("similarity", "llm", "agg"),
+)
+def sim_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of embeddings (posexplode + decimal-exact
+    per-dimension mean) — the building block for IVF-style coarse
+    quantization: at scale, vectors are assigned to the nearest
+    centroid and ANN search probes only matching cells."""
+    emb = load(spark, sf_dir, "embeddings")
+    exploded = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    return exploded.groupBy("label", "pos").agg(
+        (F.sum(F.col("val").cast("double").cast("decimal(38,9)")).cast("double") / F.count("*")).alias("centroid"),
+        F.count("*").alias("n_vectors"),
+    )

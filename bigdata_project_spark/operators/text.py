@@ -1,0 +1,243 @@
+"""Text-analysis operators over documents (SURVEY.md §2.10).
+
+Language-ID (marker-token scoring), quality scoring, token counting
+(whitespace + BPE-ish regex), and per-group normalization. The hot
+path is all built-in JVM string/regex functions; the two Python UDFs
+(vectorized pandas_udf + applyInPandas) exist to demonstrate the
+Arrow-batched UDF surface on arithmetic that stays engine-portable
+(integer sufficient statistics, IEEE double ops).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigdata_project_spark.registry import query
+from bigdata_project_spark.tables import load
+
+# language -> marker-token regex (word-bounded). The testbed corpus is
+# synthetic word salad, so predictions are exercised for determinism,
+# not accuracy; the `correct` flag measures agreement with the label.
+_LANG_MARKERS = {
+    "en": r"\b(the|a|of|and|is)\b",
+    "fr": r"\b(le|la|et|de|un)\b",
+    "de": r"\b(der|die|und|ein)\b",
+    "es": r"\b(el|los|y|una)\b",
+}
+
+
+@query(
+    "text_stats_quality",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars_re,
+           CAST(length(text) = n_chars AS INT) AS n_chars_consistent,
+           len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_tokens,
+           length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace_chars,
+           len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+           CAST(len(regexp_extract_all(lower(text), '\\b(the|a|of|and|is)\\b')) AS DOUBLE)
+             / len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS stopword_ratio,
+           CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+             / len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS avg_token_len
+    FROM documents
+    """,
+    tags=("text", "llm"),
+)
+def text_stats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring statistics: char/token counts, punctuation,
+    stopword ratio, average token length — the standard LLM-corpus
+    quality features, all as single-pass JVM expressions."""
+    docs = load(spark, sf_dir, "documents")
+    tokens = F.array_remove(F.split(F.lower(F.col("text")), r"\s+"), "")
+    n_tokens = F.size(tokens)
+    n_nonspace = F.length(F.regexp_replace("text", r"\s+", ""))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_re"),
+        (F.length("text") == F.col("n_chars")).cast("int").alias("n_chars_consistent"),
+        n_tokens.alias("n_tokens"),
+        n_nonspace.alias("n_nonspace_chars"),
+        F.regexp_count("text", F.lit(r"[.,!?;:]")).alias("n_punct"),
+        (F.regexp_count(F.lower("text"), F.lit(r"\b(the|a|of|and|is)\b")).cast("double") / n_tokens).alias(
+            "stopword_ratio"
+        ),
+        (n_nonspace.cast("double") / n_tokens).alias("avg_token_len"),
+    )
+
+
+_SQL_LANG_SCORES = ",\n".join(
+    f"len(regexp_extract_all(lower(text), '{pat}')) AS sc_{lang}"
+    for lang, pat in _LANG_MARKERS.items()
+)
+_SQL_LANG_PICK = """
+    CASE WHEN sc_en >= sc_fr AND sc_en >= sc_de AND sc_en >= sc_es THEN 'en'
+         WHEN sc_fr >= sc_de AND sc_fr >= sc_es THEN 'fr'
+         WHEN sc_de >= sc_es THEN 'de'
+         ELSE 'es' END
+"""
+
+
+@query(
+    "text_langid_markers",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang, {_SQL_LANG_SCORES} FROM documents
+    )
+    SELECT doc_id, lang,
+           sc_en, sc_fr, sc_de, sc_es,
+           {_SQL_LANG_PICK} AS predicted,
+           CAST(({_SQL_LANG_PICK}) = lang AS INT) AS correct
+    FROM scored
+    """,
+    tags=("text", "llm", "langid"),
+)
+def text_langid_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: marker-token hit counts per language,
+    argmax with a fixed priority order (deterministic tie-break)."""
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            F.regexp_count(F.lower("text"), F.lit(pat)).alias(f"sc_{lang}")
+            for lang, pat in _LANG_MARKERS.items()
+        ],
+    )
+    en, fr, de, es = (F.col(f"sc_{x}") for x in ("en", "fr", "de", "es"))
+    pick = (
+        F.when((en >= fr) & (en >= de) & (en >= es), "en")
+        .when((fr >= de) & (fr >= es), "fr")
+        .when(de >= es, "de")
+        .otherwise("es")
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "sc_en",
+        "sc_fr",
+        "sc_de",
+        "sc_es",
+        pick.alias("predicted"),
+        (pick == F.col("lang")).cast("int").alias("correct"),
+    )
+
+
+@query(
+    "text_token_count_bpe",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpe_tokens,
+           len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_ws_tokens,
+           CAST(length(text) AS DOUBLE)
+             / len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS chars_per_token
+    FROM documents
+    """,
+    tags=("text", "llm", "tokenize"),
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    tokenization (word runs + single non-space punctuation) — the
+    cheap token-budget estimator for corpus sizing."""
+    docs = load(spark, sf_dir, "documents")
+    n_bpe = F.regexp_count("text", F.lit(r"\w+|[^\w\s]"))
+    n_ws = F.size(F.array_remove(F.split(F.col("text"), r"\s+"), ""))
+    return docs.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        n_ws.alias("n_ws_tokens"),
+        (F.length("text").cast("double") / n_bpe).alias("chars_per_token"),
+    )
+
+
+@query(
+    "text_quality_pandas_udf",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_tokens,
+               length(text) AS n_chars
+        FROM documents
+    )
+    SELECT doc_id,
+           0.5 * LEAST(CAST(n_tokens AS DOUBLE) / 64, 1.0)
+             + 0.5 * LEAST(CAST(n_chars AS DOUBLE) / 512, 1.0) AS quality
+    FROM f
+    """,
+    tags=("text", "llm", "udf"),
+)
+def text_quality_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas_udf computing a quality score.
+
+    Demonstrates the UDF surface (README.md:22 'UDFs') on arithmetic
+    that is engine-portable (pure IEEE double ops, no reductions).
+    Built-ins are preferred for this in production — see
+    text_stats_quality — but when Python is unavoidable this is the
+    shape: Arrow batches, numpy vector ops, never row-at-a-time.
+    """
+
+    @F.pandas_udf(T.DoubleType())
+    def quality(n_tokens: pd.Series, n_chars: pd.Series) -> pd.Series:
+        t = (n_tokens.astype("float64") / 64).clip(upper=1.0)
+        c = (n_chars.astype("float64") / 512).clip(upper=1.0)
+        return 0.5 * t + 0.5 * c
+
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.array_remove(F.split(F.lower(F.col("text")), r"\s+"), ""))
+    return docs.select(
+        "doc_id",
+        quality(n_tokens, F.length("text")).alias("quality"),
+    )
+
+
+@query(
+    "text_zscore_grouped_pandas",
+    oracle="""
+    WITH s AS (
+        SELECT lang, COUNT(*) AS n,
+               SUM(n_chars) AS sx,
+               SUM(n_chars * n_chars) AS sxx
+        FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang,
+           CASE WHEN s.n > 1 AND (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) > 0
+                THEN (d.n_chars - CAST(sx AS DOUBLE) / n)
+                     / SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1))
+                ELSE 0.0 END AS z_chars
+    FROM documents d JOIN s ON d.lang = s.lang
+    """,
+    tags=("text", "llm", "udf", "grouped"),
+)
+def text_zscore_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-language z-score normalization
+    of document length (per-district normalization pattern,
+    SURVEY §2.10). Uses exact integer sufficient statistics inside
+    the pandas group so results are engine-portable — numpy's
+    pairwise-summation mean() would not be.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("z_chars", T.DoubleType()),
+        ]
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["n_chars"].astype("int64")
+        n = len(x)
+        sx = int(x.sum())
+        sxx = int((x * x).sum())
+        var_num = float(sxx) - float(sx) * sx / n if n > 1 else 0.0
+        if n > 1 and var_num > 0:
+            mean = float(sx) / n
+            std = ((float(sxx) - float(sx) * sx / n) / (n - 1)) ** 0.5
+            z = (x - mean) / std
+        else:
+            z = pd.Series([0.0] * n, index=x.index)
+        return pd.DataFrame({"doc_id": pdf["doc_id"], "lang": pdf["lang"], "z_chars": z})
+
+    return docs.groupBy("lang").applyInPandas(zscore, schema)

@@ -73,6 +73,8 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
-    import bigdata_project_spark.queries  # noqa: F401  (side-effect imports)
+    import bigdata_project_spark.operators  # noqa: F401  (side-effect imports)
+    import bigdata_project_spark.queries  # noqa: F401
+    import bigdata_project_spark.streaming  # noqa: F401
 
     _LOADED = True

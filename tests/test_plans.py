@@ -1,0 +1,70 @@
+"""Physical-plan assertions: the plans must be the ones a 100 TB run
+wants — filters pushed to the parquet scan, pruned read schemas,
+broadcast joins for dims, TakeOrderedAndProject for top-k, and
+whole-stage codegen on the hot path (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from bigdata_project_spark.registry import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "agg_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate reached the scan
+    # column pruning: the scan must not read l_orderkey/l_partkey etc.
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_orderkey" not in read_schema and "l_comment" not in read_schema
+
+
+def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
+    # AQE only shows codegen in the *executed* plan
+    df = REGISTRY["agg_pricing_summary"].fn(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark whole-stage-codegen'd operators
+    assert "*(1)" in executed and "partial_sum" in executed
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_revenue_per_nation")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semi_anti_join_strategies(spark, sf_dir):
+    assert "LeftSemi" in plan_of(spark, sf_dir, "join_semi_big_spenders")
+    assert "LeftAnti" in plan_of(spark, sf_dir, "join_anti_never_ordered")
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sort_top100_orders")
+    assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT k
+
+
+def test_range_join_broadcasts_bands(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_range_price_bands")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_partial_aggregation_present(spark, sf_dir):
+    # partial+final HashAggregate (map-side combine before the shuffle)
+    plan = plan_of(spark, sf_dir, "agg_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_projection_reaches_scan_for_embeddings(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sim_centroid_per_label")
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "vec_id" not in read_schema  # only label+embedding are read

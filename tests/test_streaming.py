@@ -1,0 +1,100 @@
+"""Structured Streaming tests (SURVEY.md §5.4): file source as a
+bounded stream (availableNow), watermark+window aggs, streaming
+dedup, exactly-once parquet sink with checkpoint, foreachBatch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_project_spark.streaming.pipeline import read_events_stream, run_available_now
+
+
+def test_stream_is_streaming(spark, sf_dir):
+    assert read_events_stream(spark, sf_dir).isStreaming
+
+
+def test_tumbling_agg_matches_batch(spark, sf_dir):
+    from bigdata_project_spark.tables import load
+
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(F.window("ts", "1 hour").alias("w")).agg(F.count("*").alias("n"))
+    result = run_available_now(
+        agg.select(F.col("w.start").alias("ws"), "n"), "t_tumbling", "complete"
+    )
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    assert sorted(map(tuple, result.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_parquet_sink_checkpoint_exactly_once(spark, sf_dir, tmp_path):
+    """writeStream -> parquet with checkpoint; a second availableNow
+    run over the same (fully-consumed) source appends nothing."""
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    ev = read_events_stream(spark, sf_dir).select("event_id", "user_id", "value")
+
+    def run_once():
+        q = (
+            ev.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    run_once()  # same checkpoint: source already committed -> no duplicates
+    n2 = spark.read.parquet(out).count()
+    expected = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert n1 == expected and n2 == expected
+
+
+def test_foreach_batch_upsert(spark, sf_dir, tmp_path):
+    """foreachBatch: the 'MongoDB fast-querying sink' pattern
+    (README.md:29-32) — per-microbatch custom writes."""
+    seen = []
+
+    ev = read_events_stream(spark, sf_dir).groupBy("event_type").agg(F.count("*").alias("n"))
+
+    def sink(batch_df, batch_id):
+        seen.append((batch_id, {r["event_type"]: r["n"] for r in batch_df.collect()}))
+
+    q = (
+        ev.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(seen) >= 1
+    total = sum(seen[-1][1].values())
+    assert total == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+
+def test_streaming_dedup_bounded_state(spark, sf_dir):
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    dedup = ev.dropDuplicates(["user_id"]).select("user_id")
+    result = run_available_now(dedup, "t_dedup_users", "append")
+    n_users = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id").distinct().count()
+    assert result.count() == n_users
+
+
+@pytest.mark.parametrize("mode", ["session_window"])
+def test_session_window_stream(spark, sf_dir, mode):
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id").agg(
+        F.count("*").alias("n")
+    )
+    result = run_available_now(
+        agg.select("user_id", F.col("w.start").alias("ws"), "n"), "t_sessions", "append"
+    )
+    # availableNow + append emits only watermark-closed sessions; all
+    # sessions older than max(ts) - 1h are closed, so nearly all rows
+    assert result.count() > 0

@@ -261,6 +261,89 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HEX = "0123456789abcdef"
+
+
+@query(
+    "dedup_simhash64",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS token
+        FROM documents
+    ),
+    nibbles AS (
+        SELECT doc_id, p.p AS p,
+               instr('{_HEX}', substring(md5(token), p.p + 1, 1)) - 1 AS v
+        FROM toks, LATERAL (SELECT unnest(range(16)) AS p) p
+    ),
+    bitsums AS (
+        SELECT doc_id, p,
+               SUM(2 * ((v // 8) % 2) - 1) AS s3,
+               SUM(2 * ((v // 4) % 2) - 1) AS s2,
+               SUM(2 * ((v // 2) % 2) - 1) AS s1,
+               SUM(2 * (v % 2) - 1) AS s0
+        FROM nibbles GROUP BY doc_id, p
+    ),
+    chars AS (
+        SELECT doc_id, p,
+               substring('{_HEX}',
+                 CAST(8 * CAST(s3 > 0 AS INT) + 4 * CAST(s2 > 0 AS INT)
+                    + 2 * CAST(s1 > 0 AS INT) + CAST(s0 > 0 AS INT) AS INT) + 1, 1) AS c
+        FROM bitsums
+    )
+    SELECT doc_id, string_agg(c, '' ORDER BY p) AS simhash64
+    FROM chars GROUP BY doc_id
+    """,
+    tags=("dedup", "llm", "simhash"),
+)
+def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: 64-bit locality-sensitive document signature.
+
+    Each distinct token votes +1/-1 on every one of 64 bits according
+    to its md5; the signature takes the sign of each bit-sum. Near-dup
+    docs differ in few bits (Hamming distance), so at scale signatures
+    are compared by banding the 64 bits into k-bit prefixes —
+    constant-size per-doc state vs. MinHash's per-shingle rows.
+    Deterministic md5 voting; 16 hex chars out, nibble-wise.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    toks = (
+        docs.repartition(n_part, "doc_id")
+        .select("doc_id", F.explode(F.array_distinct(words_col(F.col("text")))).alias("token"))
+    )
+    nibbles = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("p"),
+        F.md5("token").alias("h"),
+    ).select(
+        "doc_id",
+        "p",
+        (F.expr(f"instr('{_HEX}', substring(h, p + 1, 1))") - 1).alias("v"),
+    )
+    v = F.col("v")
+    bitsums = nibbles.groupBy("doc_id", "p").agg(
+        F.sum(2 * ((v / 8).cast("long") % 2) - 1).alias("s3"),
+        F.sum(2 * ((v / 4).cast("long") % 2) - 1).alias("s2"),
+        F.sum(2 * ((v / 2).cast("long") % 2) - 1).alias("s1"),
+        F.sum(2 * (v % 2) - 1).alias("s0"),
+    )
+    nib_val = (
+        8 * (F.col("s3") > 0).cast("int")
+        + 4 * (F.col("s2") > 0).cast("int")
+        + 2 * (F.col("s1") > 0).cast("int")
+        + (F.col("s0") > 0).cast("int")
+    )
+    chars = bitsums.select("doc_id", "p", nib_val.alias("nv")).select(
+        "doc_id", "p", F.expr(f"substring('{_HEX}', nv + 1, 1)").alias("c")
+    )
+    return (
+        chars.groupBy("doc_id")
+        .agg(F.concat_ws("", F.transform(F.array_sort(F.collect_list(F.struct("p", "c"))), lambda s: s["c"])).alias("simhash64"))
+    )
+
+
 @query(
     "dedup_fingerprint_winnow",
     oracle="""

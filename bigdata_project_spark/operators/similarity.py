@@ -183,6 +183,51 @@ def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH {_SQL_NORMED},
+    bucketed AS (
+        SELECT vec_id, embedding, norm_sq, {_SQL_BUCKET} AS bucket
+        FROM normed
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ({_sql_dot('a.embedding', 'b.embedding')})
+             / (SQRT(a.norm_sq) * SQRT(b.norm_sq)) AS cosine
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE ({_sql_dot('a.embedding', 'b.embedding')})
+             / (SQRT(a.norm_sq) * SQRT(b.norm_sq)) >= 0.35
+    """,
+    tags=("dedup", "similarity", "llm"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection: LSH-bucketed candidate
+    pairs with cosine >= 0.35 — the semantic-dedup stage of a
+    training-data pipeline (exact near-dup misses paraphrases; this
+    catches them). Same-bucket candidate generation keeps it an
+    equi-join at 100 TB; recall is tuned by the number of
+    hyperplanes/bands (documented trade-off vs. the brute-force
+    variant in sim_knn_bruteforce)."""
+    emb = with_norm(load(spark, sf_dir, "embeddings"))
+    bucket = F.concat_ws("", *[(_proj_col(j) >= 0).cast("int").cast("string") for j in range(_N_PLANES)])
+    bucketed = emb.withColumn("bucket", bucket)
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    cosine = _dot_col("a.embedding", "b.embedding") / (
+        F.sqrt(F.col("a.norm_sq")) * F.sqrt(F.col("b.norm_sq"))
+    )
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.35)
+    )
+
+
+@query(
     "sim_centroid_per_label",
     oracle=f"""
     SELECT label, i.r AS pos,

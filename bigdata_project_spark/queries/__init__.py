@@ -1,6 +1,7 @@
 """Query modules — importing this package populates the registry."""
 
 from bigdata_project_spark.queries import (  # noqa: F401
+    advanced,
     aggregates,
     events,
     joins,

@@ -12,6 +12,7 @@ coalescePartitions with a high initial value).
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -35,5 +36,7 @@ def get_spark(app_name: str = "bigdata_project_spark", cpus: str | None = None) 
         # testbed events.parquet stores TIMESTAMP(NANOS) which Spark's
         # vectorized reader rejects; read as long and convert in load()
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # bucketed-table tests write managed tables; keep them off the repo
+        .config("spark.sql.warehouse.dir", os.path.join(tempfile.gettempdir(), "spark_graft_warehouse"))
     )
     return builder.getOrCreate()

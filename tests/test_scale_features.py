@@ -1,0 +1,74 @@
+"""Scale-path features: bucketed co-located joins (shuffle
+elimination) and stateful streaming (applyInPandasWithState) —
+SURVEY.md §4 physical design + §2.9 custom stateful logic."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_project_spark.tables import load
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir):
+    """Pre-bucketing both join sides on the key removes the Exchange
+    from the join — the co-located-join strategy for repeated joins
+    of the same big tables at 100 TB."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    o.write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode("overwrite").saveAsTable("b_orders")
+    c.write.bucketBy(8, "c_custkey").sortBy("c_custkey").mode("overwrite").saveAsTable("b_customer")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        j = (
+            spark.table("b_orders")
+            .join(spark.table("b_customer"), F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_nationkey")
+            .agg(F.count("*").alias("n"))
+        )
+        j.collect()
+        executed = j._jdf.queryExecution().executedPlan().toString()
+        # the join itself must not shuffle; the only exchange allowed is
+        # the aggregation's (on c_nationkey)
+        join_part = executed.split("SortMergeJoin")[1] if "SortMergeJoin" in executed else ""
+        assert "SortMergeJoin" in executed
+        assert "Exchange hashpartitioning(o_custkey" not in executed
+        assert "Exchange hashpartitioning(c_custkey" not in executed
+        assert join_part  # sanity
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_apply_in_pandas_with_state(spark, sf_dir):
+    """Custom stateful streaming operator (per-user event counting) —
+    the 'price-change tracking per id' shape from SURVEY §2.9."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from bigdata_project_spark.streaming.pipeline import read_events_stream, run_available_now
+
+    def count_events(key, pdf_iter, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+    ev = read_events_stream(spark, sf_dir)
+    counted = ev.groupBy("user_id").applyInPandasWithState(
+        count_events,
+        outputStructType="user_id long, n long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    result = run_available_now(counted, "t_stateful_counts", "update")
+    got = {r["user_id"]: r["n"] for r in result.collect()}
+    expected = {
+        r["user_id"]: r["n"]
+        for r in load(spark, sf_dir, "events").groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == expected

@@ -193,6 +193,99 @@ def text_quality_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udaf_weighted_avg_discount",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_quantity, 0) AS BIGINT) AS q,
+               CAST(ROUND(l_discount * 10000, 0) AS BIGINT) AS disc_bp
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(SUM(q * disc_bp) AS DOUBLE) / CAST(SUM(q) AS DOUBLE) AS wavg_disc_bp
+    FROM c
+    GROUP BY l_returnflag
+    """,
+    tags=("udf", "udaf", "agg"),
+)
+def udaf_weighted_avg_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas GROUPED_AGG UDAF (SURVEY §2.10): quantity-weighted
+    average discount (in basis points). Engine-portable because the
+    UDAF reduces over exact int64 sums — the same discipline as the
+    JVM-side decimal aggregates. Arrow moves each group's columns as
+    one batch; at scale this is a normal shuffle-on-key aggregation
+    with a Python final step, no driver involvement."""
+    from pyspark.sql import types as T2
+
+    @F.pandas_udf(T2.DoubleType())
+    def wavg(q: pd.Series, bp: pd.Series) -> float:
+        qi = q.round().astype("int64")
+        bpi = bp.astype("int64")
+        return float(int((qi * bpi).sum())) / float(int(qi.sum()))
+
+    l = load(spark, sf_dir, "lineitem")
+    prepped = l.select(
+        "l_returnflag",
+        F.round("l_quantity", 0).cast("long").alias("q"),
+        F.round(F.col("l_discount") * 10000, 0).cast("long").alias("disc_bp"),
+    )
+    return prepped.groupBy("l_returnflag").agg(wavg("q", "disc_bp").alias("wavg_disc_bp"))
+
+
+@query(
+    "text_tfidf_top3",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS token
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf, rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, token) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+    """,
+    tags=("text", "llm", "tfidf"),
+)
+def text_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per document.
+
+    Pure relational form (token explode -> tf/df aggregates -> join):
+    one shuffle on token for df, one on doc for the top-k — the shape
+    that scales (pyspark.ml HashingTF+IDF gives the same pipeline with
+    feature hashing when the vocabulary doesn't fit). Scores rounded
+    to 6 decimals: natural log differs in the last ulp across libm
+    implementations, the rounded value doesn't."""
+    from pyspark.sql.window import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    toks = (
+        docs.repartition(n_part, "doc_id")
+        .select("doc_id", F.explode(F.array_remove(F.split(F.lower("text"), r"\s+"), "")).alias("token"))
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(df_, "token").select(
+        "doc_id",
+        "token",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return scored.select("*", F.row_number().over(w).alias("rnk")).filter(F.col("rnk") <= 3)
+
+
+@query(
     "text_zscore_grouped_pandas",
     oracle="""
     WITH s AS (

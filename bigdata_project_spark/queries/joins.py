@@ -238,18 +238,23 @@ def join_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     Equivalent to DuckDB's native ASOF JOIN (the oracle).
     """
     ev = load(spark, sf_dir, "events")
-    # collapse same-(user, ts) clicks to one row so the as-of pick is deterministic
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("click_event_id"))
-        .select("user_id", "ts", "click_event_id", F.lit(0).alias("side"), F.lit(None).cast("long").alias("event_id"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id"), F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.lit(None).cast("long").alias("click_event_id"), F.lit(1).alias("side"), "event_id"
     )
     unioned = clicks.unionByName(purchases)
-    w = W.partitionBy("user_id").orderBy("ts", "side").rowsBetween(W.unboundedPreceding, W.currentRow)
+    # ordering (ts, side, click_event_id) makes the carried last-click
+    # the max-event_id click at the latest ts <= purchase ts — the
+    # same-(user,ts) dedup falls out of the sort, so the whole as-of
+    # is ONE shuffle on user_id (no pre-aggregation exchange)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side", "click_event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     click_info = F.when(F.col("side") == 0, F.struct(F.col("ts").alias("cts"), F.col("click_event_id").alias("cid")))
     carried = unioned.withColumn("last_click", F.last(click_info, ignorenulls=True).over(w))
     return carried.filter(F.col("side") == 1).select(

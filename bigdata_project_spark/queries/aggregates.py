@@ -221,16 +221,25 @@ def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_percentile_native",
-    oracle=None,  # percentile interpolation order differs in last-ulp; rows-only
-    tags=("agg", "percentile", "approx"),
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("agg", "percentile"),
 )
 def agg_percentile_native(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native exact/approx percentiles (percentile, percentile_approx)."""
+    """Native exact percentiles: Spark percentile() and DuckDB
+    quantile_cont share the linear-interpolation definition; rounding
+    to 6 decimals absorbs last-ulp interpolation-order differences.
+    (percentile_approx also exists in the surface but its sketch is
+    engine-specific — the exact median gate is agg_median_exact.)"""
     o = load(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.percentile("o_totalprice", 0.5).alias("p50"),
-        F.percentile("o_totalprice", 0.9).alias("p90"),
-        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
+        F.round(F.percentile("o_totalprice", 0.5), 6).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.9), 6).alias("p90"),
     )
 
 

@@ -63,6 +63,10 @@ def _stream_dir(sf_dir: str) -> str:
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a bounded file-source stream with the same
     schema+timestamp normalization as the batch loader."""
+    # settable here so a driver-provided vanilla session works even if
+    # this streaming query is the first thing it runs
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = spark.readStream.schema(raw_schema).parquet(_stream_dir(sf_dir))
     if dict(stream.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) read as long

@@ -153,17 +153,27 @@ _BAND_SIZE = 2  # 4 bands x 2 rows: P(candidate) = 1-(1-j^2)^4
 
 
 def _minhash_aggs() -> list[Column]:
-    """min(md5(seed || ':' || shingle)) per seed — a deterministic
-    MinHash signature (md5 is identical across engines; min over hex
-    strings is plain binary string order)."""
-    return [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(_N_HASHES)
-    ]
+    """8 independent 32-bit MinHash functions from 2 md5 digests:
+    hash i is an 8-hex-char slice of md5(shingle) (i<4) or
+    md5(shingle || '#') (i>=4). One-quarter the hashing cost of
+    8 separate seeded md5s; min over hex slices is plain binary
+    string order, identical across engines."""
+    d0 = F.md5(F.col("shingle"))
+    d1 = F.md5(F.concat(F.col("shingle"), F.lit("#")))
+    aggs = []
+    for i in range(_N_HASHES):
+        digest = d0 if i < 4 else d1
+        start = 1 + 8 * (i % 4)
+        aggs.append(F.min(F.substring(digest, start, 8)).alias(f"h{i}"))
+    return aggs
 
 
+_SEED_SUFFIX = " || '#'"
 _SQL_SIGS = ",\n".join(
-    f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(_N_HASHES)
+    "MIN(substring(md5(shingle{sfx}), {start}, 8)) AS h{i}".format(
+        sfx="" if i < 4 else _SEED_SUFFIX, start=1 + 8 * (i % 4), i=i
+    )
+    for i in range(_N_HASHES)
 )
 _SQL_BANDS = " UNION ALL ".join(
     f"SELECT doc_id, {k} AS band, h{2 * k} || h{2 * k + 1} AS band_key FROM sigs"
@@ -213,7 +223,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate verification join (otherwise Spark re-derives the
     # explode for every consumer)
     sh = shingle_df(spark, sf_dir).persist()
-    sigs = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"), *_minhash_aggs())
+    # sigs feeds 4 band branches + the count lookup — persist or the
+    # signature aggregation re-runs per consumer
+    sigs = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"), *_minhash_aggs()).persist()
     counts = sigs.select("doc_id", "n_sh")
     bands = None
     for k in range(_N_HASHES // _BAND_SIZE):

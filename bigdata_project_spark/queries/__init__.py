@@ -4,6 +4,7 @@ from bigdata_project_spark.queries import (  # noqa: F401
     advanced,
     aggregates,
     events,
+    generators,
     joins,
     scalars,
     setops_sorts,

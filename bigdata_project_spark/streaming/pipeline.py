@@ -153,6 +153,80 @@ def stream_dedup_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_sliding_30m_10m",
+    oracle="""
+    WITH slid AS (
+        SELECT e.*,
+               time_bucket(INTERVAL '10 minutes', e.ts) - k.k * INTERVAL '10 minutes' AS w_start
+        FROM events e
+        CROSS JOIN (SELECT unnest(range(3)) AS k) k
+        WHERE e.ts < time_bucket(INTERVAL '10 minutes', e.ts) - k.k * INTERVAL '10 minutes' + INTERVAL '30 minutes'
+    )
+    SELECT epoch_us(w_start) AS window_start_us,
+           COUNT(*) AS n_events
+    FROM slid
+    GROUP BY 1
+    """,
+    tags=("streaming", "window"),
+)
+def stream_sliding_30m_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding window (30m width / 10m slide) with
+    watermark, via availableNow; every event expands into 3
+    overlapping windows before the shuffle."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.unix_micros(F.col("w.start")).alias("window_start_us"), "n_events")
+    )
+    return run_available_now(agg, "stream_sliding_30m_10m", "complete")
+
+
+@query(
+    "stream_session_30m",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= INTERVAL '30 minutes'
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS session_start_us,
+           COUNT(*) AS n_events,
+           {SQL_DSUM('value')} AS session_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "window", "session"),
+)
+def stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-minute gap) per user — the
+    stateful merge-on-overlap operator, run as a bounded stream.
+    Oracle = the batch gaps-and-islands construction (complete mode
+    emits every session, so the bounded run matches batch exactly)."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("session_value"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+            "session_value",
+        )
+    )
+    return run_available_now(agg, "stream_session_30m", "complete")
+
+
+@query(
     "stream_static_join_weighted",
     oracle=f"""
     SELECT epoch_us(time_bucket(INTERVAL '6 hours', ts)) AS window_start_us,

@@ -36,7 +36,11 @@ HEADLINE = [
     "dedup_exact_hash",
     "dedup_minhash_lsh",
     "sim_knn_bruteforce",
+    "sim_ann_lsh_bucketed",
     "text_stats_quality",
+    "text_tfidf_top3",
+    "join_q5_regional_revenue",
+    "events_gapfill_hourly",
 ]
 
 

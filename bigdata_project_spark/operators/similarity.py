@@ -16,7 +16,6 @@ build, not RNG state).
 from __future__ import annotations
 
 import hashlib
-from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -31,12 +30,16 @@ _TOP_K = 10
 
 
 def _dot_col(a: str, b: str) -> Column:
-    """Explicit left-associated dot product of two embedding columns."""
-    terms = [
-        F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
-        for i in range(1, DIM + 1)
-    ]
-    return reduce(lambda x, y: x + y, terms)
+    """Dot product as zip_with + left-fold aggregate.
+
+    Exactly the oracle's left-associated 64-term chain: float*float is
+    exact in double, aggregate folds sequentially from 0.0, and
+    0.0 + t1 == t1 — so the sum order matches the SQL chain term for
+    term. The higher-order form keeps the generated code small (an
+    unrolled 64-term expression takes seconds of janino compilation
+    per plan)."""
+    products = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(products, F.lit(0.0), lambda acc, v: acc + v)
 
 
 def _sql_dot(a: str, b: str) -> str:
@@ -116,11 +119,9 @@ _SIGNS = _plane_signs()
 
 
 def _proj_col(j: int) -> Column:
-    terms = [
-        F.element_at("embedding", i + 1).cast("double") * F.lit(float(_SIGNS[j][i]))
-        for i in range(DIM)
-    ]
-    return reduce(lambda x, y: x + y, terms)
+    signs = F.array(*[F.lit(float(s)) for s in _SIGNS[j]])
+    products = F.zip_with("embedding", signs, lambda x, s: x.cast("double") * s)
+    return F.aggregate(products, F.lit(0.0), lambda acc, v: acc + v)
 
 
 def _sql_proj(j: int) -> str:

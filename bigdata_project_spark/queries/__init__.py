@@ -6,6 +6,7 @@ from bigdata_project_spark.queries import (  # noqa: F401
     events,
     generators,
     joins,
+    robustness,
     scalars,
     setops_sorts,
     windows,

@@ -3,6 +3,7 @@
 from bigdata_project_spark.queries import (  # noqa: F401
     advanced,
     aggregates,
+    collections_ext,
     events,
     generators,
     joins,

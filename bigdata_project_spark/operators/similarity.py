@@ -232,8 +232,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_centroid_per_label",
     oracle=f"""
     SELECT label, i.r AS pos,
-           CAST(SUM(CAST(CAST(embedding[i.r + 1] AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE)
-             / COUNT(*) AS centroid,
+           CAST(SUM(CAST(ROUND(CAST(embedding[i.r + 1] AS DOUBLE) * 1048576, 0) AS BIGINT)) AS DOUBLE)
+             / (1048576.0 * COUNT(*)) AS centroid,
            COUNT(*) AS n_vectors
     FROM embeddings, LATERAL (SELECT unnest(range({DIM})) AS r) i
     GROUP BY label, i.r
@@ -241,13 +241,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "llm", "agg"),
 )
 def sim_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label centroid of embeddings (posexplode + decimal-exact
-    per-dimension mean) — the building block for IVF-style coarse
-    quantization: at scale, vectors are assigned to the nearest
-    centroid and ANN search probes only matching cells."""
+    """Per-label centroid of embeddings (posexplode + per-dimension
+    mean) — the building block for IVF-style coarse quantization: at
+    scale, vectors are assigned to the nearest centroid and ANN
+    search probes only matching cells.
+
+    Exactness: elements are quantized to 2^-20 via ROUND(x * 2^20)
+    (power-of-two multiply is exact, so both engines round the same
+    double — even on exact .5 ties both round away from zero), summed
+    as exact int64, divided once in double. Decimal-cast sums of raw
+    floats are NOT portable: a float whose binary expansion
+    terminates at the rounding digit creates a true decimal tie,
+    which surfaced as real mismatches at sf0.1."""
     emb = load(spark, sf_dir, "embeddings")
     exploded = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    q = F.round(F.col("val").cast("double") * 1048576, 0).cast("long")
     return exploded.groupBy("label", "pos").agg(
-        (F.sum(F.col("val").cast("double").cast("decimal(38,9)")).cast("double") / F.count("*")).alias("centroid"),
+        (F.sum(q).cast("double") / (1048576.0 * F.count("*"))).alias("centroid"),
         F.count("*").alias("n_vectors"),
     )

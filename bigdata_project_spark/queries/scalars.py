@@ -106,7 +106,8 @@ def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            CASE WHEN l_quantity IS NOT NULL AND l_quantity > 0
                 THEN l_extendedprice / l_quantity END AS unit_price,
-           round(l_extendedprice / 1000, 2) AS price_k,
+           floor(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) * 100 / 1024) / 100 AS price_k,
+           round(l_quantity / 2, 0) AS qty_half_rounded,
            CAST(floor(l_quantity / 10) AS BIGINT) AS qty_decade,
            CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
            abs(l_extendedprice - 50000) AS dist_from_50k,
@@ -129,7 +130,15 @@ def scalar_math_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.when(q.isNotNull() & (q > 0), F.col("l_extendedprice") / q).alias("unit_price"),
-        F.round(F.col("l_extendedprice") / 1000, 2).alias("price_k"),
+        # price scaling via exact integer-cents floor arithmetic:
+        # round(x/1024, 2) is NOT portable — Spark rounds the double's
+        # shortest decimal repr (which can be an exact .xx5 tie) while
+        # DuckDB rounds an inexact multiply, and they disagree on
+        # those rows (observed at sf0.1). Every step below is exact.
+        (F.floor(F.round(F.col("l_extendedprice") * 100, 0).cast("long") * 100 / 1024) / 100).alias("price_k"),
+        # round() itself is demonstrated on exact .5 ties, where both
+        # engines round identically (away from zero)
+        F.round(F.col("l_quantity") / 2, 0).alias("qty_half_rounded"),
         F.floor(q / 10).alias("qty_decade"),
         F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
         F.abs(F.col("l_extendedprice") - 50000).alias("dist_from_50k"),

@@ -1,0 +1,194 @@
+"""Near-dup clustering + corpus cleaning (the end-to-end dedup story).
+
+Pairwise near-dup detection (dedup_minhash_lsh) finds EDGES; an LLM
+training corpus needs CLUSTERS — if A~B and B~C, exactly one of
+{A,B,C} survives even though A and C were never compared. That is
+connected components over the similarity graph, computed here with
+the iterative min-label-propagation algorithm on DataFrames:
+
+    label(v) <- min(label(v), min label of v's neighbors)   until fixpoint
+
+Each iteration is one join + aggregation (all distributed); lineage
+is truncated per iteration with localCheckpoint so plans don't grow
+unboundedly. Iterations ~ graph diameter (tiny for near-dup
+clusters). At 100 TB the same loop runs with the pair list on disk
+and alternating large-star/small-star optimization; the fixpoint
+check is a 1-row count.
+
+The oracle is a DuckDB recursive CTE computing min-reachable-id —
+same components, declaratively. (This is the 'iterative algorithm'
+class the driver supports; here it IS SQL-expressible via recursion,
+so it still gets the full value-hash gate.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_project_spark.operators.dedup import _SQL_SHINGLES, shingle_df
+from bigdata_project_spark.registry import query
+from bigdata_project_spark.tables import load
+
+_JACCARD_MIN = 0.05  # candidate-pair edge threshold over word-5-gram Jaccard
+
+# (doc_a, doc_b) edges: shingle-sharing pairs with Jaccard >= threshold
+_SQL_EDGES = f"""
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN doc_counts ca ON ca.doc_id = doc_a
+        JOIN doc_counts cb ON cb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= {_JACCARD_MIN}
+    )
+"""
+
+
+def _edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingle_df(spark, sf_dir).persist()
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca, cb = counts.alias("ca"), counts.alias("cb")
+    return (
+        inter.join(ca, F.col("ca.doc_id") == F.col("doc_a"))
+        .join(cb, F.col("cb.doc_id") == F.col("doc_b"))
+        .filter(
+            F.col("n_common").cast("double") / (F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_common"))
+            >= _JACCARD_MIN
+        )
+        .select("doc_a", "doc_b")
+    )
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Min-label propagation to fixpoint.
+
+    nodes: (id); edges: (doc_a, doc_b) undirected. Returns
+    (id, component) where component = min id in the component.
+    """
+    undirected = edges.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        edges.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    labels = nodes.select(F.col("id"), F.col("id").alias("component"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            undirected.join(labels, undirected.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce("nbr_component", F.col("component"))).alias("component"),
+                (F.coalesce("nbr_component", F.col("component")) < F.col("component")).cast("int").alias("_changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage per iteration
+        n_changed = new_labels.agg(F.sum("_changed")).first()[0] or 0
+        labels = new_labels.drop("_changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+@query(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    {_SQL_EDGES},
+    und AS (
+        SELECT doc_a AS src, doc_b AS dst FROM edges
+        UNION ALL SELECT doc_b, doc_a FROM edges
+    ),
+    reach(root, node) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.root, u.dst FROM reach r JOIN und u ON u.src = r.node
+    )
+    SELECT root AS doc_id,
+           MIN(node) AS component,
+           COUNT(DISTINCT node) AS component_reach
+    FROM reach
+    GROUP BY root
+    """,
+    tags=("dedup", "llm", "clustering", "iterative"),
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components over the
+    Jaccard similarity graph via iterative min-label propagation.
+    component = min doc_id reachable (the canonical keeper id);
+    component_reach = cluster size seen from each doc."""
+    docs = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    edges = _edges_df(spark, sf_dir).persist()
+    comp = connected_components(docs, edges)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("component_reach"))
+    return comp.join(sizes, "component").select(
+        F.col("id").alias("doc_id"), "component", "component_reach"
+    )
+
+
+@query(
+    "corpus_clean_pipeline",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    {_SQL_EDGES},
+    und AS (
+        SELECT doc_a AS src, doc_b AS dst FROM edges
+        UNION ALL SELECT doc_b, doc_a FROM edges
+    ),
+    reach(root, node) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.root, u.dst FROM reach r JOIN und u ON u.src = r.node
+    ),
+    comp AS (SELECT root AS doc_id, MIN(node) AS component FROM reach GROUP BY root),
+    quality AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_tokens
+        FROM documents
+    )
+    SELECT d.doc_id, c.component,
+           CAST(d.doc_id = c.component AS INT) AS is_keeper,
+           CAST(q.n_tokens >= 20 AS INT) AS passes_quality,
+           CAST(d.doc_id = c.component AND q.n_tokens >= 20 AS INT) AS in_clean_corpus
+    FROM documents d
+    JOIN comp c ON c.doc_id = d.doc_id
+    JOIN quality q ON q.doc_id = d.doc_id
+    """,
+    tags=("dedup", "llm", "pipeline"),
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-cleaning decision: per document, its
+    near-dup cluster, whether it is the cluster keeper (min id), and
+    whether it passes the quality gate (token count) — the full
+    'dedup + filter' pass a training-data pipeline applies before
+    tokenization. in_clean_corpus is the final keep bit."""
+    docs = load(spark, sf_dir, "documents")
+    comp = dedup_cluster_components(spark, sf_dir).select("doc_id", "component")
+    n_tokens = F.size(F.array_remove(F.split(F.lower("text"), r"\s+"), ""))
+    quality = docs.select("doc_id", (n_tokens >= 20).cast("int").alias("passes_quality"))
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id")
+        .join(quality, "doc_id")
+        .select(
+            "doc_id",
+            "component",
+            (F.col("doc_id") == F.col("component")).cast("int").alias("is_keeper"),
+            "passes_quality",
+            ((F.col("doc_id") == F.col("component")) & (F.col("passes_quality") == 1)).cast("int").alias(
+                "in_clean_corpus"
+            ),
+        )
+    )

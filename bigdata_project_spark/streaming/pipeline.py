@@ -153,6 +153,46 @@ def stream_dedup_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id AS user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL '30 minutes'
+     AND c.ts <= p.ts
+    """,
+    tags=("streaming", "join", "interval"),
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (SURVEY §2.9 'interval/overlap
+    join'): purchases matched to same-user clicks in the trailing 30
+    minutes, both sides watermarked so join state expires. A bounded
+    availableNow run emits exactly the batch join (the oracle)."""
+    ev = read_events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"), F.col("event_id").alias("click_id"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+    )
+    joined = purchases.join(clicks, cond).select(
+        "purchase_id", "click_id", F.col("p_user").alias("user_id")
+    )
+    return run_available_now(joined, "stream_stream_interval_join", "append")
+
+
+@query(
     "stream_sliding_30m_10m",
     oracle="""
     WITH slid AS (

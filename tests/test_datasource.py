@@ -1,0 +1,50 @@
+"""Custom Python DataSource over the reference landing zone: parity
+with the built-in multiLine JSON reader + metadata columns."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+CORPUS_ROOT = "/root/reference/data_input/house"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(CORPUS_ROOT), reason="reference corpus not present")
+
+
+@pytest.fixture(scope="module")
+def listing_df(spark):
+    from bigdata_project_spark.listings.datasource import ListingJsonDataSource
+
+    spark.dataSource.register(ListingJsonDataSource)
+    return (
+        spark.read.format("listing_json")
+        .option("path", CORPUS_ROOT)
+        .option("bundle_size", "32")
+        .load()
+        .cache()
+    )
+
+
+def test_row_count_and_metadata(listing_df):
+    assert listing_df.count() == 317
+    dates = [r["ingest_date"] for r in listing_df.select("ingest_date").distinct().collect()]
+    assert dates == ["2025-12-12"]
+    assert listing_df.filter(F.col("source_file").startswith("house_")).count() == 317
+
+
+def test_parity_with_builtin_json_reader(spark, listing_df):
+    from bigdata_project_spark.listings import read_listings_json
+
+    builtin = read_listings_json(spark, f"{CORPUS_ROOT}/2025-12-12/house_*.json")
+    a = sorted(
+        map(tuple, listing_df.select(*builtin.columns).collect())
+    )
+    b = sorted(map(tuple, builtin.collect()))
+    assert a == b
+
+
+def test_partition_parallelism(listing_df):
+    # 317 files at bundle_size 32 -> 10 input partitions
+    assert listing_df.rdd.getNumPartitions() == 10

@@ -72,3 +72,22 @@ def test_apply_in_pandas_with_state(spark, sf_dir):
         for r in load(spark, sf_dir, "events").groupBy("user_id").agg(F.count("*").alias("n")).collect()
     }
     assert got == expected
+
+
+def test_observation_metrics(spark, sf_dir):
+    """df.observe: pipeline-embedded metrics (row counts, sums)
+    collected as a side effect of the action — the operational
+    monitoring hook a production run attaches to every stage."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F2
+
+    obs = Observation("silver_metrics")
+    l = load(spark, sf_dir, "lineitem")
+    observed = l.observe(
+        obs,
+        F2.count(F2.lit(1)).alias("n_rows"),
+        F2.count(F2.when(F2.col("l_discount") > 0.05, 1)).alias("n_high_discount"),
+    )
+    n = observed.filter(F2.col("l_quantity") > 0).count()
+    assert obs.get["n_rows"] >= n
+    assert 0 <= obs.get["n_high_discount"] <= obs.get["n_rows"]

@@ -27,7 +27,13 @@ reader needs ships pickled — no repo import required on workers.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 _SCHEMA_DDL = (
     "id long, title string, description string, price long, area_m2 long, "
@@ -74,6 +80,50 @@ class ListingJsonReader(DataSourceReader):
             yield tuple(rec.get(k) for k in fields) + (os.path.basename(path), ingest_date)
 
 
+class _WroteFiles(WriterCommitMessage):
+    def __init__(self, n: int):
+        self.n = n
+
+
+class ListingJsonWriter(DataSourceWriter):
+    """Per-record JSON sink with the reference's exact file contract
+    (CrawlData.py:129-134): one pretty-printed UTF-8 JSON object per
+    listing, filename `house_{id}_{timestamp}.json`, under a
+    date-partition directory (:111-113). Each task writes its own
+    partition's records — the sink is embarrassingly parallel (file-
+    per-record is an anti-pattern at scale; this exists for landing-
+    zone/fixture parity — see write_lake for the production sink)."""
+
+    _FIELDS = [
+        "id", "title", "description", "price", "area_m2", "price_per_m2",
+        "region", "district", "ward", "street", "lat", "lng",
+        "property_type", "category", "post_time", "images",
+    ]
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("listing_json write requires option 'path'")
+        self.ingest_date = options.get("ingest_date", "1970-01-01")
+
+    def write(self, rows):
+        import json
+        import os
+        from datetime import datetime, timezone
+
+        out_dir = os.path.join(self.path, self.ingest_date)
+        os.makedirs(out_dir, exist_ok=True)
+        n = 0
+        for row in rows:
+            rec = {k: row[k] for k in self._FIELDS if k in row.__fields__}
+            ts = datetime.now(timezone.utc).strftime("%Y%m%dT%H%M%S")
+            fname = os.path.join(out_dir, f"house_{rec['id']}_{ts}.json")
+            with open(fname, "w", encoding="utf-8") as f:
+                json.dump(rec, f, ensure_ascii=False, indent=2)
+            n += 1
+        return _WroteFiles(n)
+
+
 class ListingJsonDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -84,3 +134,18 @@ class ListingJsonDataSource(DataSource):
 
     def reader(self, schema) -> ListingJsonReader:
         return ListingJsonReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> ListingJsonWriter:
+        return ListingJsonWriter(self.options)
+
+
+# DataSource classes are shipped to Python workers by pickle; classes
+# in an importable module are pickled BY REFERENCE, which breaks when
+# the worker doesn't have this repo on its path (the driver may run
+# from any cwd). Registering the module for by-value pickling embeds
+# the code in the pickle instead.
+import sys as _sys  # noqa: E402
+
+from pyspark import cloudpickle as _cloudpickle  # noqa: E402
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])

@@ -48,3 +48,24 @@ def test_parity_with_builtin_json_reader(spark, listing_df):
 def test_partition_parallelism(listing_df):
     # 317 files at bundle_size 32 -> 10 input partitions
     assert listing_df.rdd.getNumPartitions() == 10
+
+
+def test_writer_roundtrip(spark, listing_df, tmp_path):
+    """Write with the per-record JSON sink (reference contract:
+    CrawlData.py:129-134) and read back via the same format."""
+    from pyspark.sql import functions as F2
+
+    out = str(tmp_path / "landing")
+    subset = listing_df.filter(F2.col("id") % 10 == 0).drop("source_file", "ingest_date")
+    (
+        subset.write.format("listing_json")
+        .option("path", out)
+        .option("ingest_date", "2026-08-13")
+        .mode("append")
+        .save()
+    )
+    back = spark.read.format("listing_json").option("path", out).load()
+    assert back.count() == subset.count()
+    assert [r["ingest_date"] for r in back.select("ingest_date").distinct().collect()] == ["2026-08-13"]
+    cols = [c for c in subset.columns]
+    assert sorted(map(tuple, back.select(*cols).collect())) == sorted(map(tuple, subset.collect()))

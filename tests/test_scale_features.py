@@ -91,3 +91,19 @@ def test_observation_metrics(spark, sf_dir):
     n = observed.filter(F2.col("l_quantity") > 0).count()
     assert obs.get["n_rows"] >= n
     assert 0 <= obs.get["n_high_discount"] <= obs.get["n_rows"]
+
+
+def test_transform_with_state_unavailable_in_container():
+    """transformWithStateInPandas (Spark 4 arbitrary-state API) needs
+    google.protobuf, which is not importable in this container
+    (verified: its streaming runner crashes with ImportError).
+    applyInPandasWithState above covers the custom-stateful surface;
+    swap to transformWithStateInPandas on a cluster with protobuf."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        pytest.skip("protobuf present — enable the real test")
+    except ImportError:
+        pass

@@ -159,17 +159,21 @@ def join_semi_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_nationkey, COUNT(*) AS n_customers
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
     GROUP BY c_nationkey
     """,
     tags=("join", "anti"),
 )
 def join_anti_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left anti join (NOT EXISTS): customers that never ordered —
-    the scalable form of the reference's 'listings never seen before'
-    set-membership check (SURVEY.md §2.3)."""
+    """Left anti join (NOT EXISTS): customers with no orders before
+    1996 — the scalable form of the reference's 'listings never seen
+    before' set-membership check (SURVEY.md §2.3). The date filter
+    keeps the result non-trivial at every scale factor (at sf>=0.01
+    every customer has *some* order)."""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1996-01-01")
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_nationkey")

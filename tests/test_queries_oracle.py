@@ -17,10 +17,9 @@ def con(sf_dir):
     c.close()
 
 
-# queries legitimately empty at some scale factors (e.g. every
-# customer has orders at sf0.01) — everything else must return rows,
-# so an accidentally-empty query can't "pass" its oracle trivially
-_MAY_BE_EMPTY = {"join_anti_never_ordered"}
+# every query must return rows at every scale factor, so an
+# accidentally-empty query can't "pass" its oracle trivially
+_MAY_BE_EMPTY: set[str] = set()
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))

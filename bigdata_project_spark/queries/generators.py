@@ -97,3 +97,24 @@ def generator_inline_struct_array(spark: SparkSession, sf_dir: str) -> DataFrame
         F.struct(F.lit("half").alias("label"), (F.col("o_totalprice") * 0.5).alias("amount")),
     )
     return o.select("o_orderkey", F.inline(structs))
+
+
+@query(
+    "generator_unpivot_native",
+    oracle="""
+    SELECT s_suppkey, metric, val FROM (
+        SELECT s_suppkey, 'acctbal' AS metric, s_acctbal AS val FROM supplier
+        UNION ALL
+        SELECT s_suppkey, 'nationkey', CAST(s_nationkey AS DOUBLE) FROM supplier
+    )
+    """,
+    tags=("generator", "unpivot"),
+)
+def generator_unpivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native DataFrame.unpivot (melt) — the API-level inverse of
+    pivot, alongside the SQL stack() form above."""
+    s = load(spark, sf_dir, "supplier").withColumn("nk_d", F.col("s_nationkey").cast("double"))
+    return (
+        s.select("s_suppkey", F.col("s_acctbal").alias("acctbal"), F.col("nk_d").alias("nationkey"))
+        .unpivot("s_suppkey", ["acctbal", "nationkey"], "metric", "val")
+    )

@@ -1,0 +1,78 @@
+"""Additional API front doors: pandas-on-Spark, parameterized SQL,
+and permissive/failfast malformed-record handling at the JSON ingest
+edge (the engine-side form of the reference's malformed-payload drop,
+CrawlData.py:62-63)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_project_spark.tables import load
+
+
+def test_pandas_on_spark_api(spark, sf_dir):
+    """pyspark.pandas: the pandas-API front door over the same engine."""
+    import pyspark.pandas as ps
+
+    psdf = load(spark, sf_dir, "customer").pandas_api()
+    by_seg = psdf.groupby("c_mktsegment")["c_acctbal"].count().sort_index()
+    expected = {
+        r["c_mktsegment"]: r["n"]
+        for r in load(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.count("c_acctbal").alias("n"))
+        .collect()
+    }
+    assert by_seg.to_dict() == expected
+
+
+def test_parameterized_sql(spark, sf_dir):
+    """spark.sql named parameters — injection-safe serving queries."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_param")
+    df = spark.sql(
+        "SELECT COUNT(*) AS n FROM v_orders_param WHERE o_totalprice > :lo AND o_orderstatus = :st",
+        args={"lo": 400000, "st": "O"},
+    )
+    n = df.first()["n"]
+    expected = (
+        load(spark, sf_dir, "orders")
+        .filter((F.col("o_totalprice") > 400000) & (F.col("o_orderstatus") == "O"))
+        .count()
+    )
+    assert n == expected
+
+
+@pytest.fixture()
+def mixed_json_dir(tmp_path):
+    good = '{"id": 1, "title": "ok"}'
+    bad = '{"id": 2, "title": '  # truncated
+    (tmp_path / "a.json").write_text(good)
+    (tmp_path / "b.json").write_text(bad)
+    return str(tmp_path)
+
+
+def test_permissive_corrupt_record_channel(spark, mixed_json_dir):
+    df = (
+        spark.read.schema("id long, title string, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(mixed_json_dir)
+    )
+    rows = df.cache().collect()
+    assert len(rows) == 2
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(good) == 1 and good[0]["id"] == 1
+    assert len(bad) == 1  # quarantined, not dropped silently
+    df.unpersist()
+
+
+def test_failfast_rejects_corrupt(spark, mixed_json_dir):
+    with pytest.raises(Exception):
+        (
+            spark.read.schema("id long, title string")
+            .option("mode", "FAILFAST")
+            .json(mixed_json_dir)
+            .collect()
+        )

@@ -11,5 +11,6 @@ from bigdata_project_spark.queries import (  # noqa: F401
     robustness,
     scalars,
     setops_sorts,
+    subqueries,
     windows,
 )

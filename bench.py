@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_knn_bruteforce",
     "sim_ann_lsh_bucketed",
+    "sim_ann_lsh_banded",
     "text_stats_quality",
     "text_tfidf_top3",
     "join_q5_regional_revenue",

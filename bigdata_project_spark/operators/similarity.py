@@ -228,6 +228,122 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_BANDS = 3
+_PLANES_PER_BAND = 8
+
+
+def _band_signs(band: int) -> list[list[int]]:
+    """Hyperplane signs for one band — same md5 construction as
+    `_plane_signs`, plane index offset by band so bands are
+    independent."""
+    signs = []
+    for p in range(_PLANES_PER_BAND):
+        j = band * _PLANES_PER_BAND + p
+        row = []
+        for i in range(DIM):
+            h = hashlib.md5(f"plane:{j}:{i}".encode()).hexdigest()
+            row.append(-1 if int(h[0], 16) < 8 else 1)
+        signs.append(row)
+    return signs
+
+
+def _band_bucket_col(band: int) -> Column:
+    bits = []
+    for row in _band_signs(band):
+        signs = F.array(*[F.lit(float(s)) for s in row])
+        products = F.zip_with("embedding", signs, lambda x, s: x.cast("double") * s)
+        proj = F.aggregate(products, F.lit(0.0), lambda acc, v: acc + v)
+        bits.append((proj >= 0).cast("int").cast("string"))
+    return F.concat_ws("", *bits)
+
+
+def _sql_band_bucket(band: int) -> str:
+    parts = []
+    for row in _band_signs(band):
+        proj = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * ({float(row[i])})" for i in range(DIM)
+        )
+        parts.append(f"CAST(CAST({proj} >= 0 AS INT) AS VARCHAR)")
+    return " || ".join(parts)
+
+
+_SQL_BANDS = "\nUNION ALL\n".join(
+    f"SELECT vec_id, embedding, norm_sq, {b} AS band, {_sql_band_bucket(b)} AS bucket FROM normed"
+    for b in range(_N_BANDS)
+)
+
+
+@query(
+    "sim_ann_lsh_banded",
+    oracle=f"""
+    WITH {_SQL_NORMED},
+    bands AS (
+        {_SQL_BANDS}
+    ),
+    cand AS (
+        SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+               MAX(({_sql_dot('a.embedding', 'b.embedding')})
+                     / (SQRT(a.norm_sq) * SQRT(b.norm_sq))) AS cosine
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT vec_id, neighbor_id, cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM cand
+    ) WHERE rank <= 5
+    """,
+    tags=("similarity", "llm", "lsh", "ann", "banded"),
+)
+def sim_ann_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-amplified LSH ANN: {_N_BANDS} bands x {_PLANES_PER_BAND}
+    planes. Narrow 2^{_PLANES_PER_BAND}-bucket bands keep each
+    equi-join's per-bucket candidate count (and thus the quadratic
+    pair blow-up) small; OR-ing several independent bands restores the
+    recall a single narrow band loses — the same banding trade-off as
+    MinHash-LSH document dedup. This is the shape that survives 100x
+    corpus growth: candidate pairs grow ~n^2/2^planes per band, so
+    planes-per-band scales with log2(n) while bands pin recall.
+
+    One shuffle: posexplode to (band, bucket) rows -> single
+    self-equi-join on (band, bucket) -> per-pair MAX collapses
+    multi-band duplicates -> row_number top-5. Vectors ride the
+    explode ({_N_BANDS}x duplication) to avoid two extra re-join
+    shuffles at the candidate stage."""
+    emb = with_norm(load(spark, sf_dir, "embeddings"))
+    exploded = emb.select(
+        "vec_id",
+        "embedding",
+        "norm_sq",
+        F.posexplode(F.array(*[_band_bucket_col(b) for b in range(_N_BANDS)])).alias(
+            "band", "bucket"
+        ),
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cosine = _dot_col("a.embedding", "b.embedding") / (
+        F.sqrt(F.col("a.norm_sq")) * F.sqrt(F.col("b.norm_sq"))
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            cosine.alias("cosine"),
+        )
+        .groupBy("vec_id", "neighbor_id")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return cand.select("*", F.row_number().over(w).alias("rank")).filter(F.col("rank") <= 5)
+
+
 @query(
     "sim_centroid_per_label",
     oracle=f"""

@@ -298,3 +298,68 @@ def stream_static_join_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.unix_micros(F.col("w.start")).alias("window_start_us"), "n_events", "weighted_value")
     )
     return run_available_now(agg, "stream_static_join_weighted", "complete")
+
+
+def _max_jump_fn(key, pdf_iter, state):
+    """Per-user custom state: track the largest value increase between
+    time-consecutive events. State carries (n, last ts/event_id/value,
+    best jump) so later micro-batches continue from the frontier."""
+    import pandas as pd
+
+    if state.exists:
+        n, last_ts, last_eid, last_val, best = state.get
+    else:
+        n, last_ts, last_eid, last_val, best = 0, None, None, None, None
+    chunks = [pdf for pdf in pdf_iter]
+    pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+    for row in pdf.itertuples(index=False):
+        if last_val is not None:
+            jump = float(row.value) - last_val
+            if best is None or jump > best:
+                best = jump
+        n += 1
+        last_ts, last_eid, last_val = row.ts, int(row.event_id), float(row.value)
+    state.update((n, last_ts, last_eid, last_val, best))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "max_jump": [best]})
+
+
+@query(
+    "stream_stateful_max_jump",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, value,
+               value - LAG(value) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS jump
+        FROM events
+    )
+    SELECT user_id, COUNT(*) AS n_events, MAX(jump) AS max_jump
+    FROM ordered
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "custom"),
+)
+def stream_stateful_max_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState) —
+    SURVEY §2.9's 'price-change tracking per id' as a first-class
+    query: per user, the largest increase between time-consecutive
+    event values. Imperative per-key logic no built-in streaming
+    aggregate expresses (it depends on event ORDER, not just values);
+    the oracle is the batch LAG-window equivalent, so the stateful
+    path is hash-checked against plain SQL.
+
+    State per key is O(1) (count + frontier row + best jump) — the
+    shape that holds for unbounded streams; a production deployment
+    adds a processing-time timeout to evict idle users. The bounded
+    availableNow run delivers all rows in one ordered batch per key,
+    so the emitted update equals the batch answer."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _max_jump_fn,
+        outputStructType="user_id long, n_events long, max_jump double",
+        stateStructType="n long, last_ts timestamp, last_eid long, last_val double, best double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_available_now(out, "stream_stateful_max_jump", "update")

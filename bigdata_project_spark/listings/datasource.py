@@ -32,6 +32,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -65,19 +66,67 @@ class ListingJsonReader(DataSourceReader):
         return [_FileBundle(b) for b in bundles] or [_FileBundle([])]
 
     def read(self, partition: _FileBundle):
-        import json
+        for path in partition.files:
+            yield _parse_listing_file(path)
+
+
+_FIELD_ORDER = [
+    "id", "title", "description", "price", "area_m2", "price_per_m2",
+    "region", "district", "ward", "street", "lat", "lng",
+    "property_type", "category", "post_time", "images",
+]
+
+
+def _parse_listing_file(path: str) -> tuple:
+    import json
+    import os
+
+    with open(path, encoding="utf-8") as f:
+        rec = json.load(f)
+    ingest_date = os.path.basename(os.path.dirname(path))
+    return tuple(rec.get(k) for k in _FIELD_ORDER) + (os.path.basename(path), ingest_date)
+
+
+class ListingJsonStreamReader(SimpleDataSourceStreamReader):
+    """Streaming tail of the landing zone: each micro-batch picks up
+    files that arrived since the last committed offset — the
+    reference's declared Kafka edge (README.md:9-13) without a
+    broker, with the same exactly-once contract (the offset is the
+    position in the sorted file list; `readBetweenOffsets` replays a
+    committed range deterministically on recovery).
+
+    Scale note: the simple-reader API reads on the driver — right for
+    a control-plane-sized trickle of landing files (and for tests).
+    A firehose belongs on the partition-parallel batch reader per
+    micro-batch (file-source semantics) or a real Kafka topic; same
+    downstream pipeline either way."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("listing_json requires option 'path'")
+        self.max_files = int(options.get("max_files_per_batch", "100"))
+
+    def _files(self) -> list[str]:
+        import glob
         import os
 
-        fields = [
-            "id", "title", "description", "price", "area_m2", "price_per_m2",
-            "region", "district", "ward", "street", "lat", "lng",
-            "property_type", "category", "post_time", "images",
-        ]
-        for path in partition.files:
-            with open(path, encoding="utf-8") as f:
-                rec = json.load(f)
-            ingest_date = os.path.basename(os.path.dirname(path))
-            yield tuple(rec.get(k) for k in fields) + (os.path.basename(path), ingest_date)
+        return sorted(glob.glob(os.path.join(self.path, "**", "house_*.json"), recursive=True))
+
+    def initialOffset(self):
+        return {"idx": 0}
+
+    def read(self, start):
+        files = self._files()
+        i = int(start["idx"])
+        j = min(len(files), i + self.max_files)
+        # a list, not a generator: the simple-reader protocol pickles
+        # the prefetched rows into the micro-batch plan
+        return [_parse_listing_file(p) for p in files[i:j]], {"idx": j}
+
+    def readBetweenOffsets(self, start, end):
+        files = self._files()
+        return [_parse_listing_file(p) for p in files[int(start["idx"]) : int(end["idx"])]]
 
 
 class _WroteFiles(WriterCommitMessage):
@@ -137,6 +186,9 @@ class ListingJsonDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> ListingJsonWriter:
         return ListingJsonWriter(self.options)
+
+    def simpleStreamReader(self, schema) -> ListingJsonStreamReader:
+        return ListingJsonStreamReader(self.options)
 
 
 # DataSource classes are shipped to Python workers by pickle; classes

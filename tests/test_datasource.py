@@ -69,3 +69,39 @@ def test_writer_roundtrip(spark, listing_df, tmp_path):
     assert [r["ingest_date"] for r in back.select("ingest_date").distinct().collect()] == ["2026-08-13"]
     cols = [c for c in subset.columns]
     assert sorted(map(tuple, back.select(*cols).collect())) == sorted(map(tuple, subset.collect()))
+
+
+def test_stream_reader_tails_landing_zone(spark, listing_df, tmp_path):
+    """Streaming read of the same landing zone via simpleStreamReader:
+    multiple offset-bounded micro-batches, exactly the batch row set."""
+    from bigdata_project_spark.listings.datasource import ListingJsonDataSource
+
+    spark.dataSource.register(ListingJsonDataSource)
+    stream = (
+        spark.readStream.format("listing_json")
+        .option("path", CORPUS_ROOT)
+        .option("max_files_per_batch", "100")  # 317 files -> 4 micro-batches
+        .load()
+    )
+    import time
+
+    expected = listing_df.count()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_listing_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline and spark.table("t_listing_stream").count() < expected:
+        time.sleep(0.5)
+    q.stop()
+    got = spark.table("t_listing_stream")
+    assert got.count() == expected
+    got_ids = {r["id"] for r in got.select("id").collect()}
+    batch_ids = {r["id"] for r in listing_df.select("id").collect()}
+    assert got_ids == batch_ids
+    # offset progression proves incremental micro-batches (317 files
+    # at 100/batch), not one big read
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 2

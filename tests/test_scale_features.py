@@ -107,3 +107,30 @@ def test_transform_with_state_unavailable_in_container():
         pytest.skip("protobuf present — enable the real test")
     except ImportError:
         pass
+
+
+def test_binary_file_source_for_multimodal(spark, tmp_path):
+    """spark.read.format("binaryFile"): the ingest edge for opaque
+    image/audio/video blobs (SURVEY §2.10 multimodal columns) — each
+    file becomes (path, modificationTime, length, content binary),
+    ready for the mapInPandas decode stage in operators/multimodal.py.
+    Globs + pathGlobFilter prune at the listing level before any IO."""
+    d = tmp_path / "blobs"
+    d.mkdir()
+    payloads = {f"img_{i}.bin": bytes([i]) * (10 + i) for i in range(5)}
+    (d / "ignore.txt").write_text("not a blob")
+    for name, data in payloads.items():
+        (d / name).write_bytes(data)
+
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(str(d))
+        .select("path", "length", "content")
+    )
+    rows = df.collect()
+    assert len(rows) == 5  # .txt filtered out at listing time
+    by_name = {r["path"].rsplit("/", 1)[-1]: r for r in rows}
+    for name, data in payloads.items():
+        assert by_name[name]["length"] == len(data)
+        assert bytes(by_name[name]["content"]) == data

@@ -227,14 +227,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature aggregation re-runs per consumer
     sigs = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"), *_minhash_aggs()).persist()
     counts = sigs.select("doc_id", "n_sh")
-    bands = None
-    for k in range(_N_HASHES // _BAND_SIZE):
-        band = sigs.select(
-            "doc_id",
-            F.lit(k).alias("band"),
-            F.concat(F.col(f"h{2 * k}"), F.col(f"h{2 * k + 1}")).alias("band_key"),
-        )
-        bands = band if bands is None else bands.unionByName(band)
+    # one pass over sigs: posexplode the band keys instead of a
+    # 4-way union (which re-reads sigs once per band)
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat(F.col(f"h{2 * k}"), F.col(f"h{2 * k + 1}"))
+                    for k in range(_N_HASHES // _BAND_SIZE)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

@@ -344,6 +344,102 @@ def sim_ann_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("*", F.row_number().over(w).alias("rank")).filter(F.col("rank") <= 5)
 
 
+_SQL_DOT_QC = " + ".join(f"CAST(q_emb[{i}] AS DOUBLE) * c_arr[{i}]" for i in range(1, DIM + 1))
+_SQL_CNORM = " + ".join(f"c_arr[{i}] * c_arr[{i}]" for i in range(1, DIM + 1))
+
+
+@query(
+    "sim_ann_ivf_probe",
+    oracle=f"""
+    WITH {_SQL_NORMED},
+    cdim AS (
+        SELECT label, i.r AS pos,
+               CAST(SUM(CAST(ROUND(CAST(embedding[i.r + 1] AS DOUBLE) * 1048576, 0) AS BIGINT)) AS DOUBLE)
+                 / (1048576.0 * COUNT(*)) AS c
+        FROM embeddings, LATERAL (SELECT unnest(range({DIM})) AS r) i
+        GROUP BY label, i.r
+    ),
+    cent AS (SELECT label, list(c ORDER BY pos) AS c_arr FROM cdim GROUP BY label),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm_sq AS q_norm
+          FROM normed WHERE vec_id IN {_QUERY_IDS}),
+    assign AS (
+        SELECT query_id, q_emb, q_norm, label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ({_SQL_DOT_QC}) / SQRT({_SQL_CNORM}) DESC, label) AS rn
+        FROM q, cent
+    ),
+    probe AS (SELECT query_id, q_emb, q_norm, label FROM assign WHERE rn = 1),
+    cand AS (
+        SELECT p.query_id, n.vec_id,
+               ({_sql_dot('p.q_emb', 'n.embedding')})
+                 / (SQRT(p.q_norm) * SQRT(n.norm_sq)) AS cosine
+        FROM probe p JOIN normed n ON n.label = p.label AND n.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rank
+        FROM cand
+    ) WHERE rank <= 5
+    """,
+    tags=("similarity", "llm", "ann", "ivf"),
+)
+def sim_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN, end to end: coarse cells (the label column as
+    the inverted-file partition), one centroid per cell (quantized
+    per-dimension mean — cross-engine exact, see
+    sim_centroid_per_label), queries assigned to the nearest centroid
+    (broadcast: #queries x #cells rows), exact top-5 only within the
+    probed cell.
+
+    This is the complementary scale path to LSH banding: the corpus
+    is scanned once to build centroids, and each query's candidate
+    set is one cell (~n/#cells vectors) reached by an equi-join on
+    the cell id — at 100 TB the cells are the partitioning key, so a
+    probe touches one partition instead of the whole corpus. Recall
+    tunes with nprobe (here 1) and #cells; centroid refresh is a
+    periodic batch job, not per-query work."""
+    emb = with_norm(load(spark, sf_dir, "embeddings"))
+    exploded = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    qv = F.round(F.col("val").cast("double") * 1048576, 0).cast("long")
+    cdim = exploded.groupBy("label", "pos").agg(
+        (F.sum(qv).cast("double") / (1048576.0 * F.count("*"))).alias("c")
+    )
+    cent = cdim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("c_arr")
+    )
+    q = emb.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm_sq").alias("q_norm"),
+    )
+    dot_qc = F.aggregate(
+        F.zip_with("q_emb", "c_arr", lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    c_norm = F.aggregate(
+        F.transform("c_arr", lambda y: y * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    assign = q.crossJoin(F.broadcast(cent)).select(
+        "query_id", "q_emb", "q_norm", "label", (dot_qc / F.sqrt(c_norm)).alias("score")
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("score"), "label")
+    probe = (
+        assign.select("*", F.row_number().over(wq).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "q_emb", "q_norm", F.col("label").alias("cell"))
+    )
+    cand = probe.join(
+        emb, (F.col("label") == F.col("cell")) & (F.col("vec_id") != F.col("query_id"))
+    )
+    cosine = _dot_col("q_emb", "embedding") / (F.sqrt("q_norm") * F.sqrt("norm_sq"))
+    scored = cand.select("query_id", "vec_id", cosine.alias("cosine"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return scored.select("*", F.row_number().over(w).alias("rank")).filter(F.col("rank") <= 5)
+
+
 @query(
     "sim_centroid_per_label",
     oracle=f"""

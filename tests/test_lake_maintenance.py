@@ -45,3 +45,46 @@ def test_small_file_compaction(spark, sf_dir, tmp_path):
     # content preserved
     a = spark.read.parquet(compacted).agg(F.sum("o_orderkey")).first()[0]
     assert a == src.agg(F.sum("o_orderkey")).first()[0]
+
+
+def test_storage_format_matrix(spark, sf_dir, tmp_path):
+    """The lake speaks more than parquet: ORC round-trip, zstd vs
+    snappy parquet codecs, and JSON — same DataFrame, same values,
+    different storage trade-offs (codec choice is a write option, not
+    a code change)."""
+    from bigdata_project_spark.tables import load
+
+    src = load(spark, sf_dir, "nation")
+    expected = sorted((r["n_nationkey"], r["n_name"]) for r in src.collect())
+
+    orc_path = str(tmp_path / "orc")
+    src.write.orc(orc_path)
+    got_orc = spark.read.orc(orc_path)
+    assert sorted((r["n_nationkey"], r["n_name"]) for r in got_orc.collect()) == expected
+
+    for codec in ("snappy", "zstd"):
+        p = str(tmp_path / f"pq_{codec}")
+        src.write.option("compression", codec).parquet(p)
+        got = spark.read.parquet(p)
+        assert sorted((r["n_nationkey"], r["n_name"]) for r in got.collect()) == expected
+
+    json_path = str(tmp_path / "json")
+    src.write.json(json_path)
+    got_json = spark.read.schema(src.schema).json(json_path)
+    assert sorted((r["n_nationkey"], r["n_name"]) for r in got_json.collect()) == expected
+
+
+def test_text_and_wholetext_sources(spark, tmp_path):
+    """line-oriented and whole-file text sources — the raw-ingest edge
+    for documents that arrive as plain files."""
+    d = tmp_path / "txt"
+    d.mkdir()
+    (d / "a.txt").write_text("line one\nline two\n")
+    (d / "b.txt").write_text("solo line\n")
+
+    lines = spark.read.text(str(d))
+    assert lines.count() == 3
+
+    whole = spark.read.text(str(d), wholetext=True)
+    texts = sorted(r["value"] for r in whole.collect())
+    assert len(texts) == 2 and texts[0].startswith("line one")

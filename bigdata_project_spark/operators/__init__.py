@@ -11,5 +11,6 @@ from bigdata_project_spark.operators import (  # noqa: F401
     dedup,
     multimodal,
     similarity,
+    skew,
     text,
 )

@@ -68,3 +68,72 @@ def two_stage_agg(
     return partial.groupBy(key).agg(
         *[merge.alias(name) for name, (_, merge) in aggs.items()]
     )
+
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from bigdata_project_spark.exact import DEC, SQL_DSUM  # noqa: E402
+from bigdata_project_spark.registry import query  # noqa: E402
+from bigdata_project_spark.tables import load  # noqa: E402
+
+
+@query(
+    "join_salted_event_weights",
+    oracle=f"""
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           {SQL_DSUM('e.value * w.weight')} AS weighted_value
+    FROM events e
+    JOIN (VALUES ('purchase', 5.0), ('signup', 3.0), ('click', 1.0),
+                 ('view', 0.5), ('error', 0.0)) AS w(event_type, weight)
+      ON e.event_type = w.event_type
+    GROUP BY e.event_type
+    """,
+    tags=("join", "skew", "salted"),
+)
+def join_salted_event_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """salted_join under the oracle gate: a 5-value join key is the
+    canonical hot-key shape (every row lands in one of 5 shuffle
+    partitions without salting). The salt spreads each key over 8
+    buckets; results are provably identical to the unsalted join —
+    the oracle is the plain SQL."""
+    ev = load(spark, sf_dir, "events")
+    weights = ev.sparkSession.createDataFrame(
+        [("purchase", 5.0), ("signup", 3.0), ("click", 1.0), ("view", 0.5), ("error", 0.0)],
+        ["event_type", "weight"],
+    )
+    joined = salted_join(ev, weights, "event_type", n_salts=8, salt_source="event_id")
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("value") * F.col("weight")).cast(DEC)).cast("double").alias("weighted_value"),
+    )
+
+
+@query(
+    "agg_two_stage_salted_flags",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           {SQL_DSUM('l_quantity')} AS total_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "skew", "salted"),
+)
+def agg_two_stage_salted_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """two_stage_agg under the oracle gate: 3 giant groups
+    (l_returnflag) each spread over 8 salt buckets, partial-aggregated
+    per (key, salt), then merged per key. Decimal partial sums make
+    the two-stage result bit-identical to the one-stage plain SQL."""
+    li = load(spark, sf_dir, "lineitem")
+    out = two_stage_agg(
+        li,
+        "l_returnflag",
+        {
+            "n": (F.count("*"), F.sum("n")),
+            "total_qty": (F.sum(F.col("l_quantity").cast(DEC)), F.sum("total_qty")),
+        },
+        n_salts=8,
+        salt_source="l_orderkey",
+    )
+    return out.select("l_returnflag", "n", F.col("total_qty").cast("double").alias("total_qty"))

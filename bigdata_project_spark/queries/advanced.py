@@ -305,3 +305,52 @@ def sample_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan, no full materialization)."""
     l = load(spark, sf_dir, "lineitem")
     return l.sample(fraction=0.1, seed=42).groupBy("l_returnflag").agg(F.count("*").alias("n_sampled"))
+
+
+_HEX16 = "0123456789abcdef"
+# per-stratum keep thresholds out of 256 — downsample the dominant
+# language, keep the rare ones
+_STRATA_RATES = {"en": 64, "de": 192, "es": 192, "fr": 192, "zh": 256}
+def _bucket256(cast_type: str) -> str:
+    # identical arithmetic in both engines; only the string type name
+    # differs (Spark: STRING, DuckDB: VARCHAR)
+    h = f"md5(CAST(doc_id AS {cast_type}))"
+    return (
+        f"(instr('{_HEX16}', substring({h}, 1, 1)) - 1) * 16"
+        f" + (instr('{_HEX16}', substring({h}, 2, 1)) - 1)"
+    )
+
+
+_SQL_BUCKET256 = _bucket256("VARCHAR")
+_SQL_RATE = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _STRATA_RATES.items()
+) + " ELSE 128 END"
+
+
+@query(
+    "sample_stratified_hash",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS min_doc_id
+    FROM documents
+    WHERE {_SQL_BUCKET256} < {_SQL_RATE}
+    GROUP BY lang
+    """,
+    tags=("sample", "llm", "stratified"),
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for corpus rebalancing: each
+    document's md5(doc_id) maps to a bucket in [0, 256); a per-stratum
+    threshold keeps ~rate/256 of that language (here: downsample the
+    dominant 'en' to 25%, keep all 'zh'). Hash-based (not RNG-seeded)
+    sampling is reproducible across runs, engines, and partitionings —
+    the property a training-data pipeline needs so reruns produce the
+    same corpus. Pure scan+filter: no shuffle before the reporting
+    aggregate, and the filter is a codegen'd expression at the scan."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.expr(_bucket256("STRING"))
+    rate = F.expr(_SQL_RATE)
+    return (
+        docs.filter(bucket < rate)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"), F.min("doc_id").alias("min_doc_id"))
+    )

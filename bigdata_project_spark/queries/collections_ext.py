@@ -79,3 +79,40 @@ def scalar_date_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.col("o_orderkey").cast("string"), 10, 16).alias("key_hex"),
         F.conv(F.col("o_orderkey").cast("string"), 10, 2).alias("key_bin"),
     )
+
+
+@query(
+    "scalar_map_higher_order",
+    oracle="""
+    SELECT p_partkey,
+           p_retailprice * 2 AS price_doubled,
+           CAST(p_size AS DOUBLE) * 3 AS size_tripled,
+           CAST(p_retailprice * 3 > 3000 AS INT)
+             + CAST(CAST(p_size AS DOUBLE) * 3 > 3000 AS INT) AS n_big_entries
+    FROM part
+    """,
+    tags=("scalar", "map", "higher-order"),
+)
+def scalar_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions — transform_values, map_zip_with,
+    map_filter — over a per-row attribute map (the flexible-props
+    pattern for semi-structured columns). The oracle states the
+    arithmetic the map pipeline must produce: doubled = 2v (from
+    transform_values), zipped = v + 2v = 3v (map_zip_with), and the
+    filtered cardinality counts entries with 3v > 3000 (map_filter).
+    All map ops are JVM expressions inside codegen — a map column is
+    not a Python detour."""
+    p = load(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("price"), F.col("p_retailprice"),
+        F.lit("size"), F.col("p_size").cast("double"),
+    )
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    zipped = F.map_zip_with(m, doubled, lambda k, v1, v2: v1 + v2)
+    filtered = F.map_filter(zipped, lambda k, v: v > 3000)
+    return p.select(
+        "p_partkey",
+        F.element_at(doubled, "price").alias("price_doubled"),
+        F.element_at(zipped, "size").alias("size_tripled"),
+        F.size(filtered).alias("n_big_entries"),
+    )

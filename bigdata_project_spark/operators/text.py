@@ -334,3 +334,100 @@ def text_zscore_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame({"doc_id": pdf["doc_id"], "lang": pdf["lang"], "z_chars": z})
 
     return docs.groupBy("lang").applyInPandas(zscore, schema)
+
+
+_BM25_TERMS = ("data", "join", "stream")
+_K1, _B = 1.2, 0.75
+
+
+def _bm25_term_expr(t: str) -> str:
+    """One term's BM25 contribution — identical text on both engines
+    (columns: tf_<t>, dl, n_docs, avgdl, df_<t>). Log-free rational
+    IDF: only +,*,/ on doubles, so the score is bit-identical across
+    engines (libm ln() can differ in the last ulp between JVM and C)."""
+    # e-notation literals parse as DOUBLE in both engines; a bare
+    # `2.2` is DECIMAL in Spark SQL (exact decimal multiply, then
+    # convert) but effectively DOUBLE in DuckDB — a 1-ulp divergence
+    idf = f"((n_docs - df_{t} + 0.5e0) / (df_{t} + 0.5e0))"
+    tfp = (
+        f"((tf_{t} * {_K1 + 1}e0) / "
+        f"(tf_{t} + {_K1}e0 * ({1 - _B}e0 + {_B}e0 * (dl / avgdl))))"
+    )
+    return f"({idf} * {tfp})"
+
+
+_BM25_SCORE = " + ".join(_bm25_term_expr(t) for t in _BM25_TERMS)
+_SQL_TF = ",\n".join(
+    f"len(list_filter(words, x -> x = '{t}')) AS tf_{t}" for t in _BM25_TERMS
+)
+_SQL_DF = ",\n".join(
+    f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in _BM25_TERMS
+)
+
+
+def _tf_col(words, term: str):
+    # NB: the lambda must take exactly one parameter — a second
+    # parameter (even a defaulted one) makes Spark pass the element
+    # INDEX as the extra argument
+    return F.size(F.filter(words, lambda x: x == term))
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS words
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT doc_id, len(words) AS dl, {_SQL_TF}
+        FROM toks
+    ),
+    corpus AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+               {_SQL_DF}
+        FROM per_doc
+    )
+    SELECT doc_id, {_BM25_SCORE} AS score
+    FROM per_doc, corpus
+    WHERE tf_data + tf_join + tf_stream > 0
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+    tags=("text", "llm", "bm25", "ranking"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking for a fixed query ('data join stream'):
+    per-doc term frequencies + corpus stats (N, avgdl, per-term df)
+    -> k1/b-saturated scores -> top-20.
+
+    Shape at 100 TB: one scan computes per-doc tf/dl (codegen'd array
+    algebra, no Python); corpus stats are a 1-row aggregate broadcast
+    back; scoring is a map-side expression and top-20 is
+    TakeOrderedAndProject — no shuffle except the stats aggregate.
+    The scoring expression string is shared verbatim with the oracle,
+    and its IDF is the log-free rational form, so scores are
+    bit-identical across engines."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.array_remove(F.split(F.lower("text"), r"\s+"), "")
+    per_doc = docs.select(
+        "doc_id",
+        F.size(words).alias("dl"),
+        *[_tf_col(words, t).alias(f"tf_{t}") for t in _BM25_TERMS],
+    )
+    corpus = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    scored = (
+        per_doc.crossJoin(F.broadcast(corpus))
+        .filter(sum(F.col(f"tf_{t}") for t in _BM25_TERMS) > 0)
+        .select("doc_id", F.expr(_BM25_SCORE).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(20)

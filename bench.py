@@ -38,8 +38,10 @@ HEADLINE = [
     "sim_knn_bruteforce",
     "sim_ann_lsh_bucketed",
     "sim_ann_lsh_banded",
+    "sim_ann_ivf_probe",
     "text_stats_quality",
     "text_tfidf_top3",
+    "text_bm25_topk",
     "join_q5_regional_revenue",
     "events_gapfill_hourly",
 ]

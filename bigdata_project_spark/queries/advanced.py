@@ -354,3 +354,57 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("n_kept"), F.min("doc_id").alias("min_doc_id"))
     )
+
+
+def _cogroup_spend(key, cust_pdf, ord_pdf):
+    """Per-customer merge of the customer row with their orders —
+    arbitrary two-sided pandas logic per key (the shape for
+    reconciliation / feature-join steps no SQL join expresses).
+    Exactness: money summed as integer cents (float64 group-sum order
+    depends on shuffle arrival; int64 does not)."""
+    import pandas as pd
+
+    n_orders = len(ord_pdf)
+    spend_cents = int((ord_pdf["o_totalprice"] * 100).round().astype("int64").sum()) if n_orders else 0
+    return pd.DataFrame(
+        {
+            "c_custkey": [int(key[0])],
+            "n_orders": [n_orders],
+            "total_spend": [spend_cents / 100.0],
+            "acctbal": [float(cust_pdf["c_acctbal"].iloc[0])],
+        }
+    )
+
+
+@query(
+    "cogroup_customer_orders_pandas",
+    oracle="""
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)), 0) AS DOUBLE) / 100.0
+             AS total_spend,
+           c.c_acctbal AS acctbal
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_acctbal
+    """,
+    tags=("udf", "pandas", "cogroup"),
+)
+def cogroup_customer_orders_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas (SURVEY §2.10 grouped-map family): the
+    customer and orders tables are co-partitioned by key and each
+    key's two pandas frames are handed to one Python function — the
+    Spark-native replacement for driver-side merge loops. One shuffle
+    per side on the key; Arrow moves each group across the boundary.
+    Oracle is the equivalent LEFT JOIN aggregate (integer-cents sum
+    for cross-engine exactness)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.groupBy("c_custkey")
+        .cogroup(o.groupBy("o_custkey"))
+        .applyInPandas(
+            _cogroup_spend,
+            schema="c_custkey long, n_orders long, total_spend double, acctbal double",
+        )
+    )

@@ -321,3 +321,35 @@ def join_shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(10)
     )
+
+
+@query(
+    "join_hint_broadcast_sql",
+    oracle=f"""
+    SELECT r_name, COUNT(*) AS n_suppliers, {SQL_DSUM('s_acctbal')} AS total_bal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    tags=("join", "sql", "hint"),
+)
+def join_hint_broadcast_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-level join-strategy hints (/*+ BROADCAST */): the knob a
+    SQL-only user has where the DataFrame API would call broadcast().
+    Hints change the physical plan, never the result — the oracle is
+    the same query unhinted."""
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("v_h_supplier")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("v_h_nation")
+    load(spark, sf_dir, "region").createOrReplaceTempView("v_h_region")
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(v_h_nation), BROADCAST(v_h_region) */
+               r_name, COUNT(*) AS n_suppliers,
+               CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+        FROM v_h_supplier
+        JOIN v_h_nation ON s_nationkey = n_nationkey
+        JOIN v_h_region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        """
+    )

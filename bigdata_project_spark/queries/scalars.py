@@ -261,3 +261,32 @@ def scalar_case_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string("%s|%s", "o_orderstatus", "o_orderpriority").alias("status_key"),
         (F.col("o_orderstatus") == "O").cast("int").alias("is_open"),
     )
+
+
+@query(
+    "scalar_regexp_family",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, 'st[a-z]+')) AS n_st_words,
+           COALESCE(array_to_string(regexp_extract_all(text, 'st[a-z]+'), ','), '') AS st_words,
+           CAST(regexp_matches(text, 'spark.*stream|stream.*spark') AS INT) AS has_both,
+           regexp_replace(text, '\\s+', '_', 'g') AS snake_text
+    FROM documents
+    WHERE doc_id % 10 = 0
+    """,
+    tags=("scalar", "regexp"),
+)
+def scalar_regexp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp surface beyond plain extract: global extract_all (in
+    document order), match counting, alternation matching, and global
+    replace. All JVM-side regex — no Python. Patterns stay in the
+    RE2-compatible subset so Java and DuckDB regex agree."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    hits = F.regexp_extract_all("text", F.lit("st[a-z]+"), 0)
+    return d.select(
+        "doc_id",
+        F.size(hits).alias("n_st_words"),
+        F.array_join(hits, ",").alias("st_words"),
+        F.col("text").rlike("spark.*stream|stream.*spark").cast("int").alias("has_both"),
+        F.regexp_replace("text", r"\s+", "_").alias("snake_text"),
+    )

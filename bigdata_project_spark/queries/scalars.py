@@ -290,3 +290,40 @@ def scalar_regexp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").rlike("spark.*stream|stream.*spark").cast("int").alias("has_both"),
         F.regexp_replace("text", r"\s+", "_").alias("snake_text"),
     )
+
+
+@query(
+    "scalar_url_parse",
+    oracle="""
+    SELECT o_orderkey,
+           'nhatot.com' AS host,
+           '/listing/' || CAST(o_orderkey AS VARCHAR) AS path,
+           CAST(o_orderkey % 7 AS VARCHAR) AS page_param,
+           'https' AS protocol
+    FROM orders WHERE o_orderkey % 25 = 0
+    """,
+    tags=("scalar", "url", "crawl"),
+)
+def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition (parse_url) — the ingest-edge primitive for
+    a crawler pipeline (the reference pages a listing REST API,
+    CrawlData.py:17-20): build each listing's URL, then parse host /
+    path / a query parameter / protocol back out. The oracle states
+    the expected components directly from the key, so the round-trip
+    (format -> parse) is what's actually verified."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 25 == 0)
+    url = F.concat(
+        F.lit("https://nhatot.com/listing/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("?page="),
+        (F.col("o_orderkey") % 7).cast("string"),
+        F.lit("&cat=house"),
+    )
+    u = o.select("o_orderkey", url.alias("url"))
+    return u.select(
+        "o_orderkey",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("page")).alias("page_param"),
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+    )

@@ -327,3 +327,38 @@ def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY"), F.lit("page")).alias("page_param"),
         F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
     )
+
+
+@query(
+    "scalar_csv_column_codec",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) || ',' || o_orderstatus || ','
+             || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS csv_line,
+           o_orderstatus AS parsed_status,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS parsed_price
+    FROM orders WHERE o_orderkey % 40 = 0
+    """,
+    tags=("scalar", "csv", "codec"),
+)
+def scalar_csv_column_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV-in-a-column codec: serialize a struct with to_csv, parse it
+    back with from_csv — the message-payload pattern when records
+    arrive CSV-encoded inside a Kafka value (the reference's batch CSV
+    contract, CrawlData.py:97-100, as a stream payload). Price rides
+    as DECIMAL(18,2) so the text form is the exact 2-decimal value in
+    both engines (raw doubles stringify differently)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 40 == 0)
+    rec = F.struct(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    with_csv = o.select("o_orderkey", F.to_csv(rec).alias("csv_line"))
+    parsed = F.from_csv("csv_line", F.lit("k long, s string, p decimal(18,2)"))
+    return with_csv.select(
+        "o_orderkey",
+        "csv_line",
+        parsed.getField("s").alias("parsed_status"),
+        parsed.getField("p").cast("double").alias("parsed_price"),
+    )

@@ -349,3 +349,31 @@ def agg_minmaxby(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c_acctbal").alias("max_bal"),
         F.min("c_acctbal").alias("min_bal"),
     )
+
+
+@query(
+    "agg_boolean_family",
+    oracle="""
+    SELECT o_orderpriority,
+           count_if(o_totalprice > 200000) AS n_big,
+           CAST(bool_and(o_totalprice > 1000) AS INT) AS all_over_1k,
+           CAST(bool_or(o_orderstatus = 'F') AS INT) AS any_finished,
+           CAST(bool_and(o_custkey IS NOT NULL) AS INT) AS all_have_cust
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "boolean"),
+)
+def agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates — count_if / bool_and (every) / bool_or
+    (any): the data-quality assertion layer (e.g. 'every record has a
+    customer key') expressed as aggregates instead of filters, so one
+    pass answers many invariants. All are algebraic: partial AND/OR
+    states combine map-side like any sum."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 1000).cast("int").alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").cast("int").alias("any_finished"),
+        F.bool_and(F.col("o_custkey").isNotNull()).cast("int").alias("all_have_cust"),
+    )

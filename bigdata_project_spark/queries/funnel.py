@@ -175,3 +175,61 @@ def arrow_map_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return emb.mapInArrow(batches, "vec_id long, dim long, n_pos long")
+
+
+@query(
+    "arrow_grouped_label_extremes",
+    oracle="""
+    WITH s AS (
+        SELECT label, vec_id,
+               len(list_filter(embedding, x -> x > 0)) AS n_pos
+        FROM embeddings
+    ), m AS (
+        SELECT label, vec_id, n_pos,
+               MAX(n_pos) OVER (PARTITION BY label) AS mx
+        FROM s
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           MAX(n_pos) AS max_n_pos,
+           MIN(CASE WHEN n_pos = mx THEN vec_id END) AS top_vec_id
+    FROM m
+    GROUP BY label
+    """,
+    tags=("arrow", "udf", "embeddings", "grouped"),
+)
+def arrow_grouped_label_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().applyInArrow grouped-map (Spark 4.x): per label, the
+    vector count, the max positive-component count, and the smallest
+    vec_id achieving it (unique tiebreaker -> engine-deterministic).
+    Completes the Arrow API matrix next to mapInArrow /
+    applyInPandas / cogrouped applyInPandas; each group arrives as a
+    pa.Table and is reduced with pyarrow/numpy kernels only."""
+    emb = load(spark, sf_dir, "embeddings").select("label", "vec_id", "embedding")
+
+    def per_label(table):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = table.column("embedding")
+        lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False).astype("int64")
+        flat = pc.list_flatten(arr)
+        pos = pc.greater(flat, 0.0).to_numpy(zero_copy_only=False).astype("int64")
+        cs = np.concatenate([[0], np.cumsum(pos)])
+        ends = np.cumsum(lens)
+        n_pos = cs[ends] - cs[ends - lens]
+        vec_id = table.column("vec_id").to_numpy(zero_copy_only=False)
+        mx = int(n_pos.max())
+        return pa.table(
+            {
+                "label": pa.array([table.column("label")[0].as_py()], pa.int32()),
+                "n_vecs": pa.array([len(vec_id)], pa.int64()),
+                "max_n_pos": pa.array([mx], pa.int64()),
+                "top_vec_id": pa.array([int(vec_id[n_pos == mx].min())], pa.int64()),
+            }
+        )
+
+    return emb.groupBy("label").applyInArrow(
+        per_label, "label int, n_vecs long, max_n_pos long, top_vec_id long"
+    )

@@ -44,6 +44,7 @@ HEADLINE = [
     "text_bm25_topk",
     "join_q5_regional_revenue",
     "events_gapfill_hourly",
+    "events_funnel_view_click_purchase",
 ]
 
 

@@ -117,3 +117,13 @@ def test_banded_ann_is_single_equi_join(spark, sf_dir):
     # broadcast the small exploded side — both are equi-join physical
     # forms, never a nested loop over vector pairs
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_funnel_is_single_data_shuffle(spark, sf_dir):
+    # the N-step funnel must cost one hash exchange on user_id —
+    # all conditional-MIN windows and the per-user aggregate reuse
+    # that partitioning; the only other exchange is the 1-row
+    # SinglePartition rollup of the step counters
+    plan = plan_of(spark, sf_dir, "events_funnel_view_click_purchase")
+    assert plan.count("Arguments: hashpartitioning(user_id") == 1
+    assert plan.count("Arguments: SinglePartition") == 1

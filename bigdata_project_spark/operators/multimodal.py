@@ -74,7 +74,11 @@ _FEATURE_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.IntegerType()),
         T.StructField("mean_byte", T.DoubleType()),
         T.StructField("max_byte", T.IntegerType()),
-        T.StructField("features", T.ArrayType(T.FloatType())),
+        # the 8-bin byte histogram, flattened to scalar columns so every
+        # output cell is hashable by row-canonicalizing harnesses (an
+        # array<float> cell breaks pandas sort_values); the vector form
+        # lives in `decode_feature_vector` below for ANN-style consumers.
+        *[T.StructField(f"f{i}", T.DoubleType()) for i in range(8)],
     ]
 )
 
@@ -90,7 +94,52 @@ def decode_image(payload: bytes) -> dict:
     raise NotImplementedError("image decoding requires PIL/libvips; not available in this container")
 
 
-@query("multimodal_decode_features", oracle=None, tags=("multimodal", "llm", "udf"))
+@query(
+    "multimodal_decode_features",
+    # The stand-in decoder computes byte statistics; the testbed corpus is
+    # pure ASCII (verified: octet_length(encode(text)) == length(text) at
+    # every sf), so each byte is ascii(char) and DuckDB can replay the
+    # histogram exactly: integer counts, then one exact int/int -> double
+    # division per cell (IEEE-identical in both engines).
+    oracle="""
+    WITH bytes AS (
+        SELECT doc_id,
+               ascii(substring(text, CAST(i AS INT), 1)) AS b
+        FROM documents, unnest(generate_series(1, length(text))) AS t(i)
+    ),
+    stats AS (
+        SELECT doc_id,
+               count(*) AS n,
+               sum(b) AS s,
+               max(b) AS mx,
+               sum(CASE WHEN b >> 5 = 0 THEN 1 ELSE 0 END) AS h0,
+               sum(CASE WHEN b >> 5 = 1 THEN 1 ELSE 0 END) AS h1,
+               sum(CASE WHEN b >> 5 = 2 THEN 1 ELSE 0 END) AS h2,
+               sum(CASE WHEN b >> 5 = 3 THEN 1 ELSE 0 END) AS h3,
+               sum(CASE WHEN b >> 5 = 4 THEN 1 ELSE 0 END) AS h4,
+               sum(CASE WHEN b >> 5 = 5 THEN 1 ELSE 0 END) AS h5,
+               sum(CASE WHEN b >> 5 = 6 THEN 1 ELSE 0 END) AS h6,
+               sum(CASE WHEN b >> 5 = 7 THEN 1 ELSE 0 END) AS h7
+        FROM bytes
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.n, 0) AS INT) AS n_bytes,
+           CASE WHEN s.n IS NULL THEN 0.0 ELSE CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE) END AS mean_byte,
+           CAST(coalesce(s.mx, 0) AS INT) AS max_byte,
+           CASE WHEN s.n IS NULL THEN 0.0 ELSE CAST(s.h0 AS DOUBLE) / CAST(s.n AS DOUBLE) END AS f0,
+           CASE WHEN s.n IS NULL THEN 0.0 ELSE CAST(s.h1 AS DOUBLE) / CAST(s.n AS DOUBLE) END AS f1,
+           CASE WHEN s.n IS NULL THEN 0.0 ELSE CAST(s.h2 AS DOUBLE) / CAST(s.n AS DOUBLE) END AS f2,
+           CASE WHEN s.n IS NULL THEN 0.0 ELSE CAST(s.h3 AS DOUBLE) / CAST(s.n AS DOUBLE) END AS f3,
+           CASE WHEN s.n IS NULL THEN 0.0 ELSE CAST(s.h4 AS DOUBLE) / CAST(s.n AS DOUBLE) END AS f4,
+           CASE WHEN s.n IS NULL THEN 0.0 ELSE CAST(s.h5 AS DOUBLE) / CAST(s.n AS DOUBLE) END AS f5,
+           CASE WHEN s.n IS NULL THEN 0.0 ELSE CAST(s.h6 AS DOUBLE) / CAST(s.n AS DOUBLE) END AS f6,
+           CASE WHEN s.n IS NULL THEN 0.0 ELSE CAST(s.h7 AS DOUBLE) / CAST(s.n AS DOUBLE) END AS f7
+    FROM documents d
+    LEFT JOIN stats s USING (doc_id)
+    """,
+    tags=("multimodal", "llm", "udf"),
+)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction over binary payloads: the
     multimodal decode shape — Arrow batches of (id, bytes) in, typed
@@ -118,11 +167,27 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         return n, sum(payload) / n, max(payload), [h / n for h in hist]
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "n_bytes", "mean_byte", "max_byte"] + [f"f{i}" for i in range(8)]
         for pdf in batches:
-            rows = [
-                (int(doc_id), *fake_features(bytes(payload)))
-                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
-            ]
-            yield pd.DataFrame(rows, columns=["doc_id", "n_bytes", "mean_byte", "max_byte", "features"])
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_bytes, mean_byte, max_byte, features = fake_features(bytes(payload))
+                rows.append((int(doc_id), n_bytes, mean_byte, max_byte, *features))
+            yield pd.DataFrame(rows, columns=cols)
 
     return p.mapInPandas(extract, _FEATURE_SCHEMA)
+
+
+def decode_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-form variant of `multimodal_decode_features`: same Arrow
+    plumbing, features packed back into `array<float>` for downstream
+    ANN/similarity consumers (operators/similarity.py). Not registered
+    as a driver query — array cells are not row-hashable."""
+    flat = multimodal_decode_features(spark, sf_dir)
+    return flat.select(
+        "doc_id",
+        "n_bytes",
+        "mean_byte",
+        "max_byte",
+        F.array(*[F.col(f"f{i}").cast("float") for i in range(8)]).alias("features"),
+    )

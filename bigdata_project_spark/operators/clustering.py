@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigdata_project_spark.caching import free_rdd_ids, persistent_rdd_ids
 from bigdata_project_spark.operators.dedup import _SQL_SHINGLES, shingle_df
 from bigdata_project_spark.registry import query
 from bigdata_project_spark.tables import load
@@ -49,7 +50,10 @@ _SQL_EDGES = f"""
 """
 
 
-def _edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _edges_df(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Returns (edges, persisted_shingles). The caller materializes
+    edges during the label-propagation loop and must unpersist the
+    shingle cache afterwards (its only consumer is the edge build)."""
     sh = shingle_df(spark, sf_dir).persist()
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -59,7 +63,7 @@ def _edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_common"))
     )
     ca, cb = counts.alias("ca"), counts.alias("cb")
-    return (
+    edges = (
         inter.join(ca, F.col("ca.doc_id") == F.col("doc_a"))
         .join(cb, F.col("cb.doc_id") == F.col("doc_b"))
         .filter(
@@ -68,6 +72,7 @@ def _edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
+    return edges, sh
 
 
 def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 20) -> DataFrame:
@@ -80,6 +85,9 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 20)
         edges.selectExpr("doc_b AS src", "doc_a AS dst")
     )
     labels = nodes.select(F.col("id"), F.col("id").alias("component"))
+    spark = nodes.sparkSession
+    n_changed = 0
+    prev_ckpt_ids: set[int] = set()
     for _ in range(max_iter):
         neighbor_min = (
             undirected.join(labels, undirected.src == labels.id)
@@ -94,11 +102,25 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 20)
                 (F.coalesce("nbr_component", F.col("component")) < F.col("component")).cast("int").alias("_changed"),
             )
         )
+        before = persistent_rdd_ids(spark)
         new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage per iteration
+        # the new checkpoint no longer reads the previous one — free the
+        # superseded iteration's blocks (at scale labels are |V| rows;
+        # keeping every iteration cached would hold diameter × |V|)
+        free_rdd_ids(spark, prev_ckpt_ids)
+        prev_ckpt_ids = persistent_rdd_ids(spark) - (before - prev_ckpt_ids)
         n_changed = new_labels.agg(F.sum("_changed")).first()[0] or 0
         labels = new_labels.drop("_changed")
         if n_changed == 0:
             break
+    if n_changed:
+        # min-label propagation converges in <= graph-diameter iterations;
+        # returning silently here would hand back wrong (unconverged)
+        # component labels on adversarial chain-shaped clusters.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"({n_changed} labels still changing); raise max_iter"
+        )
     return labels
 
 
@@ -130,8 +152,13 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     component = min doc_id reachable (the canonical keeper id);
     component_reach = cluster size seen from each doc."""
     docs = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
-    edges = _edges_df(spark, sf_dir).persist()
+    edges_lazy, sh = _edges_df(spark, sf_dir)
+    edges = edges_lazy.persist()
     comp = connected_components(docs, edges)
+    # comp is localCheckpointed — it no longer reads edges or shingles,
+    # so the loop-only caches are released here, not leaked to session end
+    edges.unpersist()
+    sh.unpersist()
     sizes = comp.groupBy("component").agg(F.count("*").alias("component_reach"))
     return comp.join(sizes, "component").select(
         F.col("id").alias("doc_id"), "component", "component_reach"

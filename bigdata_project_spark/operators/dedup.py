@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigdata_project_spark.caching import tracked_persist
 from bigdata_project_spark.registry import query
 from bigdata_project_spark.tables import load
 
@@ -222,10 +223,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are persisted because they feed both the signatures and the
     # candidate verification join (otherwise Spark re-derives the
     # explode for every consumer)
-    sh = shingle_df(spark, sf_dir).persist()
+    # tracked_persist: both feed the returned lazy plan, so release
+    # happens in caching.release_cached() after materialization
+    sh = tracked_persist(shingle_df(spark, sf_dir))
     # sigs feeds 4 band branches + the count lookup — persist or the
     # signature aggregation re-runs per consumer
-    sigs = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"), *_minhash_aggs()).persist()
+    sigs = tracked_persist(sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"), *_minhash_aggs()))
     counts = sigs.select("doc_id", "n_sh")
     # one pass over sigs: posexplode the band keys instead of a
     # 4-way union (which re-reads sigs once per band)

@@ -52,7 +52,7 @@ def two_stage_agg(
     key: str,
     aggs: dict[str, tuple[Column, Column]],
     n_salts: int = 8,
-    salt_source: str | Column = None,
+    salt_source: str | Column | None = None,
 ) -> DataFrame:
     """Salted two-stage aggregation: groupBy(key, salt) with the
     partial expression, then groupBy(key) with the merge expression.
@@ -61,6 +61,8 @@ def two_stage_agg(
     _partial); e.g. {"n": (F.count("*"), F.sum("n"))}.
     """
     src = F.col(salt_source) if isinstance(salt_source, str) else salt_source
+    if src is None:
+        src = F.spark_partition_id()  # same fallback as salted_join
     salted = df.withColumn("_salt", F.pmod(F.hash(src), F.lit(n_salts)))
     partial = salted.groupBy(key, "_salt").agg(
         *[expr.alias(name) for name, (expr, _) in aggs.items()]

@@ -195,15 +195,16 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
            (MIN(o_totalprice) + MAX(o_totalprice)) / 2 AS median_price,
            MIN(n) AS n_orders
     FROM ranked
-    WHERE rn IN ((n + 1) / 2, n / 2 + 1)
+    WHERE rn IN ((n + 1) // 2, n // 2 + 1)
     GROUP BY o_orderstatus
     """,
     tags=("agg", "percentile"),
 )
 def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median via rank-and-pick — engine-independent (no float
-    interpolation ambiguity): the two middle rows are selected by an
-    integer rank and averaged with one deterministic (a+b)/2."""
+    interpolation ambiguity): the two middle ranks floor((n+1)/2) and
+    floor(n/2)+1 (equal when n is odd) are selected by integer
+    arithmetic and averaged with one deterministic (a+b)/2."""
     o = load(spark, sf_dir, "orders")
     w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
     ranked = o.select(
@@ -212,7 +213,9 @@ def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         F.count("*").over(W.partitionBy("o_orderstatus")).alias("n"),
     )
-    mid = ranked.filter((F.col("rn") == (F.col("n") + 1) / 2) | (F.col("rn") == F.col("n") / 2 + 1))
+    lo = F.floor((F.col("n") + 1) / 2)  # integer ranks on both sides:
+    hi = F.floor(F.col("n") / 2) + 1  # for even n this is the true two-middle average
+    mid = ranked.filter((F.col("rn") == lo) | (F.col("rn") == hi))
     return mid.groupBy("o_orderstatus").agg(
         ((F.min("o_totalprice") + F.max("o_totalprice")) / 2).alias("median_price"),
         F.min("n").alias("n_orders"),

@@ -67,6 +67,74 @@ def all_oracles() -> dict[str, str]:
 
 _LOADED = False
 
+# Externally-verified-first ordering. The driver's correctness harness
+# checks the first 50 registered queries each round; rounds 1-2 covered
+# the LLM-pipeline + aggregate half of the surface (all green — see
+# CORRECTNESS_r01/r02.json), so round 3 front-loads the families that
+# have only local verification so far: joins, windows, set operations,
+# sorts, generators, subqueries, streaming, and Arrow queries. Queries
+# not named here keep their registration (import) order after these.
+_DRIVER_FIRST: tuple[str, ...] = (
+    # joins (§2.3)
+    "join_revenue_per_nation",
+    "join_broadcast_brand_volume",
+    "join_left_outer_customer_orders",
+    "join_full_outer_nation_presence",
+    "join_semi_big_spenders",
+    "join_anti_never_ordered",
+    "join_range_price_bands",
+    "join_asof_purchase_click",
+    "join_cross_region_status",
+    "join_shipping_priority_top10",
+    "join_hint_broadcast_sql",
+    # windows (§2.5)
+    "window_top3_per_segment",
+    "window_rank_family",
+    "window_lag_lead_price_delta",
+    "window_running_spend",
+    "window_range_frame_30d",
+    "window_first_last_nth",
+    # set operations (§2.7)
+    "setop_union_all_nation_rows",
+    "setop_union_distinct",
+    "setop_intersect_buyers_building",
+    "setop_except_nonbuilding_buyers",
+    "setop_intersect_all_multiset",
+    "setop_except_all_multiset",
+    # sorts / limits (§2.6)
+    "sort_top100_orders",
+    "sort_multicol_limit",
+    "sort_null_ordering",
+    # generators (§2.8 array family)
+    "generator_posexplode_embedding_head",
+    "generator_explode_outer_empty",
+    "generator_stack_unpivot",
+    "generator_inline_struct_array",
+    "generator_unpivot_native",
+    # subquery surface + SQL-dialect bonus (§2.3 bonus)
+    "sub_exists_urgent_buyers",
+    "sub_not_exists_no_big_order",
+    "sub_in_top_nation_buyers",
+    "sub_scalar_correlated_max_item",
+    "join_lateral_top2_per_nation",
+    "cte_recursive_price_histogram",
+    "sql_group_by_all_daily",
+    "agg_listagg_nations_per_region",
+    "scalar_variant_props_extract",
+    "agg_sketch_hll_topk",
+    # streaming (§2.9 — availableNow micro-batch, batch-equivalent output)
+    "stream_tumbling_hourly",
+    "stream_dedup_user_type",
+    "stream_stream_interval_join",
+    "stream_sliding_30m_10m",
+    "stream_session_30m",
+    "stream_static_join_weighted",
+    "stream_stateful_max_jump",
+    # Arrow-native map/grouped-map (§2.10)
+    "arrow_map_component_stats",
+    "arrow_grouped_label_extremes",
+)
+
 
 def _ensure_loaded() -> None:
     """Import every module that registers queries (idempotent)."""
@@ -78,3 +146,11 @@ def _ensure_loaded() -> None:
     import bigdata_project_spark.streaming  # noqa: F401
 
     _LOADED = True
+
+    missing = [n for n in _DRIVER_FIRST if n not in REGISTRY]
+    if missing:
+        raise RuntimeError(f"_DRIVER_FIRST names unknown queries: {missing}")
+    ordered = {n: REGISTRY[n] for n in _DRIVER_FIRST}
+    ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)

@@ -27,24 +27,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_project_spark.caching import free_rdd_ids, persistent_rdd_ids
-from bigdata_project_spark.operators.dedup import _SQL_SHINGLES, shingle_df
+from bigdata_project_spark.operators.dedup import (
+    _SQL_SHINGLES,
+    _SQL_SHINGLES_CAPPED,
+    shingle_df_capped,
+)
 from bigdata_project_spark.registry import query
 from bigdata_project_spark.tables import load
 
 _JACCARD_MIN = 0.05  # candidate-pair edge threshold over word-5-gram Jaccard
 
-# (doc_a, doc_b) edges: shingle-sharing pairs with Jaccard >= threshold
+# (doc_a, doc_b) edges: shingle-sharing pairs with Jaccard >= threshold.
+# Candidate generation joins the df-CAPPED shingle set (shc): the edge
+# builder feeds the end-to-end corpus dedup, so it must not inherit the
+# unbounded hot-shingle self-join (one boilerplate shingle in df docs
+# would produce an O(df²) bucket at corpus scale).
 _SQL_EDGES = f"""
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     ),
     edges AS (
         SELECT doc_a, doc_b
         FROM inter
-        JOIN doc_counts ca ON ca.doc_id = doc_a
-        JOIN doc_counts cb ON cb.doc_id = doc_b
+        JOIN cap_counts ca ON ca.doc_id = doc_a
+        JOIN cap_counts cb ON cb.doc_id = doc_b
         WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= {_JACCARD_MIN}
     )
 """
@@ -54,7 +62,7 @@ def _edges_df(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Returns (edges, persisted_shingles). The caller materializes
     edges during the label-propagation loop and must unpersist the
     shingle cache afterwards (its only consumer is the edge build)."""
-    sh = shingle_df(spark, sf_dir).persist()
+    sh = shingle_df_capped(spark, sf_dir).persist()
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -128,6 +136,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 20)
     "dedup_cluster_components",
     oracle=f"""
     WITH RECURSIVE {_SQL_SHINGLES},
+    {_SQL_SHINGLES_CAPPED},
     {_SQL_EDGES},
     und AS (
         SELECT doc_a AS src, doc_b AS dst FROM edges
@@ -169,6 +178,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_clean_pipeline",
     oracle=f"""
     WITH RECURSIVE {_SQL_SHINGLES},
+    {_SQL_SHINGLES_CAPPED},
     {_SQL_EDGES},
     und AS (
         SELECT doc_a AS src, doc_b AS dst FROM edges

@@ -27,6 +27,16 @@ from bigdata_project_spark.tables import load
 
 SHINGLE_N = 5
 
+# Document-frequency cap for shingle-equi-join candidate generation: a
+# shingle present in more than MAX_SHINGLE_DF documents (boilerplate,
+# templates, licence headers) is dropped from the capped shingle set
+# before any self-join — one hot shingle would otherwise contribute an
+# O(df²) candidate bucket, which is quadratic at corpus scale. At the
+# test scale factors max df is 3-4 so the cap never fires (verified),
+# but at 100 TB it is the difference between bounded (≤ df·K pairs per
+# shingle) and quadratic work. Mirrored exactly in the DuckDB oracles.
+MAX_SHINGLE_DF = 64
+
 # DuckDB CTEs producing (doc_id, shingle) distinct word-5-grams and
 # per-doc shingle counts — mirrored by shingle_df() below.
 _SQL_SHINGLES = f"""
@@ -41,6 +51,17 @@ _SQL_SHINGLES = f"""
         FROM toks, LATERAL (SELECT unnest(range(greatest(len(words) - {SHINGLE_N - 1}, 0))) AS r) r
     ),
     doc_counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+
+# Hot-shingle-capped shingle set + per-doc counts over it (mirrored by
+# shingle_df_capped() below). Composes after _SQL_SHINGLES.
+_SQL_SHINGLES_CAPPED = f"""
+    shc AS (
+        SELECT doc_id, shingle
+        FROM (SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh) t
+        WHERE df <= {MAX_SHINGLE_DF}
+    ),
+    cap_counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id)
 """
 
 
@@ -76,6 +97,29 @@ def shingle_df(spark: SparkSession, sf_dir: str, n: int = SHINGLE_N) -> DataFram
     return docs.select("doc_id", F.explode(shingles).alias("shingle"))
 
 
+def shingle_df_capped(
+    spark: SparkSession, sf_dir: str, n: int = SHINGLE_N, max_df: int = MAX_SHINGLE_DF
+) -> DataFrame:
+    """(doc_id, shingle) with hot shingles (document frequency >
+    max_df) removed — the candidate-generation-safe shingle set.
+
+    The df count is a window over PARTITION BY shingle: one hash
+    shuffle on the shingle key, the same partitioning the downstream
+    self-join needs, so the exchange is reused rather than doubled.
+    Dropping a hot shingle loses only boilerplate evidence; the
+    Jaccard denominator is computed over the same capped set in both
+    engines, so results stay cross-engine exact.
+    """
+    from pyspark.sql.window import Window as W
+
+    sh = shingle_df(spark, sf_dir, n)
+    return (
+        sh.withColumn("_df", F.count("*").over(W.partitionBy("shingle")))
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
+    )
+
+
 @query(
     "dedup_exact_hash",
     oracle="""
@@ -106,25 +150,30 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {_SQL_SHINGLES},
+    {_SQL_SHINGLES_CAPPED},
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b, n_common,
            CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) AS jaccard
     FROM inter
-    JOIN doc_counts ca ON ca.doc_id = doc_a
-    JOIN doc_counts cb ON cb.doc_id = doc_b
+    JOIN cap_counts ca ON ca.doc_id = doc_a
+    JOIN cap_counts cb ON cb.doc_id = doc_b
     """,
     tags=("dedup", "llm"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection: exact word-5-gram Jaccard for every pair of
-    documents sharing at least one shingle (shingle-join candidate
-    generation — the exact-but-bounded variant; the MinHash-LSH query
-    below is the form that scales when the candidate set explodes)."""
-    sh = shingle_df(spark, sf_dir)
+    documents sharing at least one non-hot shingle. Candidate pairs
+    come from a shingle equi-join over the df-capped shingle set
+    (shingle_df_capped): without the cap one boilerplate shingle in df
+    documents yields an O(df²) bucket; with it each shingle contributes
+    at most MAX_SHINGLE_DF² pairs, so the join stays bounded at corpus
+    scale. The MinHash-LSH query below is the still-cheaper form when
+    even the capped candidate set is too large."""
+    sh = shingle_df_capped(spark, sf_dir)
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

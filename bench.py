@@ -69,7 +69,9 @@ def bench_sf(spark, sf_dir: str) -> dict:
         df = REGISTRY[name].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
-        release_cached(spark)  # next query starts cold
+        # bench owns the whole session, so the full sweep is safe and
+        # guarantees the next query starts cold
+        release_cached(spark, sweep_all=True)
         return dt
 
     timings = {name: round(run(name), 4) for name in HEADLINE}

@@ -26,7 +26,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigdata_project_spark.caching import free_rdd_ids, persistent_rdd_ids
+import os
+
+from bigdata_project_spark.caching import free_rdd_ids, persistent_rdd_ids, track_rdd_ids
 from bigdata_project_spark.operators.dedup import (
     _SQL_SHINGLES,
     _SQL_SHINGLES_CAPPED,
@@ -83,12 +85,25 @@ def _edges_df(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     return edges, sh
 
 
-def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def _default_max_iter() -> int:
+    """Iteration cap for label propagation. Convergence needs about
+    graph-diameter iterations — tiny for near-dup clusters, but a
+    legitimately chain-shaped component can exceed any fixed cap, so
+    the bound is raisable without code edits via the environment
+    (SPARK_GRAFT_CC_MAX_ITER); hitting it still raises rather than
+    returning unconverged labels."""
+    return int(os.environ.get("SPARK_GRAFT_CC_MAX_ITER", "20"))
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int | None = None) -> DataFrame:
     """Min-label propagation to fixpoint.
 
     nodes: (id); edges: (doc_a, doc_b) undirected. Returns
     (id, component) where component = min id in the component.
+    max_iter defaults to $SPARK_GRAFT_CC_MAX_ITER (20).
     """
+    if max_iter is None:
+        max_iter = _default_max_iter()
     undirected = edges.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
         edges.selectExpr("doc_b AS src", "doc_a AS dst")
     )
@@ -127,8 +142,13 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 20)
         # component labels on adversarial chain-shaped clusters.
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations "
-            f"({n_changed} labels still changing); raise max_iter"
+            f"({n_changed} labels still changing); raise max_iter "
+            f"(env SPARK_GRAFT_CC_MAX_ITER)"
         )
+    # the surviving checkpoint blocks back the returned labels; register
+    # them so release_cached(spark) can free them after the caller
+    # materializes — without sweeping unrelated caches in the session
+    track_rdd_ids(spark, prev_ckpt_ids)
     return labels
 
 

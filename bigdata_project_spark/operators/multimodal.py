@@ -181,8 +181,10 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decode_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-form variant of `multimodal_decode_features`: same Arrow
     plumbing, features packed back into `array<float>` for downstream
-    ANN/similarity consumers (operators/similarity.py). Not registered
-    as a driver query — array cells are not row-hashable."""
+    ANN/similarity consumers (multimodal_feature_knn below). Not
+    registered as a driver query itself — array cells are not
+    row-hashable — but it feeds the registered kNN query, so the two
+    forms cannot drift."""
     flat = multimodal_decode_features(spark, sf_dir)
     return flat.select(
         "doc_id",
@@ -190,4 +192,95 @@ def decode_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_byte",
         "max_byte",
         F.array(*[F.col(f"f{i}").cast("float") for i in range(8)]).alias("features"),
+    )
+
+
+_KNN_QUERY_IDS = (0, 1, 2)
+_KNN_TOP_K = 5
+# the oracle re-derives the float32 feature vector from byte stats:
+# integer-count ratio -> exact double division -> REAL cast (same
+# rounding as Spark's float cast), then the cosine is the similarity
+# module's exact left-associated double chain
+_SQL_FEATS = """
+    bytes AS (
+        SELECT doc_id,
+               ascii(substring(text, CAST(i AS INT), 1)) AS b
+        FROM documents, unnest(generate_series(1, length(text))) AS t(i)
+    ),
+    stats AS (
+        SELECT doc_id, count(*) AS n,
+               sum(CASE WHEN b >> 5 = 0 THEN 1 ELSE 0 END) AS h0,
+               sum(CASE WHEN b >> 5 = 1 THEN 1 ELSE 0 END) AS h1,
+               sum(CASE WHEN b >> 5 = 2 THEN 1 ELSE 0 END) AS h2,
+               sum(CASE WHEN b >> 5 = 3 THEN 1 ELSE 0 END) AS h3,
+               sum(CASE WHEN b >> 5 = 4 THEN 1 ELSE 0 END) AS h4,
+               sum(CASE WHEN b >> 5 = 5 THEN 1 ELSE 0 END) AS h5,
+               sum(CASE WHEN b >> 5 = 6 THEN 1 ELSE 0 END) AS h6,
+               sum(CASE WHEN b >> 5 = 7 THEN 1 ELSE 0 END) AS h7
+        FROM bytes GROUP BY doc_id
+    ),
+    feats AS (
+        SELECT doc_id,
+               CAST(CAST(h0 AS DOUBLE) / CAST(n AS DOUBLE) AS REAL) AS f0,
+               CAST(CAST(h1 AS DOUBLE) / CAST(n AS DOUBLE) AS REAL) AS f1,
+               CAST(CAST(h2 AS DOUBLE) / CAST(n AS DOUBLE) AS REAL) AS f2,
+               CAST(CAST(h3 AS DOUBLE) / CAST(n AS DOUBLE) AS REAL) AS f3,
+               CAST(CAST(h4 AS DOUBLE) / CAST(n AS DOUBLE) AS REAL) AS f4,
+               CAST(CAST(h5 AS DOUBLE) / CAST(n AS DOUBLE) AS REAL) AS f5,
+               CAST(CAST(h6 AS DOUBLE) / CAST(n AS DOUBLE) AS REAL) AS f6,
+               CAST(CAST(h7 AS DOUBLE) / CAST(n AS DOUBLE) AS REAL) AS f7
+        FROM stats
+    )
+"""
+
+
+def _sql_dot8(a: str, b: str) -> str:
+    return " + ".join(f"CAST({a}.f{i} AS DOUBLE) * CAST({b}.f{i} AS DOUBLE)" for i in range(8))
+
+
+@query(
+    "multimodal_feature_knn",
+    oracle=f"""
+    WITH {_SQL_FEATS},
+    normed AS (SELECT *, {_sql_dot8('feats', 'feats')} AS norm_sq FROM feats),
+    pairs AS (
+        SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+               ({_sql_dot8('q', 'c')}) / (SQRT(q.norm_sq) * SQRT(c.norm_sq)) AS cosine
+        FROM normed q JOIN normed c ON c.doc_id <> q.doc_id
+        WHERE q.doc_id IN {_KNN_QUERY_IDS}
+    )
+    SELECT query_id, doc_id, cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, doc_id) AS rank
+        FROM pairs
+    ) WHERE rank <= {_KNN_TOP_K}
+    """,
+    tags=("multimodal", "similarity", "llm", "knn"),
+)
+def multimodal_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal retrieval: decode_feature_vector's
+    array<float> features (the Arrow mapInPandas decode path) feed the
+    similarity engine's exact cosine top-k — decode once, broadcast the
+    tiny query set, scan the corpus in place. The consumer that keeps
+    the vector-form decode output in sync with the flat driver query it
+    derives from."""
+    from bigdata_project_spark.operators.similarity import _dot_col
+
+    feats = decode_feature_vector(spark, sf_dir).filter(F.col("n_bytes") > 0)
+    normed = feats.select("doc_id", "features").withColumn(
+        "norm_sq", _dot_col("features", "features")
+    )
+    q = normed.filter(F.col("doc_id").isin(*_KNN_QUERY_IDS)).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("features").alias("q_features"),
+        F.col("norm_sq").alias("q_norm_sq"),
+    )
+    pairs = normed.join(F.broadcast(q), F.col("doc_id") != F.col("query_id"))
+    cosine = _dot_col("q_features", "features") / (F.sqrt("q_norm_sq") * F.sqrt("norm_sq"))
+    scored = pairs.select("query_id", "doc_id", cosine.alias("cosine"))
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "doc_id")
+    return scored.select("*", F.row_number().over(w).alias("rank")).filter(
+        F.col("rank") <= _KNN_TOP_K
     )

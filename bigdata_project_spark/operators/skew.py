@@ -21,6 +21,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _salt_col(salt_source: str | Column | None, n_salts: int) -> Column:
+    """Deterministic-plan salt in [0, n_salts). Prefer a real
+    roughly-uniform column; the fallback hashes a per-ROW id
+    (monotonically_increasing_id) rather than spark_partition_id —
+    partition id is constant within an input partition, so a hot key
+    read from few partitions would get almost no spread (effective
+    salt cardinality = number of partitions holding the key). Row-id
+    values vary across retries, but correctness never depends on WHICH
+    salt a row gets — only that the merge stage recombines all salts.
+    """
+    src = F.col(salt_source) if isinstance(salt_source, str) else salt_source
+    if src is None:
+        src = F.monotonically_increasing_id()
+    return F.pmod(F.hash(src), F.lit(n_salts))
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -38,10 +54,7 @@ def salted_join(
     finds its dim row. Each hot key now spreads over n_salts shuffle
     partitions.
     """
-    src = F.col(salt_source) if isinstance(salt_source, str) else salt_source
-    if src is None:
-        src = F.spark_partition_id()  # last resort; prefer a real column
-    salted_fact = fact.withColumn("_salt", F.pmod(F.hash(src), F.lit(n_salts)))
+    salted_fact = fact.withColumn("_salt", _salt_col(salt_source, n_salts))
     salted_dim = dim.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
     joined = salted_fact.join(salted_dim, on=[key, "_salt"], how=how)
     return joined.drop("_salt")
@@ -60,10 +73,7 @@ def two_stage_agg(
     `aggs` maps output name -> (partial_agg_expr, merge_agg_expr_over
     _partial); e.g. {"n": (F.count("*"), F.sum("n"))}.
     """
-    src = F.col(salt_source) if isinstance(salt_source, str) else salt_source
-    if src is None:
-        src = F.spark_partition_id()  # same fallback as salted_join
-    salted = df.withColumn("_salt", F.pmod(F.hash(src), F.lit(n_salts)))
+    salted = df.withColumn("_salt", _salt_col(salt_source, n_salts))
     partial = salted.groupBy(key, "_salt").agg(
         *[expr.alias(name) for name, (expr, _) in aggs.items()]
     )

@@ -161,9 +161,18 @@ _SQL_BUCKET = " || ".join(
 def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors via random-hyperplane LSH:
     4-bit signature buckets -> cosine only within buckets -> top-5
-    per vector. The candidate join is an equi-join on bucket — the
-    shape that survives 100x scale-up (vs. the brute-force cross
-    join); recall tunes with planes/bands."""
+    per vector.
+
+    DIDACTIC BASELINE — do not use at scale. The plane count is FIXED
+    at 4, so there are only 16 buckets and the within-bucket join
+    grows ~n²/16: quadratic, just 16x deferred. It exists to make the
+    bucketing mechanics oracle-checkable in isolation (the static
+    oracle SQL embeds the 4 projection chains, which is why the count
+    cannot track n). The production shapes are `sim_ann_lsh_banded`
+    (bands x planes, OR-amplified, plan-asserted no-cartesian, scales
+    with n via bucket granularity) and `sim_ann_ivf_probe` (cell-
+    partitioned); bench.py's headline set accordingly excludes this
+    query (bench.py:36-39)."""
     emb = with_norm(load(spark, sf_dir, "embeddings"))
     bucket = F.concat_ws("", *[(_proj_col(j) >= 0).cast("int").cast("string") for j in range(_N_PLANES)])
     bucketed = emb.withColumn("bucket", bucket)

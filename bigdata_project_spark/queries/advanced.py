@@ -298,13 +298,50 @@ def udtf_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.groupBy("token").agg(F.count("*").alias("doc_freq"))
 
 
-@query("sample_tablesample", oracle=None, tags=("scan", "sample"))
+# ~10% Bernoulli keep: md5 of the row's unique key maps to a bucket in
+# [0, 256); keep bucket < 26. Identical arithmetic in both engines.
+_TS_HEX = "0123456789abcdef"
+_TS_KEEP = 26
+
+
+def _ts_bucket(concat_expr: str) -> str:
+    h = f"md5({concat_expr})"
+    return (
+        f"(instr('{_TS_HEX}', substring({h}, 1, 1)) - 1) * 16"
+        f" + (instr('{_TS_HEX}', substring({h}, 2, 1)) - 1)"
+    )
+
+
+@query(
+    "sample_tablesample",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_sampled,
+           {SQL_DSUM("l_quantity")} AS sampled_qty
+    FROM lineitem
+    WHERE {_ts_bucket("CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)")} < {_TS_KEEP}
+    GROUP BY l_returnflag
+    """,
+    tags=("scan", "sample"),
+)
 def sample_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sampling — engine-specific RNG, so rows-only:
-    the scalable 'peek at the corpus' primitive (sampling happens at
-    the scan, no full materialization)."""
+    """TABLESAMPLE-equivalent Bernoulli sampling, made deterministic:
+    each row's unique key (l_orderkey, l_linenumber) hashes to a bucket
+    in [0, 256) and ~10% (26/256) are kept. Engine-native .sample()
+    uses engine-specific RNG (unverifiable across engines and unstable
+    under repartitioning); the hash filter gives the same sample on
+    every run, engine, and partitioning — and is still a pure
+    codegen'd scan+filter with no shuffle before the reporting
+    aggregate, so sampling cost stays at the scan like TABLESAMPLE."""
     l = load(spark, sf_dir, "lineitem")
-    return l.sample(fraction=0.1, seed=42).groupBy("l_returnflag").agg(F.count("*").alias("n_sampled"))
+    bucket = F.expr(
+        _ts_bucket("concat(CAST(l_orderkey AS STRING), '-', CAST(l_linenumber AS STRING))")
+    )
+    return (
+        l.filter(bucket < _TS_KEEP)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_sampled"), dsum("l_quantity").alias("sampled_qty"))
+    )
 
 
 _HEX16 = "0123456789abcdef"

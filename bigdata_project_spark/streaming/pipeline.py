@@ -74,17 +74,28 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+def decode_kafka_value(raw: DataFrame, schema) -> DataFrame:
+    """Kafka wire format -> typed rows: the binary `value` column is
+    decoded as JSON against an enforced schema. Factored out of
+    read_kafka_stream so the decode path is testable against any
+    streaming source that produces a binary `value` column (tests
+    drive it with the rate source; see test_streaming.py)."""
+    return raw.select(F.from_json(F.col("value").cast("string"), schema).alias("r")).select("r.*")
+
+
 def read_kafka_stream(spark: SparkSession, brokers: str, topic: str, schema) -> DataFrame:
     """Kafka source -> typed stream (README.md:9-13): same downstream
-    code path as the file source. Not exercised in tests (no broker in
-    the container); the file-source pipelines cover the operators."""
+    code path as the file source. The broker connection itself is not
+    exercised in tests (no broker in the container); the decode stage
+    is covered via the rate source, and the file-source pipelines
+    cover the downstream operators."""
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
         .option("subscribe", topic)
         .load()
     )
-    return raw.select(F.from_json(F.col("value").cast("string"), schema).alias("r")).select("r.*")
+    return decode_kafka_value(raw, schema)
 
 
 def run_available_now(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:

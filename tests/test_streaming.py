@@ -98,3 +98,57 @@ def test_session_window_stream(spark, sf_dir, mode):
     # availableNow + append emits only watermark-closed sessions; all
     # sessions older than max(ts) - 1h are closed, so nearly all rows
     assert result.count() > 0
+
+
+def test_kafka_decode_path_with_rate_source(spark, tmp_path):
+    """The Kafka value-decode stage (binary JSON `value` -> typed rows)
+    driven by the rate source — a live unbounded streaming source with
+    real offset progression, standing in for a broker the container
+    doesn't have. Asserts schema enforcement (typed columns out) and
+    multi-batch delivery under the default trigger."""
+    import time
+
+    from bigdata_project_spark.streaming.pipeline import decode_kafka_value
+
+    schema = "user_id LONG, event_type STRING"
+    raw = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "200")
+        .load()
+        .select(
+            F.to_json(
+                F.struct(
+                    F.col("value").alias("user_id"),
+                    F.concat(F.lit("type_"), (F.col("value") % 3).cast("string")).alias("event_type"),
+                )
+            )
+            .cast("binary")
+            .alias("value")  # kafka delivers value as binary
+        )
+    )
+    typed = decode_kafka_value(raw, schema)
+    assert typed.isStreaming
+    assert [(f.name, f.dataType.simpleString()) for f in typed.schema.fields] == [
+        ("user_id", "bigint"),
+        ("event_type", "string"),
+    ]
+    q = (
+        typed.writeStream.format("memory")
+        .queryName("kafka_shape_rate")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.table("kafka_shape_rate").count() >= 50 and len(q.recentProgress) >= 2:
+                break
+            time.sleep(0.5)
+        rows = spark.table("kafka_shape_rate").collect()
+        assert len(rows) >= 50, "rate source delivered too few rows"
+        assert len(q.recentProgress) >= 2, "expected multi-batch offset progression"
+        assert {r["event_type"] for r in rows} <= {"type_0", "type_1", "type_2"}
+        assert all(isinstance(r["user_id"], int) for r in rows)
+    finally:
+        q.stop()

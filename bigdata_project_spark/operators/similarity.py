@@ -256,14 +256,37 @@ def _band_signs(band: int) -> list[list[int]]:
     return signs
 
 
-def _band_bucket_col(band: int) -> Column:
-    bits = []
-    for row in _band_signs(band):
-        signs = F.array(*[F.lit(float(s)) for s in row])
-        products = F.zip_with("embedding", signs, lambda x, s: x.cast("double") * s)
+def _all_band_buckets_col() -> Column:
+    """All band bucket keys as ONE nested higher-order expression:
+    array(bucket_0, ..., bucket_{bands-1}).
+
+    Equivalent to concatenating per-plane sign bits band by band, but
+    the fold logic appears once in the plan instead of once per plane:
+    unrolling bands x planes separate 64-term aggregate chains made
+    Catalyst analysis + codegen the dominant cost of the whole query
+    (~2-4 s, scale-invariant, measured at sf0.01 vs sf0.1). The sign
+    matrix is a single 2D literal; each plane's projection is the same
+    sequential left-fold as before, so results are bit-identical to
+    the oracle's explicit chains."""
+    signs2d = F.array(
+        *[
+            F.array(*[F.lit(float(s)) for s in row])
+            for b in range(_N_BANDS)
+            for row in _band_signs(b)
+        ]
+    )
+
+    def _bit(row: Column) -> Column:
+        products = F.zip_with("embedding", row, lambda x, s: x.cast("double") * s)
         proj = F.aggregate(products, F.lit(0.0), lambda acc, v: acc + v)
-        bits.append((proj >= 0).cast("int").cast("string"))
-    return F.concat_ws("", *bits)
+        return (proj >= 0).cast("int").cast("string")
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(_N_BANDS - 1)),
+        lambda b: F.array_join(
+            F.transform(F.slice(signs2d, b * _PLANES_PER_BAND + 1, _PLANES_PER_BAND), _bit), ""
+        ),
+    )
 
 
 def _sql_band_bucket(band: int) -> str:
@@ -325,7 +348,7 @@ def sim_ann_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         "norm_sq",
-        F.posexplode(F.array(*[_band_bucket_col(b) for b in range(_N_BANDS)])).alias(
+        F.posexplode(_all_band_buckets_col()).alias(
             "band", "bucket"
         ),
     )

@@ -61,6 +61,9 @@ HEADLINE = [
     "join_q5_regional_revenue",
     "events_gapfill_hourly",
     "events_funnel_view_click_purchase",
+    "contamination_ngram_overlap",
+    "pack_sequences_by_source",
+    "quality_repetition_filter",
 ]
 
 

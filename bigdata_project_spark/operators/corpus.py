@@ -1,0 +1,336 @@
+"""Corpus-preparation operators for LLM training-data pipelines.
+
+Beyond dedup/similarity (operators/dedup.py, similarity.py), a
+training-data pipeline needs: sequence packing (fill fixed context
+windows), benchmark-contamination screening, PII scrubbing,
+reproducible train/val/test splits, and repetition-based quality
+filtering. Each is implemented Spark-first (built-in functions, no
+Python in the hot path) with a full DuckDB oracle — deterministic
+arithmetic only, following the registry determinism contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from bigdata_project_spark.operators.dedup import (
+    _SQL_SHINGLES,
+    _SQL_SHINGLES_CAPPED,
+    shingle_df_capped,
+    words_col,
+)
+from bigdata_project_spark.registry import query
+from bigdata_project_spark.tables import load
+
+# ---------------------------------------------------------------- packing
+
+_CTX_TOKENS = 512  # context-window capacity in whitespace tokens
+
+
+@query(
+    "pack_sequences_by_source",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        FROM toks
+    )
+    SELECT doc_id, source, n_tokens,
+           cum_before // {_CTX_TOKENS} AS pack_id,
+           CASE WHEN n_tokens = 0 THEN 0
+                ELSE CAST(cum_before // {_CTX_TOKENS}
+                          <> (cum_before + n_tokens - 1) // {_CTX_TOKENS} AS INT)
+           END AS straddles
+    FROM cum
+    """,
+    tags=("llm", "packing", "window"),
+)
+def pack_sequences_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing manifest: documents are packed into fixed
+    {_CTX_TOKENS}-token context windows in deterministic (doc_id)
+    order, PER SOURCE — the pack assignment is a running token count
+    divided by capacity, and `straddles` flags documents that cross a
+    window boundary (candidates for splitting or padding).
+
+    Scale design: a single global packing order would force one
+    sorted partition (serial cumsum over the whole corpus); packing
+    within source keys keeps every window function partition-parallel
+    — sources are the natural shard unit a 100 TB corpus is already
+    laid out by, and packs never need to span sources. All integer
+    arithmetic (token counts, integer division) — cross-engine exact.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", F.size(words_col(F.col("text"))).alias("n_tokens"))
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    cum = toks.withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"))
+    pack_id = F.expr(f"cum_before div {_CTX_TOKENS}")
+    end_pack = F.expr(f"(cum_before + n_tokens - 1) div {_CTX_TOKENS}")
+    return cum.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        pack_id.alias("pack_id"),
+        F.when(F.col("n_tokens") == 0, F.lit(0))
+        .otherwise((pack_id != end_pack).cast("int"))
+        .alias("straddles"),
+    )
+
+
+# ---------------------------------------------------------- contamination
+
+_BENCH_MOD = 50  # stand-in benchmark set: every 50th document
+
+
+@query(
+    "contamination_ngram_overlap",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    {_SQL_SHINGLES_CAPPED},
+    bench AS (SELECT DISTINCT shingle FROM shc WHERE doc_id % {_BENCH_MOD} = 0),
+    corpus AS (SELECT doc_id, shingle FROM shc WHERE doc_id % {_BENCH_MOD} <> 0),
+    n AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id),
+    hits AS (
+        SELECT c.doc_id, COUNT(*) AS n_contaminated
+        FROM corpus c JOIN bench b ON b.shingle = c.shingle
+        GROUP BY c.doc_id
+    )
+    SELECT n.doc_id, n.n_shingles,
+           CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / CAST(n.n_shingles AS DOUBLE)
+             AS contamination_ratio
+    FROM n LEFT JOIN hits h ON h.doc_id = n.doc_id
+    """,
+    tags=("llm", "contamination", "dedup"),
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: for every training document,
+    the fraction of its word-5-gram shingles that also appear in the
+    held-out benchmark set (stood in by every {_BENCH_MOD}th doc).
+    Documents with high overlap leak eval data and must be dropped
+    before training.
+
+    Scale design: the benchmark shingle set is small (eval sets are
+    thousands of docs, not billions), so it broadcasts — the corpus
+    side is one scan + map-side hash probe, no corpus shuffle for
+    candidate generation; only the per-doc count aggregation shuffles
+    (doc_id keys, uniform). Shingles come from the df-capped set, so
+    a boilerplate shingle can neither blow up the probe nor count as
+    contamination evidence."""
+    sh = shingle_df_capped(spark, sf_dir)
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+    bench = sh.filter(is_bench).select("shingle").distinct()
+    corpus = sh.filter(~is_bench)
+    n = corpus.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        n.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+            (
+                F.coalesce("n_contaminated", F.lit(0)).cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("contamination_ratio"),
+        )
+    )
+
+
+# ------------------------------------------------------------- PII scrub
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_URL_RE = r"https?://[a-z0-9./-]+"
+
+
+@query(
+    "scrub_pii_stats",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@mail.example.com or https://ex' || CAST(doc_id AS VARCHAR)
+                         || '.example.org/page now'
+                    ELSE text END AS txt
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(txt, '{_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(txt, '{_URL_RE}')) AS INT) AS n_urls,
+           CAST(length(txt) AS BIGINT) AS len_raw,
+           CAST(length(regexp_replace(regexp_replace(txt, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                      '{_URL_RE}', '<URL>', 'g')) AS BIGINT) AS len_clean
+    FROM seeded
+    """,
+    tags=("llm", "pii", "scrub"),
+)
+def scrub_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact email addresses and URLs per
+    document (regexp_count + chained regexp_replace — JVM-side, one
+    scan, embarrassingly parallel; the 100 TB shape is a pure map).
+
+    The synthetic corpus contains no organic PII, so a deterministic
+    seeded injection (every 7th doc gets an email + URL appended,
+    identically in both engines) makes the operator's behavior
+    observable under the oracle gate instead of vacuously passing on
+    all-zero counts. Patterns stay in the regex subset Java and RE2
+    interpret identically (explicit character classes, no
+    lookaround)."""
+    docs = load(spark, sf_dir, "documents")
+    txt = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or https://ex"),
+            F.col("doc_id").cast("string"),
+            F.lit(".example.org/page now"),
+        ),
+    ).otherwise(F.col("text"))
+    seeded = docs.select("doc_id", txt.alias("txt"))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("txt"), _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+    )
+    return seeded.select(
+        "doc_id",
+        F.regexp_count("txt", F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count("txt", F.lit(_URL_RE)).cast("int").alias("n_urls"),
+        F.length("txt").cast("long").alias("len_raw"),
+        F.length(clean).cast("long").alias("len_clean"),
+    )
+
+
+# ------------------------------------------------------------ hash split
+
+_HEX16 = "0123456789abcdef"
+# bucket thresholds out of 256: ~90% train / ~5% val / ~5% test
+_TRAIN_LT = 230
+_VAL_LT = 243
+
+
+def _split_bucket(cast_type: str) -> str:
+    h = f"md5(CAST(doc_id AS {cast_type}))"
+    return (
+        f"(instr('{_HEX16}', substring({h}, 1, 1)) - 1) * 16"
+        f" + (instr('{_HEX16}', substring({h}, 2, 1)) - 1)"
+    )
+
+
+@query(
+    "split_train_val_test",
+    oracle=f"""
+    SELECT CASE WHEN {_split_bucket("VARCHAR")} < {_TRAIN_LT} THEN 'train'
+                WHEN {_split_bucket("VARCHAR")} < {_VAL_LT} THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    tags=("llm", "split", "sample"),
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment: md5(doc_id) maps each
+    document to a bucket in [0, 256); thresholds carve ~90/5/5. Hash
+    splitting (vs RNG) survives reruns, engine changes, and corpus
+    growth — a document's split never changes when other documents
+    are added, the property that prevents silent eval contamination
+    across pipeline versions. Pure scan + codegen'd expression; the
+    only shuffle is the tiny reporting aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.expr(_split_bucket("STRING"))
+    split = (
+        F.when(bucket < _TRAIN_LT, "train").when(bucket < _VAL_LT, "val").otherwise("test")
+    )
+    return docs.groupBy(split.alias("split"), "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+# ------------------------------------------------- repetition quality
+
+_REP_THRESHOLD_SQL = "1.0e-1"  # e-notation: parses as DOUBLE in both engines
+
+
+@query(
+    "quality_repetition_filter",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS words
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               array_to_string(words[r.r + 1 : r.r + 2], ' ') AS gram
+        FROM toks, LATERAL (SELECT unnest(range(greatest(len(words) - 1, 0))) AS r) r
+    ),
+    freq AS (
+        SELECT doc_id, gram, COUNT(*) AS cnt FROM grams GROUP BY doc_id, gram
+    ),
+    agg AS (
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams2,
+               CAST(MAX(cnt) AS BIGINT) AS max_gram_freq
+        FROM freq GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams2, max_gram_freq,
+           CAST(max_gram_freq AS DOUBLE) / CAST(n_grams2 AS DOUBLE) AS rep_ratio,
+           CAST(CAST(max_gram_freq AS DOUBLE) / CAST(n_grams2 AS DOUBLE)
+                > {_REP_THRESHOLD_SQL} AS INT) AS is_repetitive
+    FROM agg
+    """,
+    tags=("llm", "quality", "repetition"),
+)
+def quality_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signal: the most frequent word
+    bigram's share of all bigram instances per document. Synthetic or
+    template-generated text repeats short n-grams far more than
+    natural prose; documents whose top bigram exceeds 10% of instances
+    are flagged. Unlike the shingle operators this counts INSTANCES
+    (not distinct n-grams), so the per-doc aggregation is the whole
+    cost — one explode + two groupBys keyed by doc_id (uniform keys,
+    partial aggregation applies). Integer counts + one exact int/int
+    division — cross-engine exact; the threshold literal is written in
+    e-notation so both engines parse it as DOUBLE."""
+    docs = load(spark, sf_dir, "documents")
+    words = words_col(F.col("text"))
+    n2 = F.size(words) - 1
+    grams = F.when(
+        n2 > 0,
+        F.transform(F.sequence(F.lit(0), n2 - 1), lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    freq = (
+        docs.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    agg = freq.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_grams2"),
+        F.max("cnt").cast("long").alias("max_gram_freq"),
+    )
+    rep = F.col("max_gram_freq").cast("double") / F.col("n_grams2").cast("double")
+    return agg.select(
+        "doc_id",
+        "n_grams2",
+        "max_gram_freq",
+        rep.alias("rep_ratio"),
+        (rep > F.lit(0.1)).cast("int").alias("is_repetitive"),
+    )

@@ -127,3 +127,20 @@ def test_funnel_is_single_data_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "events_funnel_view_click_purchase")
     assert plan.count("Arguments: hashpartitioning(user_id") == 1
     assert plan.count("Arguments: SinglePartition") == 1
+
+
+def test_contamination_probe_is_broadcast(spark, sf_dir):
+    # the benchmark shingle set must broadcast: the corpus side is a
+    # map-side hash probe, never shuffled for candidate generation
+    plan = plan_of(spark, sf_dir, "contamination_ngram_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_packing_window_is_partition_parallel(spark, sf_dir):
+    # packing runs per source: the cumsum window must hash-partition
+    # on source, never collapse to a single global sorted partition
+    plan = plan_of(spark, sf_dir, "pack_sequences_by_source")
+    assert "hashpartitioning(source" in plan
+    assert "SinglePartition" not in plan

@@ -11,7 +11,7 @@ arithmetic only, following the registry determinism contract.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
@@ -309,7 +309,20 @@ def quality_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost — one explode + two groupBys keyed by doc_id (uniform keys,
     partial aggregation applies). Integer counts + one exact int/int
     division — cross-engine exact; the threshold literal is written in
-    e-notation so both engines parse it as DOUBLE."""
+    e-notation so both engines parse it as DOUBLE.
+
+    Scale design: the statistic is entirely per-document, so it is
+    computed per ROW with array algebra — sort the bigram array and
+    take the longest equal-run — instead of exploding ~L bigram
+    instances per doc and shuffling them into a (doc_id, gram)
+    aggregation (the first implementation; at sf0.1 that shuffle was
+    5M rows and dominated the query at 5.9 s vs ~1.2 s now). The plan
+    is a projection over the scan — no aggregation exchange at all;
+    the only repartition moves (doc_id, text) to spread the CPU-bound
+    map over the testbed's single row-group, which a real multi-split
+    lake scan would not need. The oracle keeps the declarative
+    explode + GROUP BY form — two different algorithms, identical
+    integers."""
     docs = load(spark, sf_dir, "documents")
     words = words_col(F.col("text"))
     n2 = F.size(words) - 1
@@ -317,17 +330,42 @@ def quality_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         n2 > 0,
         F.transform(F.sequence(F.lit(0), n2 - 1), lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2))),
     ).otherwise(F.array().cast("array<string>"))
-    freq = (
-        docs.select("doc_id", F.explode(grams).alias("gram"))
-        .groupBy("doc_id", "gram")
-        .agg(F.count("*").alias("cnt"))
+    # stage the sorted array as its own column: it is referenced twice
+    # below, which keeps CollapseProject from inlining the (expensive)
+    # sort into every consumer — and critically the fold references it
+    # exactly once, as the input collection, so it is computed once per
+    # row (an index-lambda formulation that closed over the array was
+    # re-evaluating the sort per ELEMENT: O(L^2 log L) per doc)
+    # the testbed table is one row-group -> one input split; the
+    # bigram build + sort is CPU-bound, so spread it (at real scale the
+    # scan yields many splits and this moves only doc_id+text)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    staged = (
+        docs.repartition(n_part, "doc_id")
+        .filter(n2 > 0)
+        .select("doc_id", F.array_sort(grams).alias("gs"))
     )
-    agg = freq.groupBy("doc_id").agg(
-        F.sum("cnt").cast("long").alias("n_grams2"),
-        F.max("cnt").cast("long").alias("max_gram_freq"),
+    # single left-to-right pass over the sorted bigrams tracking
+    # (current run length, best run length, previous gram); the longest
+    # equal-run in the sorted array IS the max bigram frequency
+    init = F.struct(
+        F.lit(0).alias("cur"), F.lit(0).alias("best"), F.lit(None).cast("string").alias("prev")
+    )
+
+    def _step(acc: Column, x: Column) -> Column:
+        cur = F.when(acc["prev"].isNotNull() & (x == acc["prev"]), acc["cur"] + 1).otherwise(
+            F.lit(1)
+        )
+        return F.struct(cur.alias("cur"), F.greatest(acc["best"], cur).alias("best"), x.alias("prev"))
+
+    max_freq = F.aggregate(F.col("gs"), init, _step, lambda acc: acc["best"])
+    per_doc = staged.select(
+        "doc_id",
+        F.size("gs").cast("long").alias("n_grams2"),
+        max_freq.cast("long").alias("max_gram_freq"),
     )
     rep = F.col("max_gram_freq").cast("double") / F.col("n_grams2").cast("double")
-    return agg.select(
+    return per_doc.select(
         "doc_id",
         "n_grams2",
         "max_gram_freq",

@@ -103,21 +103,26 @@ def shingle_df_capped(
     """(doc_id, shingle) with hot shingles (document frequency >
     max_df) removed — the candidate-generation-safe shingle set.
 
-    The df count is a window over PARTITION BY shingle: one hash
-    shuffle on the shingle key, the same partitioning the downstream
-    self-join needs, so the exchange is reused rather than doubled.
-    Dropping a hot shingle loses only boilerplate evidence; the
-    Jaccard denominator is computed over the same capped set in both
-    engines, so results stay cross-engine exact.
+    Strategy: aggregate per-shingle df (map-side partial combine, so
+    the exchange carries (shingle, partial count) pairs, never the
+    doc_id rows), keep only shingles with df > max_df — a set whose
+    size is bounded by total_instances / max_df and in practice tiny
+    (boilerplate) — and broadcast it into a LEFT ANTI join. The
+    (doc_id, shingle) rows themselves are never shuffled just to be
+    capped, which matters for consumers like the contamination probe
+    whose remaining plan is shuffle-free on the corpus side. Dropping
+    a hot shingle loses only boilerplate evidence; the Jaccard
+    denominator is computed over the same capped set in both engines,
+    so results stay cross-engine exact.
     """
-    from pyspark.sql.window import Window as W
-
     sh = shingle_df(spark, sf_dir, n)
-    return (
-        sh.withColumn("_df", F.count("*").over(W.partitionBy("shingle")))
-        .filter(F.col("_df") <= max_df)
-        .drop("_df")
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shingle")
     )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti").select("doc_id", "shingle")
 
 
 @query(

@@ -66,3 +66,14 @@ def parse_price_vnd(text: pd.Series) -> pd.Series:
     )
     vnd = num * unit.fillna(1.0)
     return vnd.round().astype("Int64")
+
+
+# The pandas UDF above is module-level; the driver may import this repo
+# from a non-repo cwd where Python workers cannot re-import it, so the
+# module is registered for by-value pickling (the UDF's code ships
+# inside the serialized task, no import needed worker-side).
+import sys as _sys  # noqa: E402
+
+from pyspark import cloudpickle as _cloudpickle  # noqa: E402
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])

@@ -13,5 +13,6 @@ from bigdata_project_spark.queries import (  # noqa: F401
     scalars,
     setops_sorts,
     subqueries,
+    vietnamese,
     windows,
 )

@@ -372,3 +372,74 @@ def quality_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep.alias("rep_ratio"),
         (rep > F.lit(0.1)).cast("int").alias("is_repetitive"),
     )
+
+
+# ------------------------------------------------- incremental merge
+
+_BATCH_MOD = 10  # stand-in incremental batch: every 10th document
+
+
+@query(
+    "dedup_incremental_merge",
+    oracle=f"""
+    WITH batch AS (
+        SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % {_BATCH_MOD} = {_BATCH_MOD - 1}
+    ),
+    corpus AS (
+        SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % {_BATCH_MOD} <> {_BATCH_MOD - 1}
+    ),
+    hits AS (
+        SELECT c.h, MIN(c.doc_id) AS keeper
+        FROM corpus c JOIN (SELECT DISTINCT h FROM batch) b ON b.h = c.h
+        GROUP BY c.h
+    ),
+    inbatch AS (
+        SELECT doc_id, h, MIN(doc_id) OVER (PARTITION BY h) AS first_in_batch
+        FROM batch
+    )
+    SELECT i.doc_id,
+           COALESCE(hit.keeper,
+                    CASE WHEN i.first_in_batch < i.doc_id THEN i.first_in_batch END) AS dup_of,
+           CAST(hit.keeper IS NULL AND i.first_in_batch = i.doc_id AS INT) AS is_new_unique
+    FROM inbatch i
+    LEFT JOIN hits hit ON hit.h = i.h
+    """,
+    tags=("llm", "dedup", "incremental"),
+)
+def dedup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingestion: dedup a NEW batch (stood in by
+    every {_BATCH_MOD}th doc) against the existing corpus state plus
+    itself, by content hash. Output per batch doc: the existing keeper
+    it duplicates (or the earlier batch doc), and whether it enters
+    the corpus as new unique content.
+
+    Scale design: the asymmetry is the whole point — the corpus is
+    100 TB, the batch is an increment. The batch's distinct hash set
+    broadcasts; the corpus side is a scan + map-side probe whose
+    survivors (hash collisions with the batch, a batch-sized set) are
+    the only corpus rows that ever reach a shuffle. The corpus is
+    never re-shuffled to absorb an increment — the property that
+    makes daily ingestion O(batch), not O(corpus)."""
+    docs = load(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % _BATCH_MOD == _BATCH_MOD - 1
+    batch = docs.filter(is_batch).select("doc_id", F.md5("text").alias("h"))
+    corpus = docs.filter(~is_batch).select("doc_id", F.md5("text").alias("h"))
+    hits = (
+        corpus.join(F.broadcast(batch.select("h").distinct()), "h")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keeper"))
+    )
+    inbatch = batch.withColumn("first_in_batch", F.min("doc_id").over(W.partitionBy("h")))
+    return (
+        inbatch.join(F.broadcast(hits), "h", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                "keeper",
+                F.when(F.col("first_in_batch") < F.col("doc_id"), F.col("first_in_batch")),
+            ).alias("dup_of"),
+            (F.col("keeper").isNull() & (F.col("first_in_batch") == F.col("doc_id")))
+            .cast("int")
+            .alias("is_new_unique"),
+        )
+    )

@@ -144,3 +144,11 @@ def test_packing_window_is_partition_parallel(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "pack_sequences_by_source")
     assert "hashpartitioning(source" in plan
     assert "SinglePartition" not in plan
+
+
+def test_incremental_merge_broadcasts_batch(spark, sf_dir):
+    # incremental ingestion must probe the corpus with the broadcast
+    # batch hash set — never shuffle the corpus side to absorb a batch
+    plan = plan_of(spark, sf_dir, "dedup_incremental_merge")
+    assert plan.count("BroadcastHashJoin") >= 2  # batch-hash probe + hits join
+    assert "CartesianProduct" not in plan

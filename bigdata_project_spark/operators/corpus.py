@@ -222,8 +222,8 @@ _TRAIN_LT = 230
 _VAL_LT = 243
 
 
-def _split_bucket(cast_type: str) -> str:
-    h = f"md5(CAST(doc_id AS {cast_type}))"
+def _split_bucket(cast_type: str, col: str = "doc_id") -> str:
+    h = f"md5(CAST({col} AS {cast_type}))"
     return (
         f"(instr('{_HEX16}', substring({h}, 1, 1)) - 1) * 16"
         f" + (instr('{_HEX16}', substring({h}, 2, 1)) - 1)"
@@ -441,5 +441,113 @@ def dedup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("keeper").isNull() & (F.col("first_in_batch") == F.col("doc_id")))
             .cast("int")
             .alias("is_new_unique"),
+        )
+    )
+
+
+# ---------------------------------------------- end-to-end manifest
+
+_CONTAM_MAX = 0.5  # drop docs sharing > 50% of shingles with the benchmark
+
+
+@query(
+    "training_corpus_manifest",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    {_SQL_SHINGLES_CAPPED},
+    bench AS (SELECT DISTINCT shingle FROM shc WHERE doc_id % {_BENCH_MOD} = 0),
+    n AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shc GROUP BY doc_id),
+    hits AS (
+        SELECT c.doc_id, COUNT(*) AS n_hit
+        FROM shc c JOIN bench b ON b.shingle = c.shingle
+        GROUP BY c.doc_id
+    ),
+    contam AS (
+        SELECT n.doc_id,
+               CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(n.n_shingles AS DOUBLE) AS ratio
+        FROM n LEFT JOIN hits h ON h.doc_id = n.doc_id
+    ),
+    keepers AS (
+        SELECT doc_id, md5(text) AS h,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        FROM documents
+    )
+    SELECT d.doc_id,
+           CASE WHEN {_split_bucket("VARCHAR", "d.doc_id")} < {_TRAIN_LT} THEN 'train'
+                WHEN {_split_bucket("VARCHAR", "d.doc_id")} < {_VAL_LT} THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(k.doc_id = k.keeper AS INT) AS is_keeper,
+           CAST(len(list_filter(string_split_regex(lower(d.text), '\\s+'), x -> x <> '')) >= 20
+                AS INT) AS passes_quality,
+           CAST(COALESCE(c.ratio, 0.0e0) <= {_CONTAM_MAX}e0 AND d.doc_id % {_BENCH_MOD} <> 0
+                AS INT) AS passes_contamination,
+           CAST(k.doc_id = k.keeper
+                AND len(list_filter(string_split_regex(lower(d.text), '\\s+'), x -> x <> '')) >= 20
+                AND COALESCE(c.ratio, 0.0e0) <= {_CONTAM_MAX}e0
+                AND d.doc_id % {_BENCH_MOD} <> 0 AS INT) AS in_training_corpus
+    FROM documents d
+    JOIN keepers k ON k.doc_id = d.doc_id
+    LEFT JOIN contam c ON c.doc_id = d.doc_id
+    """,
+    tags=("llm", "pipeline", "manifest"),
+)
+def training_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-build decision — the single manifest a
+    training run consumes. Per document: its reproducible hash split,
+    whether it is the exact-dedup keeper of its content hash, whether
+    it passes the token-count quality gate, and whether it survives
+    the benchmark-contamination screen (benchmark docs themselves are
+    excluded from training). `in_training_corpus` is the final keep
+    bit a tokenizer job filters on.
+
+    Composition cost at scale: one shingle pass feeding the broadcast
+    contamination probe, one content-hash window (shuffles a 128-bit
+    uniform key), one token-count map — no component adds a corpus
+    shuffle beyond its own documented shape. The split/quality/
+    contamination columns come from the same operators registered
+    individually (split_train_val_test, corpus_clean_pipeline,
+    contamination_ngram_overlap); this query is their end-to-end
+    contract."""
+    docs = load(spark, sf_dir, "documents")
+    sh = shingle_df_capped(spark, sf_dir)
+    is_bench_doc = F.col("doc_id") % _BENCH_MOD == 0
+    bench = sh.filter(is_bench_doc).select("shingle").distinct()
+    n = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        sh.join(F.broadcast(bench), "shingle").groupBy("doc_id").agg(F.count("*").alias("n_hit"))
+    )
+    contam = n.join(hits, "doc_id", "left").select(
+        "doc_id",
+        (F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_shingles").cast("double")).alias(
+            "ratio"
+        ),
+    )
+    keeper = F.min("doc_id").over(W.partitionBy(F.md5("text")))
+    n_tokens = F.size(words_col(F.col("text")))
+    bucket = F.expr(_split_bucket("STRING"))
+    split = F.when(bucket < _TRAIN_LT, "train").when(bucket < _VAL_LT, "val").otherwise("test")
+    base = docs.select(
+        "doc_id",
+        split.alias("split"),
+        (F.col("doc_id") == keeper).cast("int").alias("is_keeper"),
+        (n_tokens >= 20).cast("int").alias("passes_quality"),
+    )
+    ratio_ok = F.coalesce("ratio", F.lit(0.0)) <= _CONTAM_MAX
+    return (
+        base.join(contam, "doc_id", "left")
+        .select(
+            "doc_id",
+            "split",
+            "is_keeper",
+            "passes_quality",
+            (ratio_ok & ~is_bench_doc).cast("int").alias("passes_contamination"),
+            (
+                (F.col("is_keeper") == 1)
+                & (F.col("passes_quality") == 1)
+                & ratio_ok
+                & ~is_bench_doc
+            )
+            .cast("int")
+            .alias("in_training_corpus"),
         )
     )

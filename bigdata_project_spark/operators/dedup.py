@@ -456,3 +456,85 @@ def dedup_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_grams",
         F.count("*").over(W.partitionBy("fingerprint")).alias("n_docs_sharing"),
     )
+
+
+def _minhash_fast_aggs() -> list[Column]:
+    """8 MinHash functions from seeded xxhash64 — the production hash
+    path (SCALE.md): one 64-bit JVM hash per (shingle, seed) with no
+    hex-string materialization, ~an order of magnitude cheaper than
+    md5. min over signed longs is a valid MinHash order (any total
+    order works as long as it is consistent, which a fixed hash is)."""
+    return [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(_N_HASHES)]
+
+
+@query(
+    "dedup_minhash_lsh_fast",
+    # no oracle BY DESIGN: xxhash64 has no DuckDB counterpart, so this
+    # variant gets the rows-only driver check; its SEMANTICS are pinned
+    # two other ways: tests assert every exact-duplicate pair from the
+    # oracled md5 variant also surfaces here with jaccard 1.0
+    # (identical docs have identical signatures under ANY hash), and
+    # the verify stage is the same exact-Jaccard join both variants
+    # share. The md5 twin (dedup_minhash_lsh) remains the oracled
+    # correctness anchor; this is the documented throughput path.
+    oracle=None,
+    tags=("dedup", "llm", "lsh", "fast"),
+)
+def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding with seeded xxhash64 signatures — same
+    shingle -> signature -> band bucket join -> verify-candidates
+    pipeline and output schema as dedup_minhash_lsh, with the hashing
+    cost an order of magnitude lower (no md5, no hex substrings; the
+    band key is one more xxhash64 over the two row hashes instead of
+    a string concat). At 100 TB signature computation dominates the
+    map side, so this is the variant a production corpus build runs
+    once cross-engine verification is no longer in the loop."""
+    sh = tracked_persist(shingle_df(spark, sf_dir))
+    sigs = tracked_persist(
+        sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"), *_minhash_fast_aggs())
+    )
+    counts = sigs.select("doc_id", "n_sh")
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.col(f"h{2 * k}"), F.col(f"h{2 * k + 1}"))
+                    for k in range(_N_HASHES // _BAND_SIZE)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sb.shingle") == F.col("sa.shingle")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    return (
+        inter.join(ca, F.col("ca.doc_id") == F.col("doc_a"))
+        .join(cb, F.col("cb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_common").cast("double") / (F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_common"))).alias(
+                "jaccard"
+            ),
+        )
+    )

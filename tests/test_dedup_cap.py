@@ -60,3 +60,36 @@ def test_cap_is_noop_at_test_scale(spark, sf_dir):
     n_all = shingle_df(spark, sf_dir).count()
     n_capped = shingle_df_capped(spark, sf_dir).count()
     assert n_all == n_capped  # max df at test SF is 3-4, cap is 64
+
+
+def test_fast_minhash_finds_all_exact_duplicate_pairs(spark, tmp_path_factory):
+    """xxhash64 variant invariant: identical documents have identical
+    signatures under ANY hash function, so exact-duplicate pairs MUST
+    collide in every band — both the oracled md5 variant and the fast
+    path report them with jaccard 1.0."""
+    from bigdata_project_spark.caching import release_cached
+    from bigdata_project_spark.registry import all_queries
+
+    base = "one two three four five six seven eight nine ten"
+    alt = "zz yy xx ww vv uu tt ss rr qq"
+    docs = [
+        (0, f"{base} alpha"),
+        (1, f"{base} alpha"),   # dup of 0
+        (2, f"{alt} beta"),
+        (3, f"{alt} beta"),     # dup of 2
+        (4, f"{base} gamma delta epsilon zeta eta theta"),
+        (5, f"{alt} iota kappa lambda mu nu xi"),
+    ]
+    d = tmp_path_factory.mktemp("fastmh")
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(1).write.parquet(
+        str(d / "documents.parquet")
+    )
+    qs = all_queries()
+    for name in ("dedup_minhash_lsh", "dedup_minhash_lsh_fast"):
+        exact = {
+            (r["doc_a"], r["doc_b"])
+            for r in qs[name](spark, str(d)).collect()
+            if r["jaccard"] == 1.0
+        }
+        release_cached(spark)
+        assert {(0, 1), (2, 3)} <= exact, name

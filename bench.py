@@ -64,6 +64,8 @@ HEADLINE = [
     "contamination_ngram_overlap",
     "pack_sequences_by_source",
     "quality_repetition_filter",
+    "training_corpus_manifest",
+    "dedup_minhash_lsh_fast",
 ]
 
 

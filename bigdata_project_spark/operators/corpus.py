@@ -551,3 +551,60 @@ def training_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("in_training_corpus"),
         )
     )
+
+
+@query(
+    "pack_sequences_global",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY source, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        FROM toks
+    )
+    SELECT doc_id, source, n_tokens,
+           cum_before // {_CTX_TOKENS} AS pack_id
+    FROM cum
+    """,
+    tags=("llm", "packing", "window", "two-stage"),
+)
+def pack_sequences_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL sequence packing — one corpus-wide pack numbering in
+    deterministic (source, doc_id) order — without ever sorting the
+    corpus into a single partition.
+
+    Two-stage cumsum: (1) the running count WITHIN each source is a
+    partition-parallel window (hashpartitioning(source)); (2) each
+    source's global OFFSET is the running total over per-source sums —
+    a window over #sources rows (tiny; the only SinglePartition work),
+    broadcast back onto the per-source rows. global_cumsum = offset +
+    within_cumsum, exactly the value a full ORDER BY cumsum produces
+    (the oracle computes it that way). This is the general recipe for
+    any global prefix aggregation at 100 TB: per-shard scan + shard-
+    summary reduction + broadcast join, never a global sort."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", F.size(words_col(F.col("text"))).alias("n_tokens"))
+    w_in = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    within = toks.withColumn(
+        "cum_in", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)).cast("long")
+    )
+    totals = toks.groupBy("source").agg(F.sum("n_tokens").cast("long").alias("src_total"))
+    w_src = W.orderBy("source").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "source", F.coalesce(F.sum("src_total").over(w_src), F.lit(0)).cast("long").alias("offset")
+    )
+    return (
+        within.join(F.broadcast(offsets), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.expr(f"(offset + cum_in) div {_CTX_TOKENS}").alias("pack_id"),
+        )
+    )

@@ -152,3 +152,13 @@ def test_incremental_merge_broadcasts_batch(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_incremental_merge")
     assert plan.count("BroadcastHashJoin") >= 2  # batch-hash probe + hits join
     assert "CartesianProduct" not in plan
+
+
+def test_global_packing_single_partition_only_for_offsets(spark, sf_dir):
+    # the global cumsum must come from per-source windows + a tiny
+    # offset table; the only SinglePartition work is the #sources-row
+    # offset window, never the document rows
+    plan = plan_of(spark, sf_dir, "pack_sequences_global")
+    assert "hashpartitioning(source" in plan
+    assert plan.count("Arguments: SinglePartition") == 1
+    assert "BroadcastHashJoin" in plan  # offsets joined back by broadcast

@@ -343,14 +343,20 @@ def sim_ann_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-band duplicates -> row_number top-5. Vectors ride the
     explode ({_N_BANDS}x duplication) to avoid two extra re-join
     shuffles at the candidate stage."""
+    from bigdata_project_spark.caching import tracked_persist
+
     emb = with_norm(load(spark, sf_dir, "embeddings"))
-    exploded = emb.select(
-        "vec_id",
-        "embedding",
-        "norm_sq",
-        F.posexplode(_all_band_buckets_col()).alias(
-            "band", "bucket"
-        ),
+    # persisted: the self-join has no ReusedExchange under AQE (one
+    # side becomes a BroadcastExchange), so without the cache BOTH
+    # sides recompute the 24 projection folds per row — the query's
+    # dominant map cost. Same pattern as dedup_minhash_lsh's sigs.
+    exploded = tracked_persist(
+        emb.select(
+            "vec_id",
+            "embedding",
+            "norm_sq",
+            F.posexplode(_all_band_buckets_col()).alias("band", "bucket"),
+        )
     )
     a = exploded.alias("a")
     b = exploded.alias("b")

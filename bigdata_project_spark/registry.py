@@ -147,10 +147,15 @@ def _ensure_loaded() -> None:
 
     _LOADED = True
 
+    # lenient: a stale name here must reorder less, not take down the
+    # whole driver contract (queries()/oracle_sql() are the product
+    # surface; raising would fail every query, not just the stale one)
     missing = [n for n in _DRIVER_FIRST if n not in REGISTRY]
     if missing:
-        raise RuntimeError(f"_DRIVER_FIRST names unknown queries: {missing}")
-    ordered = {n: REGISTRY[n] for n in _DRIVER_FIRST}
+        import sys
+
+        print(f"registry: _DRIVER_FIRST names unknown queries {missing}", file=sys.stderr)
+    ordered = {n: REGISTRY[n] for n in _DRIVER_FIRST if n in REGISTRY}
     ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
     REGISTRY.clear()
     REGISTRY.update(ordered)

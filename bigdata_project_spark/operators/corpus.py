@@ -125,7 +125,12 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id keys, uniform). Shingles come from the df-capped set, so
     a boilerplate shingle can neither blow up the probe nor count as
     contamination evidence."""
-    sh = shingle_df_capped(spark, sf_dir)
+    from bigdata_project_spark.caching import tracked_persist
+
+    # persisted: sh feeds the benchmark set, the per-doc counts, and
+    # the probe join — three consumers that would each re-run the
+    # shingling explode otherwise (same pattern as dedup_minhash_lsh)
+    sh = tracked_persist(shingle_df_capped(spark, sf_dir))
     is_bench = F.col("doc_id") % _BENCH_MOD == 0
     bench = sh.filter(is_bench).select("shingle").distinct()
     corpus = sh.filter(~is_bench)
@@ -508,8 +513,11 @@ def training_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     individually (split_train_val_test, corpus_clean_pipeline,
     contamination_ngram_overlap); this query is their end-to-end
     contract."""
+    from bigdata_project_spark.caching import tracked_persist
+
     docs = load(spark, sf_dir, "documents")
-    sh = shingle_df_capped(spark, sf_dir)
+    # persisted: three shingle consumers (bench set, counts, probe)
+    sh = tracked_persist(shingle_df_capped(spark, sf_dir))
     is_bench_doc = F.col("doc_id") % _BENCH_MOD == 0
     bench = sh.filter(is_bench_doc).select("shingle").distinct()
     n = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))

@@ -162,3 +162,33 @@ def test_global_packing_single_partition_only_for_offsets(spark, sf_dir):
     assert "hashpartitioning(source" in plan
     assert plan.count("Arguments: SinglePartition") == 1
     assert "BroadcastHashJoin" in plan  # offsets joined back by broadcast
+
+
+def test_exchange_budgets(spark, sf_dir):
+    """Shuffle-count regression guard: each query's exchange budget is
+    part of its scale contract — a refactor that adds an exchange is a
+    perf regression even when results stay correct. Budgets count
+    'Exchange ' occurrences in the AQE-final plan (broadcast exchanges
+    are counted separately by test_* asserts above)."""
+    budgets = {
+        # 1 hash exchange: partial -> final aggregate
+        "dedup_exact_hash": 1,
+        # repartition spread + the final aggregate only
+        "agg_pricing_summary": 1,
+        # per-source window + nothing else (packing is map-side after)
+        "pack_sequences_by_source": 1,
+        # repartition for the CPU-bound map; NO aggregation exchange
+        "quality_repetition_filter": 1,
+    }
+    for name, budget in budgets.items():
+        df = REGISTRY[name].fn(spark, sf_dir)
+        df.collect()
+        # AQE prints the final plan then an "Initial Plan" copy — count
+        # exchanges in the final section only
+        plan = df._jdf.queryExecution().executedPlan().toString().split("Initial Plan")[0]
+        n = (
+            plan.count("Exchange hashpartitioning")
+            + plan.count("Exchange rangepartitioning")
+            + plan.count("Exchange SinglePartition")
+        )
+        assert n <= budget, f"{name}: {n} exchanges > budget {budget}"

@@ -358,7 +358,7 @@ def agg_minmaxby(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_boolean_family",
     oracle="""
     SELECT o_orderpriority,
-           count_if(o_totalprice > 200000) AS n_big,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
            CAST(bool_and(o_totalprice > 1000) AS INT) AS all_over_1k,
            CAST(bool_or(o_orderstatus = 'F') AS INT) AS any_finished,
            CAST(bool_and(o_custkey IS NOT NULL) AS INT) AS all_have_cust

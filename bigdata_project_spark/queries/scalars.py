@@ -362,3 +362,48 @@ def scalar_csv_column_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("s").alias("parsed_status"),
         parsed.getField("p").cast("double").alias("parsed_price"),
     )
+
+
+@query(
+    "scalar_interval_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           EXTRACT(year FROM o_orderdate) AS y,
+           EXTRACT(quarter FROM o_orderdate) AS q,
+           EXTRACT(month FROM o_orderdate) AS m,
+           CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+           CAST(week(o_orderdate) AS INT) AS iso_week,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_1995,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           epoch_us(o_orderdate + INTERVAL 90 DAY + INTERVAL 12 HOUR) AS plus_90d12h_us
+    FROM orders WHERE o_orderkey % 50 = 0
+    """,
+    tags=("scalar", "datetime", "interval"),
+)
+def scalar_interval_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar/interval arithmetic family: field extraction (year/
+    quarter/month/ISO weekday/ISO week), day difference against an
+    epoch, month truncation and last-day, and timestamp + compound
+    interval — all UTC, all integer-calendar math, so both engines
+    agree exactly. Cross-engine portability notes: Spark dayofweek is
+    1=Sunday while DuckDB dayofweek is 0=Sunday, so the ISO form
+    (weekday+1 == isodow) is the portable one; day-granularity
+    datediff counts calendar-date boundaries identically in both;
+    timestamps are emitted as epoch micros per the registry contract."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.quarter(d).alias("q"),
+        F.month(d).alias("m"),
+        (F.expr("weekday(o_orderdate)") + 1).alias("iso_dow"),
+        F.weekofyear(d).alias("iso_week"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias("days_since_1995"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.last_day(d.cast("date")), "yyyy-MM-dd").alias("month_end"),
+        F.unix_micros(d + F.expr("INTERVAL 90 DAYS") + F.expr("INTERVAL 12 HOURS")).alias(
+            "plus_90d12h_us"
+        ),
+    )

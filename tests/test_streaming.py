@@ -152,3 +152,37 @@ def test_kafka_decode_path_with_rate_source(spark, tmp_path):
         assert all(isinstance(r["user_id"], int) for r in rows)
     finally:
         q.stop()
+
+
+def test_state_store_introspection(spark, sf_dir, tmp_path):
+    """Spark 4 state data source: the ops story for stateful streaming
+    at scale — read a checkpoint's state stores as DataFrames to audit
+    state size without instrumenting the job. Asserts the dedup
+    operator's state is bounded by the distinct key count (the
+    state-explosion failure mode this introspection exists to catch)
+    and the agg operator holds one row per group."""
+    from bigdata_project_spark.streaming.pipeline import read_events_stream
+
+    ckpt = str(tmp_path / "ckpt")
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    dedup = ev.dropDuplicates(["user_id", "event_type"]).groupBy("event_type").count()
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("state_introspect")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_types = batch.select("event_type").distinct().count()
+    n_keys = batch.select("user_id", "event_type").distinct().count()
+
+    agg_state = spark.read.format("statestore").load(ckpt)  # operatorId 0 = the agg
+    assert agg_state.count() == n_types
+    dedup_state = (
+        spark.read.format("statestore").option("operatorId", 1).load(ckpt)
+    )
+    assert dedup_state.count() == n_keys

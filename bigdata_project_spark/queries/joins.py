@@ -353,3 +353,47 @@ def join_hint_broadcast_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY r_name
         """
     )
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, NULLIF(o_orderpriority, '1-URGENT') AS pri_key, o_totalprice
+        FROM orders
+    ),
+    w AS (
+        SELECT NULLIF(p, '1-URGENT') AS pri_key, wgt FROM (VALUES
+            ('1-URGENT', 5), ('2-HIGH', 4), ('3-MEDIUM', 3),
+            ('4-NOT SPECIFIED', 2), ('5-LOW', 1)) AS t(p, wgt)
+    )
+    SELECT w.wgt AS wgt,
+           COUNT(*) AS n_orders,
+           MIN(o.o_orderkey) AS min_key
+    FROM o JOIN w ON o.pri_key IS NOT DISTINCT FROM w.pri_key
+    GROUP BY w.wgt
+    """,
+    tags=("join", "null-safe"),
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match NULL keys instead of vanishing — the semantics needed when a
+    dimension legitimately keys on 'unknown'. Both sides derive a
+    nullable key (urgent priority -> NULL) so the null bucket is
+    non-empty and its matching is actually exercised. Plan note: <=>
+    is still an equi-join condition, so Catalyst uses a hash join
+    (broadcast here — the weight table is 5 rows), never a
+    nested-loop; null keys hash like any other value."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("pri_key"),
+    )
+    w = spark.createDataFrame(
+        [("1-URGENT", 5), ("2-HIGH", 4), ("3-MEDIUM", 3), ("4-NOT SPECIFIED", 2), ("5-LOW", 1)],
+        ["p", "wgt"],
+    ).select(F.nullif(F.col("p"), F.lit("1-URGENT")).alias("pri_key"), "wgt")
+    return (
+        o.join(F.broadcast(w), o["pri_key"].eqNullSafe(w["pri_key"]))
+        .groupBy("wgt")
+        .agg(F.count("*").alias("n_orders"), F.min("o_orderkey").alias("min_key"))
+    )

@@ -156,3 +156,33 @@ def sort_multicol_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice").orderBy(
         "o_orderstatus", F.desc("o_orderpriority"), F.desc("o_totalprice"), "o_orderkey"
     ).limit(50)
+
+
+@query(
+    "setop_union_by_name_missing",
+    oracle="""
+    SELECT region_name, n_nations, src FROM (
+        SELECT r_name AS region_name, NULL::BIGINT AS n_nations, 'regions' AS src FROM region
+        UNION ALL BY NAME
+        SELECT CAST(NULL AS VARCHAR) AS region_name, COUNT(*) AS n_nations, 'nations' AS src
+        FROM nation GROUP BY 1
+    ) t
+    """,
+    tags=("setop", "union", "schema-evolution"),
+)
+def setop_union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: unionByName(allowMissingColumns=True)
+    aligns columns by NAME and null-fills the gaps — the operation a
+    lake needs when appending batches whose schema gained or lost a
+    column (positional UNION would silently misalign). Oracle is
+    DuckDB's UNION ALL BY NAME with explicit NULL columns."""
+    r = load(spark, sf_dir, "region").select(
+        F.col("r_name").alias("region_name"), F.lit("regions").alias("src")
+    )
+    n = (
+        load(spark, sf_dir, "nation")
+        .groupBy()
+        .agg(F.count("*").alias("n_nations"))
+        .select("n_nations", F.lit("nations").alias("src"))
+    )
+    return r.unionByName(n, allowMissingColumns=True).select("region_name", "n_nations", "src")

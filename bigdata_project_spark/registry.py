@@ -55,9 +55,32 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
     return deco
 
 
+def _released_build(fn: QueryFn) -> QueryFn:
+    """Release the calling session's previously-tracked caches before
+    building the next query. Sequential sweeps (the external harness,
+    bench, the local oracle gate) materialize each query fully before
+    building the next but never call release_cached themselves — so
+    tracked persists would otherwise accumulate across hundreds of
+    builds and eventually exhaust the driver heap (observed as a
+    java.lang.OutOfMemoryError late in a 139-query x 3-scale sweep on
+    a default-sized JVM). Contract: one in-flight cached query per
+    session; callers that interleave builds of multiple cached queries
+    should call REGISTRY[name].fn directly."""
+    import functools
+
+    from bigdata_project_spark.caching import release_cached
+
+    @functools.wraps(fn)
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_cached(spark)
+        return fn(spark, sf_dir)
+
+    return build
+
+
 def all_queries() -> dict[str, QueryFn]:
     _ensure_loaded()
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: _released_build(spec.fn) for name, spec in REGISTRY.items()}
 
 
 def all_oracles() -> dict[str, str]:

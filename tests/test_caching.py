@@ -37,3 +37,21 @@ def test_clustering_loop_frees_superseded_checkpoints(spark, sf_dir):
     assert df.count() > 0
     release_cached(spark)
     assert persistent_rdd_ids(spark) == set()
+
+
+def test_sequential_sweep_bounds_cache_accumulation(spark, sf_dir):
+    """A plain sequential sweep through queries() (the external
+    harness shape — build, materialize, next, never releasing) must
+    not accumulate tracked caches: each build releases the previous
+    query's. Regression test for the heap exhaustion a 139x3 sweep
+    hit when persists piled up un-released."""
+    from bigdata_project_spark.registry import all_queries
+
+    qs = all_queries()
+    release_cached(spark)
+    for name in ["dedup_minhash_lsh", "contamination_ngram_overlap", "sim_ann_lsh_banded"]:
+        qs[name](spark, sf_dir).count()
+        # caches of at most ONE query are live at any point
+        assert len(persistent_rdd_ids(spark)) <= 3, name
+    release_cached(spark)
+    assert persistent_rdd_ids(spark) == set()

@@ -616,3 +616,113 @@ def pack_sequences_global(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"(offset + cum_in) div {_CTX_TOKENS}").alias("pack_id"),
         )
     )
+
+
+# ------------------------------------------- fixed-k stratum sample
+
+_SAMPLE_K = 50
+
+
+@query(
+    "sample_fixed_k_per_stratum",
+    oracle=f"""
+    SELECT lang, doc_id, hash_rank FROM (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS hash_rank
+        FROM documents
+    ) t WHERE hash_rank <= {_SAMPLE_K}
+    """,
+    tags=("llm", "sample", "stratified"),
+)
+def sample_fixed_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE stratified sampling: exactly min(k, |stratum|) docs
+    per language, chosen by md5(doc_id) rank — the deterministic way
+    to carve a fixed-budget eval set per stratum (rate-based sampling,
+    `sample_stratified_hash`, cannot guarantee an exact count). The
+    hash order is uniform and reproducible across runs/engines/
+    partitionings, and adding documents to a stratum only displaces
+    boundary members rather than reshuffling the whole sample.
+
+    Scale: one shuffle on lang for the rank window; Spark compiles the
+    rank<=k filter to WindowGroupLimit, so each map task keeps only
+    its local top-k before the exchange — the shuffle carries
+    O(k x partitions), not the corpus."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("hash_rank"))
+        .filter(F.col("hash_rank") <= _SAMPLE_K)
+    )
+
+
+# ------------------------------------------------- rarity quality score
+
+_RARITY_SCALE = 10**9
+
+
+@query(
+    "text_rarity_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS token
+        FROM documents
+    ),
+    df AS (SELECT token, COUNT(*) AS n_docs FROM toks GROUP BY token),
+    scored AS (
+        SELECT t.doc_id,
+               COUNT(*) AS n_distinct_tokens,
+               SUM({_RARITY_SCALE} // d.n_docs) AS inv_sum
+        FROM toks t JOIN df d ON d.token = t.token
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_distinct_tokens,
+           CAST(inv_sum AS BIGINT) AS inv_sum,
+           CAST(inv_sum AS DOUBLE) / CAST(n_distinct_tokens AS DOUBLE) / {_RARITY_SCALE}.0e0
+             AS rarity_score
+    FROM scored
+    """,
+    tags=("llm", "quality", "text"),
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram rarity score — the CCNet-style 'how unusual is this
+    document's vocabulary' quality signal: mean inverse document
+    frequency over the doc's distinct tokens. High scores flag docs
+    full of tokens the corpus rarely uses (gibberish, boilerplate-free
+    rare content); low scores flag stopword soup.
+
+    Determinism: log-probabilities sum in engine-dependent order and
+    differ in last-ulp, so the score uses scaled INTEGER reciprocals —
+    floor(1e9 / df(token)) per token, summed exactly in any order —
+    and divides once at the end (exact int-to-double, one IEEE
+    division). Scale: token-df join shuffles on token (uniform after
+    the df aggregate's map-side combine), per-doc agg shuffles on
+    doc_id; no broadcast assumption on the vocabulary."""
+    docs = load(spark, sf_dir, "documents")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    toks = (
+        docs.repartition(n_part, "doc_id")
+        .select("doc_id", F.explode(F.array_distinct(words_col(F.col("text")))).alias("token"))
+    )
+    df_counts = toks.groupBy("token").agg(F.count("*").alias("n_docs"))
+    scored = (
+        toks.join(df_counts, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct_tokens"),
+            F.sum(F.expr(f"{_RARITY_SCALE} div n_docs")).alias("inv_sum"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_distinct_tokens",
+        F.col("inv_sum").cast("long").alias("inv_sum"),
+        (
+            F.col("inv_sum").cast("double")
+            / F.col("n_distinct_tokens").cast("double")
+            / F.lit(float(_RARITY_SCALE))
+        ).alias("rarity_score"),
+    )

@@ -192,3 +192,11 @@ def test_exchange_budgets(spark, sf_dir):
             + plan.count("Exchange SinglePartition")
         )
         assert n <= budget, f"{name}: {n} exchanges > budget {budget}"
+
+
+def test_fixed_k_sample_uses_window_group_limit(spark, sf_dir):
+    # rank<=k must compile to WindowGroupLimit: each map task keeps its
+    # local top-k before the exchange, so the shuffle carries
+    # O(k x partitions) — not the corpus
+    plan = plan_of(spark, sf_dir, "sample_fixed_k_per_stratum")
+    assert "WindowGroupLimit" in plan

@@ -137,3 +137,108 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         (F.col("o_totalprice") / total).alias("share_of_nation"),
     )
+
+
+@query(
+    "scd2_user_status_history",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM ordered
+        WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_us
+    FROM changes
+    """,
+    tags=("window", "scd2", "warehouse"),
+)
+def scd2_user_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build — the warehouse pattern for 'what was this
+    entity's state at time T': collapse each user's event stream to
+    status-CHANGE rows (lag inequality), then close each change's
+    validity interval with the next change's timestamp (lead); the
+    open interval (valid_to_us NULL) is the current state.
+
+    One shuffle: both windows partition by user_id with the same
+    (ts, event_id) total order, so Catalyst plans a single exchange +
+    sort and runs lag and lead in consecutive Window operators over
+    the same partitioning. (event_id breaks same-timestamp ties, so
+    the interval chain is engine-independent.)"""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
+    )
+
+
+@query(
+    "lake_merge_upsert_projection",
+    oracle="""
+    WITH target AS (SELECT doc_id, text FROM documents),
+    source AS (
+        SELECT doc_id, 'REVISED ' || text AS text
+        FROM documents WHERE doc_id % 10 = 9
+        UNION ALL
+        SELECT doc_id + 10000000, 'NEW DOC ' || CAST(doc_id AS VARCHAR)
+        FROM documents WHERE doc_id % 100 = 42
+    )
+    SELECT COALESCE(t.doc_id, s.doc_id) AS doc_id,
+           md5(COALESCE(s.text, t.text)) AS text_hash,
+           CAST(t.doc_id IS NOT NULL AND s.doc_id IS NOT NULL AS INT) AS was_updated,
+           CAST(t.doc_id IS NULL AS INT) AS was_inserted
+    FROM target t FULL OUTER JOIN source s ON s.doc_id = t.doc_id
+    """,
+    tags=("join", "merge", "warehouse"),
+)
+def lake_merge_upsert_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics as a projection — the upsert SELECT a lake
+    engine (Delta/Iceberg) compiles MERGE to: FULL OUTER JOIN target
+    with the change batch, take the source row when matched (update)
+    or unmatched-by-target (insert), else keep the target row. The
+    change batch is derived deterministically (every 10th doc revised,
+    every 100th+42 inserted under a shifted key) so both engines build
+    identical inputs.
+
+    Scale note: a real MERGE prunes the join to the partitions the
+    batch touches (file-level min/max on the key) — the FULL OUTER
+    here is the worst-case full-table form; with the batch small and
+    the join keyed on doc_id, AQE broadcasts the batch side and the
+    target is a single scan."""
+    docs = load(spark, sf_dir, "documents")
+    target = docs.select("doc_id", "text")
+    source = (
+        docs.filter(F.col("doc_id") % 10 == 9)
+        .select("doc_id", F.concat(F.lit("REVISED "), F.col("text")).alias("text"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 100 == 42).select(
+                (F.col("doc_id") + 10000000).alias("doc_id"),
+                F.concat(F.lit("NEW DOC "), F.col("doc_id").cast("string")).alias("text"),
+            )
+        )
+    )
+    t = target.alias("t")
+    s = source.alias("s")
+    return t.join(s, F.col("t.doc_id") == F.col("s.doc_id"), "full_outer").select(
+        F.coalesce("t.doc_id", "s.doc_id").alias("doc_id"),
+        F.md5(F.coalesce("s.text", "t.text")).alias("text_hash"),
+        (F.col("t.doc_id").isNotNull() & F.col("s.doc_id").isNotNull()).cast("int").alias("was_updated"),
+        F.col("t.doc_id").isNull().cast("int").alias("was_inserted"),
+    )

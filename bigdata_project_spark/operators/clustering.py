@@ -28,7 +28,12 @@ from pyspark.sql import functions as F
 
 import os
 
-from bigdata_project_spark.caching import free_rdd_ids, persistent_rdd_ids, track_rdd_ids
+from bigdata_project_spark.caching import (
+    free_rdd_ids,
+    persistent_rdd_ids,
+    track_rdd_ids,
+    tracked_persist,
+)
 from bigdata_project_spark.operators.dedup import (
     _SQL_SHINGLES,
     _SQL_SHINGLES_CAPPED,
@@ -249,3 +254,95 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_PR_SCALE = 1_000_000  # rank fixed-point scale
+_PR_ITERS = 3
+
+
+def _sql_pagerank_iter(i: int) -> str:
+    """One integer-PageRank round as a CTE pair: contributions =
+    rank div out_degree along each directed edge, then
+    new_rank = 0.15 + 0.85 * sum(in-contributions), all in scaled
+    integer arithmetic (div truncates identically in both engines)."""
+    return f"""
+    contrib{i} AS (
+        SELECT u.dst AS node, SUM(r{i}.rank_s // d.out_deg) AS in_sum
+        FROM und u
+        JOIN rank{i} r{i} ON r{i}.node = u.src
+        JOIN degree d ON d.node = u.src
+        GROUP BY u.dst
+    ),
+    rank{i + 1} AS (
+        SELECT r.node,
+               {_PR_SCALE * 15 // 100} + (85 * COALESCE(c.in_sum, 0)) // 100 AS rank_s
+        FROM rank{i} r LEFT JOIN contrib{i} c ON c.node = r.node
+    )"""
+
+
+@query(
+    "graph_pagerank_neardup",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    {_SQL_SHINGLES_CAPPED},
+    {_SQL_EDGES},
+    und AS (
+        SELECT doc_a AS src, doc_b AS dst FROM edges
+        UNION ALL SELECT doc_b, doc_a FROM edges
+    ),
+    degree AS (SELECT src AS node, COUNT(*) AS out_deg FROM und GROUP BY src),
+    rank0 AS (SELECT doc_id AS node, {_PR_SCALE} AS rank_s FROM documents),
+    {",".join(_sql_pagerank_iter(i) for i in range(_PR_ITERS))}
+    SELECT node AS doc_id, CAST(rank_s AS BIGINT) AS rank_scaled
+    FROM rank{_PR_ITERS}
+    """,
+    tags=("graph", "llm", "iterative", "pagerank"),
+)
+def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank (3 unrolled iterations, damping 0.85) over the
+    near-dup similarity graph — centrality identifies template hubs: a
+    document connected to many near-dups of each other is boilerplate
+    gravity, a better dedup keeper/drop signal than pair counts alone.
+
+    Two deliberate design points:
+    - FIXED iteration count, lazily unrolled: unlike the fixpoint loop
+      in connected_components (driver actions per round), 3 rounds
+      compose into ONE lazy plan — each round is a join + aggregate
+      re-using the und/degree partitioning, and the whole thing is
+      declarative, so the oracle is plain chained CTEs.
+    - INTEGER fixed-point arithmetic (rank x 1e6, div truncation):
+      float PageRank sums in engine/partition-dependent order and
+      diverges in last-ulp; scaled-integer contributions sum exactly
+      in any order, so both engines produce identical ranks.
+    """
+    docs = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
+    edges_lazy, sh = _edges_df(spark, sf_dir)
+    edges = tracked_persist(edges_lazy)
+    und = tracked_persist(
+        edges.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+            edges.selectExpr("doc_b AS src", "doc_a AS dst")
+        )
+    )
+    degree = und.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("out_deg"))
+    rank = docs.withColumn("rank_s", F.lit(_PR_SCALE).cast("long"))
+    base = F.lit(_PR_SCALE * 15 // 100).cast("long")
+    for _ in range(_PR_ITERS):
+        contrib = (
+            und.join(rank.withColumnRenamed("node", "src"), "src")
+            .join(degree.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("rank_s div out_deg")).alias("in_sum"))
+        )
+        rank = (
+            rank.select("node")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (base + F.expr("(85 * coalesce(in_sum, 0)) div 100")).alias("rank_s"),
+            )
+        )
+    # sh persists via _edges_df's internal .persist(); its only
+    # consumer is the edge build, which the persisted `edges` now
+    # caches, so it can be dropped as soon as the plan is assembled
+    sh.unpersist()
+    return rank.select(F.col("node").alias("doc_id"), F.col("rank_s").cast("long").alias("rank_scaled"))

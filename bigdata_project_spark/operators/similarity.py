@@ -218,9 +218,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join at 100 TB; recall is tuned by the number of
     hyperplanes/bands (documented trade-off vs. the brute-force
     variant in sim_knn_bruteforce)."""
+    from bigdata_project_spark.caching import tracked_persist
+
     emb = with_norm(load(spark, sf_dir, "embeddings"))
     bucket = F.concat_ws("", *[(_proj_col(j) >= 0).cast("int").cast("string") for j in range(_N_PLANES)])
-    bucketed = emb.withColumn("bucket", bucket)
+    # persisted for the same reason as the banded variant: the
+    # self-join gets no ReusedExchange under AQE, so both sides would
+    # recompute the projections and norms
+    bucketed = tracked_persist(emb.withColumn("bucket", bucket))
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     cosine = _dot_col("a.embedding", "b.embedding") / (

@@ -70,23 +70,32 @@ def free_rdd_ids(spark: SparkSession, ids: set[int], blocking: bool = False) -> 
             rdd.unpersist(blocking)
 
 
-def release_cached(spark: SparkSession | None = None, sweep_all: bool = False) -> int:
+def release_cached(
+    spark: SparkSession | None = None, sweep_all: bool = False, include_rdd_ids: bool = True
+) -> int:
     """Unpersist the framework-tracked DataFrames and checkpoint
     blocks. With a session, releases only that session's entries;
     without one, releases every session's tracked entries (teardown).
     sweep_all=True additionally unpersists EVERY persistent RDD in the
     session — only safe when the caller owns the whole session (e.g. a
-    dedicated bench/test process). Returns the number of tracked
-    DataFrames released."""
+    dedicated bench/test process). include_rdd_ids=False skips the
+    registered checkpoint blocks: unpersisting a plain cache merely
+    forces recompute, but freeing a localCheckpoint makes its
+    DataFrame unrecomputable, so pre-emptive releases (the registry's
+    build wrapper) must leave checkpoints for an explicit release.
+    Returns the number of tracked DataFrames released."""
     with _LOCK:
         if spark is None:
             dfs = [df for lst in _TRACKED.values() for df in lst]
             rdd_ids: set[int] = set().union(*_TRACKED_RDD_IDS.values()) if _TRACKED_RDD_IDS else set()
             _TRACKED.clear()
-            _TRACKED_RDD_IDS.clear()
+            if include_rdd_ids:
+                _TRACKED_RDD_IDS.clear()
+            else:
+                rdd_ids = set()
         else:
             dfs = _TRACKED.pop(id(spark), [])
-            rdd_ids = _TRACKED_RDD_IDS.pop(id(spark), set())
+            rdd_ids = _TRACKED_RDD_IDS.pop(id(spark), set()) if include_rdd_ids else set()
     n = len(dfs)
     for df in dfs:
         try:

@@ -72,7 +72,11 @@ def _released_build(fn: QueryFn) -> QueryFn:
 
     @functools.wraps(fn)
     def build(spark: SparkSession, sf_dir: str) -> DataFrame:
-        release_cached(spark)
+        # caches only — NOT checkpoint blocks: unpersisting a cache
+        # just forces recompute if the previous query is somehow still
+        # un-collected, but freeing a localCheckpoint would make a
+        # built-but-not-yet-collected clustering result unrecomputable
+        release_cached(spark, include_rdd_ids=False)
         return fn(spark, sf_dir)
 
     return build

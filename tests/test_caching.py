@@ -55,3 +55,20 @@ def test_sequential_sweep_bounds_cache_accumulation(spark, sf_dir):
         assert len(persistent_rdd_ids(spark)) <= 3, name
     release_cached(spark)
     assert persistent_rdd_ids(spark) == set()
+
+
+def test_deferred_collect_survives_next_build(spark, sf_dir):
+    """If a harness builds several queries before collecting them, the
+    pre-build auto-release must not break the earlier result: plain
+    caches may be dropped (recompute), but localCheckpoint blocks
+    backing a built-but-uncollected clustering result must survive."""
+    from bigdata_project_spark.registry import all_queries
+
+    qs = all_queries()
+    release_cached(spark)
+    comp = qs["dedup_cluster_components"](spark, sf_dir)   # checkpoints during build
+    other = qs["dedup_minhash_lsh"](spark, sf_dir)         # wrapper releases caches
+    assert comp.count() > 0                                # still computable
+    assert other.count() > 0
+    release_cached(spark)
+    assert persistent_rdd_ids(spark) == set()

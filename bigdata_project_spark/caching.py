@@ -23,15 +23,25 @@ available behind sweep_all=True for teardown paths.
 from __future__ import annotations
 
 import threading
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
 _LOCK = threading.Lock()
 # keyed by id(SparkSession): each session's tracked caches are
 # independent, and concurrent builders in other sessions (or threads
-# releasing for a different session) never interleave
+# releasing for a different session) never interleave.
+# _TRACKED is safe against id() reuse by construction: its DataFrames
+# hold a strong reference to their session, so the session cannot be
+# GC'd (and its id() recycled) while entries exist. _TRACKED_RDD_IDS
+# holds only ints, so each entry carries a weakref to the session it
+# was registered for — if a new session object ever reuses a GC'd
+# session's id(), the dead weakref exposes the entry as stale and its
+# RDD ids are dropped instead of being "freed" on the wrong session
+# (which would unpersist the new session's small-id RDDs, including
+# localCheckpoint blocks, making their DataFrames unrecomputable).
 _TRACKED: dict[int, list[DataFrame]] = {}
-_TRACKED_RDD_IDS: dict[int, set[int]] = {}
+_TRACKED_RDD_IDS: dict[int, tuple[weakref.ref, set[int]]] = {}
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:
@@ -46,7 +56,13 @@ def track_rdd_ids(spark: SparkSession, ids: set[int]) -> None:
     """Register framework-created persistent RDD ids (localCheckpoint
     blocks, which DataFrame.unpersist cannot reach) for release."""
     with _LOCK:
-        _TRACKED_RDD_IDS.setdefault(id(spark), set()).update(ids)
+        entry = _TRACKED_RDD_IDS.get(id(spark))
+        if entry is None or entry[0]() is not spark:
+            # fresh session, or a stale entry from a GC'd session whose
+            # id() this session happens to reuse — never inherit it
+            _TRACKED_RDD_IDS[id(spark)] = (weakref.ref(spark), set(ids))
+        else:
+            entry[1].update(ids)
 
 
 def persistent_rdd_ids(spark: SparkSession) -> set[int]:
@@ -84,29 +100,45 @@ def release_cached(
     DataFrame unrecomputable, so pre-emptive releases (the registry's
     build wrapper) must leave checkpoints for an explicit release.
     Returns the number of tracked DataFrames released."""
+    # (session weakref, ids) pairs to free — resolved per-entry so the
+    # no-session teardown path frees each id set on the session that
+    # registered it (entries whose session is already GC'd are dropped:
+    # a dead session's blocks die with its JVM-side context, and
+    # "freeing" them via an id-reusing new session would hit the wrong
+    # RDDs)
+    to_free: list[tuple[SparkSession, set[int]]] = []
     with _LOCK:
         if spark is None:
             dfs = [df for lst in _TRACKED.values() for df in lst]
-            rdd_ids: set[int] = set().union(*_TRACKED_RDD_IDS.values()) if _TRACKED_RDD_IDS else set()
             _TRACKED.clear()
             if include_rdd_ids:
+                for ref, ids in _TRACKED_RDD_IDS.values():
+                    s = ref()
+                    if s is not None:
+                        to_free.append((s, ids))
                 _TRACKED_RDD_IDS.clear()
-            else:
-                rdd_ids = set()
         else:
             dfs = _TRACKED.pop(id(spark), [])
-            rdd_ids = _TRACKED_RDD_IDS.pop(id(spark), set()) if include_rdd_ids else set()
+            if include_rdd_ids:
+                entry = _TRACKED_RDD_IDS.pop(id(spark), None)
+                # guard against id() reuse: only free ids registered
+                # for THIS session object
+                if entry is not None and entry[0]() is spark:
+                    to_free.append((spark, entry[1]))
     n = len(dfs)
     for df in dfs:
         try:
             df.unpersist()
         except Exception:
             pass  # session may already be stopped
-    if spark is not None:
+    for s, ids in to_free:
         try:
-            free_rdd_ids(spark, rdd_ids)
-            if sweep_all:
-                free_rdd_ids(spark, persistent_rdd_ids(spark))
+            free_rdd_ids(s, ids)
+        except Exception:
+            pass
+    if spark is not None and sweep_all:
+        try:
+            free_rdd_ids(spark, persistent_rdd_ids(spark))
         except Exception:
             pass
     return n

@@ -78,11 +78,18 @@ def shingle_df(spark: SparkSession, sf_dir: str, n: int = SHINGLE_N) -> DataFram
     rows for the bucket/candidate joins.
     """
     # the testbed table is a single parquet file -> one input split;
-    # shingling is CPU-bound, so spread it across the executor cores
-    # (on a real lake the scan itself yields many splits and this
-    # repartition is a no-op cost-wise: it moves only doc_id+text)
+    # shingling is CPU-bound, so spread it across the executor cores.
+    # CONDITIONAL: on a real multi-split lake the scan already yields
+    # >= cores splits and the repartition would be a gratuitous full
+    # (doc_id, text) shuffle — so it only fires when the scan has
+    # fewer files than target partitions. inputFiles() is a driver-side
+    # metadata call (no job); it undercounts splits for huge files
+    # (maxPartitionBytes splits those further), which only makes the
+    # gate more conservative in the direction of keeping parallelism.
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = load(spark, sf_dir, "documents").repartition(n_part, "doc_id")
+    docs = load(spark, sf_dir, "documents")
+    if len(docs.inputFiles()) < n_part:
+        docs = docs.repartition(n_part, "doc_id")
     words = words_col(F.col("text"))
     n_sh = F.size(words) - (n - 1)
     shingles = F.when(

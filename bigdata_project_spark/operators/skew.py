@@ -21,19 +21,28 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _salt_col(salt_source: str | Column | None, n_salts: int) -> Column:
-    """Deterministic-plan salt in [0, n_salts). Prefer a real
-    roughly-uniform column; the fallback hashes a per-ROW id
-    (monotonically_increasing_id) rather than spark_partition_id —
-    partition id is constant within an input partition, so a hot key
-    read from few partitions would get almost no spread (effective
-    salt cardinality = number of partitions holding the key). Row-id
-    values vary across retries, but correctness never depends on WHICH
-    salt a row gets — only that the merge stage recombines all salts.
-    """
+def _salt_col(df: DataFrame, salt_source: str | Column | None, n_salts: int) -> Column:
+    """Deterministic salt in [0, n_salts) — deterministic per ROW
+    VALUE, not merely per plan. Prefer a real roughly-uniform column;
+    the fallback hashes ALL of the row's columns.
+
+    Why value-determinism matters: under a fetch-failure PARTIAL stage
+    retry, Spark recomputes only the lost map tasks and does NOT treat
+    expression-level nondeterminism as making the stage indeterminate
+    (SPARK-23207 class). A salt from monotonically_increasing_id() or
+    spark_partition_id() can differ between the original and retried
+    attempt, moving rows to different reduce partitions — rows then
+    get double-counted (consumed by the original attempt's reducer AND
+    the retry's) or lost. A salt that is a pure function of the row's
+    column values lands every row in the same reduce partition on
+    every attempt, so salted joins/aggregates stay exactly-once under
+    partial retries. (Duplicate rows sharing a salt is fine — spread
+    degrades only if the hot key's rows are near-identical across ALL
+    columns, in which case no row-level salt can help and the caller
+    should pre-aggregate.)"""
     src = F.col(salt_source) if isinstance(salt_source, str) else salt_source
     if src is None:
-        src = F.monotonically_increasing_id()
+        src = F.struct(*[F.col(c) for c in df.columns])
     return F.pmod(F.hash(src), F.lit(n_salts))
 
 
@@ -54,7 +63,7 @@ def salted_join(
     finds its dim row. Each hot key now spreads over n_salts shuffle
     partitions.
     """
-    salted_fact = fact.withColumn("_salt", _salt_col(salt_source, n_salts))
+    salted_fact = fact.withColumn("_salt", _salt_col(fact, salt_source, n_salts))
     salted_dim = dim.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
     joined = salted_fact.join(salted_dim, on=[key, "_salt"], how=how)
     return joined.drop("_salt")
@@ -73,7 +82,7 @@ def two_stage_agg(
     `aggs` maps output name -> (partial_agg_expr, merge_agg_expr_over
     _partial); e.g. {"n": (F.count("*"), F.sum("n"))}.
     """
-    salted = df.withColumn("_salt", _salt_col(salt_source, n_salts))
+    salted = df.withColumn("_salt", _salt_col(df, salt_source, n_salts))
     partial = salted.groupBy(key, "_salt").agg(
         *[expr.alias(name) for name, (expr, _) in aggs.items()]
     )

@@ -302,11 +302,17 @@ def agg_sketch_hll_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-size state, map-side combinable, and unionable across days
     (hll_union_agg) without rescanning history."""
     e = load(spark, sf_dir, "events")
+    # top-k over CAST(value AS BIGINT), not raw value: the raw doubles
+    # are near-unique so "top" would be tie-noise; the int buckets have
+    # ~100-200 distinct values per group — real heavy hitters, and few
+    # enough that the space-saving sketch tracks them exactly (counts
+    # are exact when cardinality <= maxItemsTracked), which is what
+    # lets tests/test_approx.py put a hard bound on the output
     return (
         e.groupBy("event_type")
         .agg(
             F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("approx_users"),
-            F.expr("approx_top_k(value, 3)").alias("top_values"),
+            F.expr("approx_top_k(CAST(value AS BIGINT), 3)").alias("top_values"),
             F.count("*").alias("n_events"),
         )
         .select("event_type", "approx_users", F.to_json("top_values").alias("top_values_json"), "n_events")

@@ -95,71 +95,78 @@ def all_oracles() -> dict[str, str]:
 _LOADED = False
 
 # Externally-verified-first ordering. The driver's correctness harness
-# checks the first 50 registered queries each round; rounds 1-2 covered
-# the LLM-pipeline + aggregate half of the surface (all green — see
-# CORRECTNESS_r01/r02.json), so round 3 front-loads the families that
-# have only local verification so far: joins, windows, set operations,
-# sorts, generators, subqueries, streaming, and Arrow queries. Queries
-# not named here keep their registration (import) order after these.
+# checks the first 50 registered queries each round. Rounds 1-3
+# hash-verified 97 distinct queries (CORRECTNESS_r01-r03.json); round 4
+# front-loads the 43 oracled queries that have never had a driver row
+# (the events batch family, 16 scalar families, the round-3 corpus
+# operators, SCD2/MERGE, PageRank, null-safe join, union-by-name,
+# vn_listing_normalize), plus `sample_tablesample` (its only driver
+# rows predate the determinism fix in commit 8505300) and six
+# re-verification slots for r2-green queries whose modules were edited
+# in r3 after their green rows (the shingle-cap and HOF rewrites).
+# No-oracle queries are deliberately excluded — a rows-only row wastes
+# a window slot. Queries not named here keep their registration
+# (import) order after these.
 _DRIVER_FIRST: tuple[str, ...] = (
-    # joins (§2.3)
-    "join_revenue_per_nation",
-    "join_broadcast_brand_volume",
-    "join_left_outer_customer_orders",
-    "join_full_outer_nation_presence",
-    "join_semi_big_spenders",
-    "join_anti_never_ordered",
-    "join_range_price_bands",
-    "join_asof_purchase_click",
-    "join_cross_region_status",
-    "join_shipping_priority_top10",
-    "join_hint_broadcast_sql",
-    # windows (§2.5)
-    "window_top3_per_segment",
-    "window_rank_family",
-    "window_lag_lead_price_delta",
-    "window_running_spend",
-    "window_range_frame_30d",
-    "window_first_last_nth",
-    # set operations (§2.7)
-    "setop_union_all_nation_rows",
-    "setop_union_distinct",
-    "setop_intersect_buyers_building",
-    "setop_except_nonbuilding_buyers",
-    "setop_intersect_all_multiset",
-    "setop_except_all_multiset",
-    # sorts / limits (§2.6)
-    "sort_top100_orders",
-    "sort_multicol_limit",
-    "sort_null_ordering",
-    # generators (§2.8 array family)
-    "generator_posexplode_embedding_head",
-    "generator_explode_outer_empty",
-    "generator_stack_unpivot",
-    "generator_inline_struct_array",
-    "generator_unpivot_native",
-    # subquery surface + SQL-dialect bonus (§2.3 bonus)
-    "sub_exists_urgent_buyers",
-    "sub_not_exists_no_big_order",
-    "sub_in_top_nation_buyers",
-    "sub_scalar_correlated_max_item",
-    "join_lateral_top2_per_nation",
-    "cte_recursive_price_histogram",
-    "sql_group_by_all_daily",
-    "agg_listagg_nations_per_region",
-    "scalar_variant_props_extract",
-    "agg_sketch_hll_topk",
-    # streaming (§2.9 — availableNow micro-batch, batch-equivalent output)
-    "stream_tumbling_hourly",
-    "stream_dedup_user_type",
-    "stream_stream_interval_join",
-    "stream_sliding_30m_10m",
-    "stream_session_30m",
-    "stream_static_join_weighted",
-    "stream_stateful_max_jump",
-    # Arrow-native map/grouped-map (§2.10)
-    "arrow_map_component_stats",
-    "arrow_grouped_label_extremes",
+    # events batch family (§2.9 batch twins) — never driver-checked
+    "events_tumbling_hourly",
+    "events_sliding_1h_15m",
+    "events_session_30m",
+    "events_dedup_first_arrival",
+    "events_rate_per_type_day",
+    "events_funnel_view_click_purchase",
+    "events_retention_cohort",
+    "events_gapfill_hourly",
+    # round-3 corpus / training-data operators (§2.10) — never driver-checked
+    "graph_pagerank_neardup",
+    "pack_sequences_by_source",
+    "pack_sequences_global",
+    "contamination_ngram_overlap",
+    "scrub_pii_stats",
+    "split_train_val_test",
+    "quality_repetition_filter",
+    "dedup_incremental_merge",
+    "training_corpus_manifest",
+    "sample_fixed_k_per_stratum",
+    "text_rarity_score",
+    "multimodal_feature_knn",
+    # lakehouse maintenance (§2.10) — never driver-checked
+    "scd2_user_status_history",
+    "lake_merge_upsert_projection",
+    # scalar families (§2.8) — never driver-checked
+    "scalar_string_functions",
+    "scalar_date_functions",
+    "scalar_math_guarded",
+    "scalar_null_handling",
+    "scalar_array_functions",
+    "scalar_json_extraction",
+    "scalar_case_conversion",
+    "scalar_regexp_family",
+    "scalar_url_parse",
+    "scalar_csv_column_codec",
+    "scalar_interval_datetime",
+    "scalar_try_functions",
+    "scalar_bit_binary_ops",
+    "scalar_array_set_algebra",
+    "scalar_date_construction",
+    "scalar_map_higher_order",
+    # aggregate families (§2.4) — never driver-checked
+    "agg_boolean_family",
+    "agg_bitwise",
+    # join / setop stragglers (§2.3, §2.7) — never driver-checked
+    "join_null_safe_eq",
+    "setop_union_by_name_missing",
+    # reference-parity normalization (§2.2) — never driver-checked
+    "vn_listing_normalize",
+    # deterministic since commit 8505300; prior driver rows predate the fix
+    "sample_tablesample",
+    # re-verification: r2-green but their modules were edited in r3
+    "dedup_ngram_jaccard",
+    "dedup_cluster_components",
+    "corpus_clean_pipeline",
+    "sim_ann_lsh_banded",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
 )
 
 

@@ -89,9 +89,11 @@ def test_driver_window_is_the_intended_fifty():
     names = list(all_queries())
     assert len(_DRIVER_FIRST) == 50
     assert names[: len(_DRIVER_FIRST)] == list(_DRIVER_FIRST)
-    # and every pinned query still has an oracle unless rows-only by design
+    # every pinned query has a full DuckDB oracle — a rows-only query
+    # in the window would burn a hash-verification slot (round-3
+    # lesson: agg_sketch_hll_topk produced the round's only non-pass)
     from bigdata_project_spark.registry import all_oracles
 
     oracles = all_oracles()
     rows_only = {n for n in _DRIVER_FIRST if n not in oracles}
-    assert rows_only == {"agg_sketch_hll_topk"}, rows_only
+    assert rows_only == set(), rows_only

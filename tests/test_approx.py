@@ -19,3 +19,56 @@ def test_approx_count_distinct_within_rsd_bound(spark, sf_dir):
         assert abs(approx - exact) <= max(0.05 * exact, 2), (
             f"HLL estimate {approx} vs exact {exact} out of bound for {r}"
         )
+
+
+def test_datasketches_hll_topk_within_bound(spark, sf_dir):
+    """agg_sketch_hll_topk is rows-only at the driver (sketch
+    estimates are engine-specific), so bound it here. Per event type:
+
+    - the DataSketches HLL estimate must sit within 5 sigma of the
+      exact distinct-user count (default lgK=12 -> rsd
+      ~1.04/sqrt(2^12) ~1.6%; bound = 8.2% with integer slack);
+    - the int-bucket cardinality (~100-200) is below the space-saving
+      sketch's tracking capacity, so its counts are EXACT: the
+      reported top-1 count must equal the true max bucket count
+      (tie-robust — ties at the max pick an arbitrary item but always
+      the same count), and every reported item's count must equal
+      that item's exact count."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from bigdata_project_spark.tables import load
+
+    rows = REGISTRY["agg_sketch_hll_topk"].fn(spark, sf_dir).collect()
+    assert rows
+    e = load(spark, sf_dir, "events")
+    exact_users = {
+        r["event_type"]: r["exact_users"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .collect()
+    }
+    bucket_counts: dict[str, dict[int, int]] = {}
+    for r in (
+        e.groupBy("event_type", F.col("value").cast("bigint").alias("v"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ):
+        bucket_counts.setdefault(r["event_type"], {})[r["v"]] = r["n"]
+    for r in rows:
+        ex = exact_users[r["event_type"]]
+        assert abs(r["approx_users"] - ex) <= max(0.082 * ex, 2), (
+            f"HLL sketch estimate {r['approx_users']} vs exact {ex} for {r['event_type']}"
+        )
+        counts = bucket_counts[r["event_type"]]
+        top = json.loads(r["top_values_json"])
+        assert len(top) == 3
+        assert top[0]["count"] == max(counts.values()), (
+            f"top-1 count {top[0]} != true max {max(counts.values())} for {r['event_type']}"
+        )
+        for item in top:
+            assert counts.get(item["item"]) == item["count"], (
+                f"sketch count {item} != exact {counts.get(item['item'])} "
+                f"for {r['event_type']}"
+            )

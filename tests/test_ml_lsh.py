@@ -51,3 +51,24 @@ def test_minhash_lsh_similarity_join(spark, sf_dir):
     pairs = model.approxSimilarityJoin(feats, feats, 0.9, distCol="jaccard_dist")
     n = pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id")).count()
     assert n >= 0  # shape check; exact-variant parity is covered by dedup_ngram_jaccard's oracle
+
+
+def test_bucketed_lsh_didactic_matches_oracle(spark, sf_dir):
+    """The retired didactic baseline still matches its DuckDB oracle —
+    off the product surface (quadratic n²/16 join) but kept as the
+    reference implementation the banded/IVF shapes are validated
+    against conceptually."""
+    from bigdata_project_spark.operators.similarity import (
+        BUCKETED_LSH_ORACLE_SQL,
+        sim_ann_lsh_bucketed,
+    )
+    from tests.oracle import compare, duckdb_con
+
+    df = sim_ann_lsh_bucketed(spark, sf_dir)
+    con = duckdb_con(sf_dir)
+    try:
+        res = compare("sim_ann_lsh_bucketed", df, con, BUCKETED_LSH_ORACLE_SQL)
+        assert res.ok, res.detail
+        assert res.spark_rows > 0
+    finally:
+        con.close()

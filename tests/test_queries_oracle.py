@@ -22,6 +22,20 @@ def con(sf_dir):
 _MAY_BE_EMPTY: set[str] = set()
 
 
+@pytest.fixture(autouse=True)
+def _release_tracked_caches(spark):
+    """The sweep calls the unwrapped REGISTRY[name].fn, so it must do
+    the release the registry's _released_build wrapper gives external
+    consumers — otherwise tracked persists accumulate across the full
+    ~140-query x scale parametrized run and exhaust the driver heap.
+    Post-test release (not pre-) so each test also leaves the session
+    clean for whatever test file runs next."""
+    from bigdata_project_spark.caching import release_cached
+
+    yield
+    release_cached(spark)
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_matches_oracle(name, spark, sf_dir, con):
     spec = REGISTRY[name]

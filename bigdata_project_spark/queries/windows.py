@@ -203,3 +203,47 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
     )
+
+
+@query(
+    "window_forward_fill_ignore_nulls",
+    oracle="""
+    SELECT user_id, event_id,
+           epoch_us(ts) AS ts_us,
+           v AS raw_value,
+           LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        FROM events
+    )
+    WHERE user_id % 7 = 0
+    """,
+    tags=("window", "ignore-nulls", "gapfill"),
+)
+def window_forward_fill_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (LOCF) via IGNORE NULLS: error events lose their
+    reading; each row carries the most recent non-null value for the
+    same user. last_value(..., ignorenulls) over a running rows frame
+    is the scalable shape — one shuffle on the partition key, no
+    self-join, no loop; the (ts, event_id) tiebreak makes the fill
+    deterministic under concurrent-timestamp events. The standard
+    time-series repair primitive before windowed feature extraction."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0)
+    v = F.when(F.col("event_type") == "error", F.lit(None).cast("double")).otherwise(
+        F.col("value")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        v.alias("raw_value"),
+        F.last(v, ignorenulls=True).over(w).alias("filled_value"),
+    )

@@ -200,3 +200,48 @@ def test_fixed_k_sample_uses_window_group_limit(spark, sf_dir):
     # O(k x partitions) — not the corpus
     plan = plan_of(spark, sf_dir, "sample_fixed_k_per_stratum")
     assert "WindowGroupLimit" in plan
+
+
+def test_q6_predicates_reach_scan_no_join(spark, sf_dir):
+    # TPC-H Q6 is the canonical pushdown probe: bracket predicates in
+    # PushedFilters, pruned read schema, no join operator at all
+    plan = plan_of(spark, sf_dir, "tpch_q6_forecast_revenue")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity" in plan
+    assert "Join" not in plan
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_orderkey" not in read_schema and "l_returnflag" not in read_schema
+
+
+def test_q10_limit_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan  # nation side
+
+
+def test_q14_q19_part_join_broadcasts(spark, sf_dir):
+    for name in ("tpch_q14_promo_revenue", "tpch_q19_bracket_revenue"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_chunking_has_no_shuffle(spark, sf_dir):
+    # chunking must stay a pure per-row explode: any Exchange means a
+    # gratuitous full-text shuffle at 100 TB
+    plan = plan_of(spark, sf_dir, "chunk_documents_overlap")
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # posexplode survived
+
+
+def test_vocab_is_partial_agg_then_topk(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "vocab_top_terms")
+    # map-side combine before the token shuffle, then top-k without a
+    # global sort
+    assert plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_is_scan_side(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sample_quality_weighted")
+    assert "Exchange" not in plan and "Join" not in plan

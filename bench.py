@@ -66,6 +66,11 @@ HEADLINE = [
     "quality_repetition_filter",
     "training_corpus_manifest",
     "dedup_minhash_lsh_fast",
+    # round-4 additions
+    "tpch_q10_returned_items",
+    "tpch_q18_large_volume_customers",
+    "chunk_documents_overlap",
+    "vocab_top_terms",
 ]
 
 

@@ -335,3 +335,145 @@ def tpch_q22_windfall_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("totacctbal"),
         )
     )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+           year(l_shipdate) AS ship_year,
+           COUNT(*) AS n_lines,
+           {SQL_DSUM(_REV)} AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ((r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')
+        OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA'))
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    GROUP BY r1.r_name, r2.r_name, year(l_shipdate)
+    """,
+    tags=("join", "tpch", "multirole"),
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 at region grain (single nations are empty at the
+    smallest test scale): cross-region trade volume between ASIA and
+    EUROPE in either direction, by ship year. The same nation/region
+    dims join twice in different ROLES (supplier side vs customer
+    side) — both roles broadcast, so the 8-table plan still has only
+    the two fact-fact shuffles (lineitem x orders, orders x customer);
+    the OR'd direction pair evaluates post-join on broadcast columns."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("1997-12-31").cast("timestamp"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    supp_geo = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey", F.col("r_name").alias("supp_region"))
+    )
+    cust_geo = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("c_custkey", F.col("r_name").alias("cust_region"))
+    )
+    pair = (
+        ((F.col("supp_region") == "ASIA") & (F.col("cust_region") == "EUROPE"))
+        | ((F.col("supp_region") == "EUROPE") & (F.col("cust_region") == "ASIA"))
+    )
+    return (
+        li.join(F.broadcast(supp_geo), li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(cust_geo.withColumnRenamed("c_custkey", "cg_custkey")),
+              F.col("c_custkey") == F.col("cg_custkey"))
+        .filter(pair)
+        .groupBy("supp_region", "cust_region", F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+    WITH trade AS (
+        SELECT year(o_orderdate) AS order_year,
+               {_REV} AS rev,
+               CASE WHEN r1.r_name = 'ASIA' THEN {_REV} ELSE 0 END AS asia_rev
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+        WHERE r2.r_name = 'EUROPE' AND p_type = 'STANDARD'
+          AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    )
+    SELECT order_year,
+           COUNT(*) AS n_lines,
+           {SQL_DSUM('asia_rev')} AS asia_revenue,
+           {SQL_DSUM('rev')} AS total_revenue,
+           {SQL_DSUM('asia_rev')} / {SQL_DSUM('rev')} AS asia_share
+    FROM trade
+    GROUP BY order_year
+    """,
+    tags=("join", "tpch", "share"),
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 adapted (region supplier-origin, STANDARD parts):
+    ASIA suppliers' share of EUROPE customers' STANDARD-part spend per
+    order year. The share is a conditional aggregate over one joined
+    stream — no second scan, no self-join; every dim (both nation
+    roles, both regions, part, supplier geo) broadcasts, and the
+    quotient of two decimal-exact sums is cross-engine bit-exact."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("timestamp"))
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = load(spark, sf_dir, "supplier")
+    cust_eur = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == r.r_regionkey)
+        .select("c_custkey")
+    )
+    supp_region = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey", F.col("r_name").alias("supp_region"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    asia_rev = F.when(F.col("supp_region") == "ASIA", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_eur), o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp_region), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum(asia_rev).alias("asia_revenue"),
+            dsum(rev).alias("total_revenue"),
+            (dsum(asia_rev) / dsum(rev)).alias("asia_share"),
+        )
+    )

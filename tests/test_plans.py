@@ -245,3 +245,11 @@ def test_vocab_is_partial_agg_then_topk(spark, sf_dir):
 def test_weighted_sample_is_scan_side(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "sample_quality_weighted")
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_q7_q8_dim_roles_all_broadcast(spark, sf_dir):
+    # both nation/region roles (supplier-side and customer-side) must
+    # broadcast — the 8-table plans may not sort-merge a dim
+    for name in ("tpch_q7_volume_shipping", "tpch_q8_market_share"):
+        plan = plan_of(spark, sf_dir, name)
+        assert plan.count("BroadcastHashJoin") >= 4, name

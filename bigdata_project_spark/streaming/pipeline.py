@@ -69,8 +69,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = spark.readStream.schema(raw_schema).parquet(_stream_dir(sf_dir))
-    if dict(stream.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) read as long
+    ts_type = dict(stream.dtypes)["ts"]
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) read as long
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":  # ms-precision parquet; session tz is
+        # UTC so the cast changes type only — watermarks require TIMESTAMP
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

@@ -71,6 +71,8 @@ HEADLINE = [
     "tpch_q18_large_volume_customers",
     "chunk_documents_overlap",
     "vocab_top_terms",
+    "tpch_q9_product_type_profit",
+    "tpch_q21_waiting_suppliers",
 ]
 
 

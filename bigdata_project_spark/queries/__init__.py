@@ -13,6 +13,7 @@ from bigdata_project_spark.queries import (  # noqa: F401
     scalars,
     setops_sorts,
     subqueries,
+    tpch_full,
     tpch_more,
     vietnamese,
     windows,

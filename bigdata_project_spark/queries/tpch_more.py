@@ -2,9 +2,11 @@
 (SURVEY.md §2.3/§2.4 widening, round 4).
 
 The testbed's TPC-H-ish tables lack partsupp, l_shipmode,
-l_commitdate/l_receiptdate, c_phone and the comment columns, so the
-queries that hinge on those (Q2/Q4/Q9/Q11/Q12/Q16/Q20/Q21) cannot be
-expressed; the remaining classics are implemented faithfully:
+l_commitdate/l_receiptdate, c_phone and the comment columns; the
+queries that hinge on those (Q2/Q4/Q9/Q11/Q12/Q15/Q16/Q17/Q20/Q21)
+live in queries/tpch_full.py as documented adaptations that keep the
+reference plan shapes. This module holds the classics expressible
+almost verbatim:
 
 - Q6  forecast-revenue change (pure scan-side predicate bracket —
       whole query should collapse into the parquet scan + one partial

@@ -253,3 +253,63 @@ def test_q7_q8_dim_roles_all_broadcast(spark, sf_dir):
     for name in ("tpch_q7_volume_shipping", "tpch_q8_market_share"):
         plan = plan_of(spark, sf_dir, name)
         assert plan.count("BroadcastHashJoin") >= 4, name
+
+
+def test_q2_q16_q20_subquery_join_strategies(spark, sf_dir):
+    # Q2: correlated MIN decorrelated into a window over broadcast
+    # joins, top-k without a global sort
+    plan = plan_of(spark, sf_dir, "tpch_q2_min_cost_supplier")
+    assert "Window" in plan and "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    # Q16: NOT IN -> LEFT ANTI against the broadcast excluded set
+    plan = plan_of(spark, sf_dir, "tpch_q16_supplier_part_counts")
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    # Q20: nested IN -> aggregate + LEFT SEMI
+    plan = plan_of(spark, sf_dir, "tpch_q20_excess_shippers")
+    assert "LeftSemi" in plan
+
+
+def test_q4_exists_is_semi_join_with_pushdown(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q4_order_priority")
+    assert "LeftSemi" in plan
+    # quarter bracket reaches the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q9_single_fact_shuffle(spark, sf_dir):
+    # part + supplier-geo broadcast; lineitem x orders is the only
+    # sort-merge-eligible pair
+    plan = plan_of(spark, sf_dir, "tpch_q9_product_type_profit")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q11_q15_reuse_cached_aggregate(spark, sf_dir):
+    # the flow/revenue view must be computed once and reused for both
+    # the global scalar and the filter — no second fact scan
+    for name in ("tpch_q11_important_parts", "tpch_q15_top_supplier"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "InMemoryTableScan" in plan, name
+        from bigdata_project_spark.caching import release_cached
+
+        release_cached(spark)
+
+
+def test_q12_year_bracket_reaches_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q12_late_priority")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_q17_avg_join_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q17_small_quantity_revenue")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q21_decorrelated_single_lineitem_pass(spark, sf_dir):
+    # the EXISTS/NOT EXISTS pair is one per-(order,supplier) aggregate;
+    # the per-order rollup must reuse it (ReusedExchange under AQE),
+    # not re-join lineitem x orders
+    plan = plan_of(spark, sf_dir, "tpch_q21_waiting_suppliers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # supplier geo side

@@ -10,6 +10,7 @@ from bigdata_project_spark.operators import (  # noqa: F401
     chunking,
     clustering,
     corpus,
+    corpus_ext,
     dedup,
     multimodal,
     similarity,

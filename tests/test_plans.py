@@ -313,3 +313,37 @@ def test_q21_decorrelated_single_lineitem_pass(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "tpch_q21_waiting_suppliers")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # supplier geo side
+
+
+def test_gopher_rules_is_pure_map(spark, sf_dir):
+    # rule-based quality filtering must never shuffle the corpus
+    plan = plan_of(spark, sf_dir, "quality_gopher_rules")
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_mixture_weights_no_text_shuffle(spark, sf_dir):
+    # only the per-source aggregate shuffles (tiny); the normalizer is
+    # a 1-row broadcast — text never moves
+    plan = plan_of(spark, sf_dir, "mixture_source_weights")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "doc_id" not in read_schema  # pruned to source+text
+
+
+def test_inverted_index_filters_before_collect(spark, sf_dir):
+    # the kept-token set must broadcast into the pairs side so the
+    # posting-list collect only ever sees pre-bounded groups
+    plan = plan_of(spark, sf_dir, "index_inverted_postings")
+    assert "BroadcastHashJoin" in plan
+    assert "collect_set" in plan
+
+
+def test_zorder_key_is_codegen_arithmetic(spark, sf_dir):
+    # 64 shift-mask-or terms, all inside whole-stage codegen; a single
+    # small rollup on the bucket key
+    from bigdata_project_spark.registry import REGISTRY
+
+    df = REGISTRY["lake_zorder_key"].fn(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(1)" in executed  # codegen on the scan+project stage

@@ -346,3 +346,87 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # caches, so it can be dropped as soon as the plan is assembled
     sh.unpersist()
     return rank.select(F.col("node").alias("doc_id"), F.col("rank_s").cast("long").alias("rank_scaled"))
+
+
+@query(
+    "graph_triangle_stats",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    {_SQL_SHINGLES_CAPPED},
+    {_SQL_EDGES},
+    und AS (
+        SELECT doc_a AS src, doc_b AS dst FROM edges
+        UNION ALL SELECT doc_b, doc_a FROM edges
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM und GROUP BY src),
+    tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM edges ab
+        JOIN edges bc ON ab.doc_b = bc.doc_a
+        JOIN edges ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b
+    )
+    SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+           (SELECT COUNT(*) FROM deg) AS n_connected_nodes,
+           (SELECT SUM(d * (d - 1) / 2) FROM deg) AS n_wedges,
+           n_triangles,
+           CASE WHEN (SELECT SUM(d * (d - 1) / 2) FROM deg) > 0
+                THEN 3.0 * n_triangles / (SELECT SUM(d * (d - 1) / 2) FROM deg)
+                ELSE 0.0 END AS clustering_coefficient
+    FROM tri
+    """,
+    tags=("graph", "llm", "clustering"),
+)
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup similarity graph: edge count,
+    connected-node count, wedge count, triangle count, and the global
+    clustering coefficient (3 x triangles / wedges) — the standard
+    density diagnostic for whether near-dup clusters are cliques
+    (true duplicates) or chains (template drift).
+
+    Scale: triangles enumerate via two self-joins of the ORIENTED
+    edge list (doc_a < doc_b), so each triangle is counted exactly
+    once with no distinct pass. Both joins key on a single node
+    column — ordinary shuffle-hash joins, no cartesian — and the edge
+    list itself is pre-bounded by the shingle df cap, which bounds
+    the maximum degree and therefore the join fan-out. Wedge counts
+    are exact integer arithmetic; the coefficient is one double
+    division (engine-identical)."""
+    from bigdata_project_spark.caching import tracked_persist
+
+    edges_lazy, sh = _edges_df(spark, sf_dir)
+    edges = tracked_persist(edges_lazy)
+    tracked_persist(sh)
+    und = edges.select(F.col("doc_a").alias("src")).unionAll(
+        edges.select(F.col("doc_b").alias("src"))
+    )
+    deg = und.groupBy("src").agg(F.count("*").alias("d"))
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    node_wedge = deg.agg(
+        F.count("*").alias("n_connected_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("double").alias("n_wedges"),
+    )
+    ab, bc, ac = edges.alias("ab"), edges.alias("bc"), edges.alias("ac")
+    tri = (
+        ab.join(bc, F.col("ab.doc_b") == F.col("bc.doc_a"))
+        .join(
+            ac,
+            (F.col("ac.doc_a") == F.col("ab.doc_a")) & (F.col("ac.doc_b") == F.col("bc.doc_b")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        tri.join(F.broadcast(n_edges))
+        .join(F.broadcast(node_wedge))
+        .select(
+            "n_edges",
+            "n_connected_nodes",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coefficient"),
+        )
+    )

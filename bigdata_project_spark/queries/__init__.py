@@ -6,6 +6,7 @@ from bigdata_project_spark.queries import (  # noqa: F401
     aggregates,
     collections_ext,
     events,
+    events_ext,
     funnel,
     generators,
     joins,

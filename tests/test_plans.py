@@ -347,3 +347,27 @@ def test_zorder_key_is_codegen_arithmetic(spark, sf_dir):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "*(1)" in executed  # codegen on the scan+project stage
+
+
+def test_rollup_cascade_tiers_reaggregate(spark, sf_dir):
+    # three HashAggregate tiers (hour, day, month) — only the first
+    # one may shuffle wide; the upper tiers ride on tiny inputs
+    plan = plan_of(spark, sf_dir, "events_rollup_cascade")
+    assert plan.count("HashAggregate") >= 4  # 3 tiers, partial+final on the first
+
+
+def test_top_paths_single_fact_shuffle_and_topk(spark, sf_dir):
+    # per-group sort/truncate happens inside the (user, day)
+    # aggregate — no global Window over raw events; top-20 is
+    # TakeOrderedAndProject
+    plan = plan_of(spark, sf_dir, "events_top_paths")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_triangle_census_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "graph_triangle_stats")
+    assert "CartesianProduct" not in plan
+    from bigdata_project_spark.caching import release_cached
+
+    release_cached(spark)

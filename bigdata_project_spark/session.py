@@ -33,6 +33,11 @@ def get_spark(app_name: str = "bigdata_project_spark", cpus: str | None = None) 
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # the generated-class LRU defaults to 100 entries; a session
+        # that runs the whole 150+-query surface (bench, oracle sweep,
+        # the external harness) cycles far more distinct plans than
+        # that and would re-pay janino compiles on eviction
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
         # testbed events.parquet stores TIMESTAMP(NANOS) which Spark's
         # vectorized reader rejects; read as long and convert in load()
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -284,3 +284,55 @@ def multimodal_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("*", F.row_number().over(w).alias("rank")).filter(
         F.col("rank") <= _KNN_TOP_K
     )
+
+
+@query(
+    "multimodal_frame_sample_plan",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS duration_ms,
+           CAST(len([x FOR x IN generate_series(0, 7)
+                     IF CAST(floor(x * octet_length(encode(text)) / 8) AS BIGINT)
+                        < octet_length(encode(text))]) AS INT) AS n_frames,
+           [CAST(floor(x * octet_length(encode(text)) / 8) AS BIGINT)
+            FOR x IN generate_series(0, 7)
+            IF CAST(floor(x * octet_length(encode(text)) / 8) AS BIGINT)
+               < octet_length(encode(text))] AS frame_offsets_ms
+    FROM documents
+    WHERE octet_length(encode(text)) > 0
+    """,
+    tags=("multimodal", "llm", "plan"),
+)
+def multimodal_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform frame-sampling plan for media payloads: 8 sample
+    offsets per asset, offset_i = floor(i * duration / 8), using the
+    payload byte length as the duration stand-in (the real pipeline
+    reads duration from container metadata the same way — no decode
+    needed to PLAN the sampling). A video loader then seeks exactly
+    these offsets, so 100 TB of video is sampled with 8 range-reads
+    per asset instead of full scans.
+
+    Scale: pure map — one transform() over a literal 0..7 sequence
+    per row, integer arithmetic only (floor of exact integer division
+    on BIGINT), no shuffle, no Python. The offset filter (< duration)
+    trims assets shorter than the frame count, mirroring the oracle's
+    list-comprehension filter; division by 8 is a binary-exact scale,
+    so the floors agree across engines."""
+    p = _payload_df(spark, sf_dir)
+    dur = F.col("meta.n_bytes").cast("bigint")
+    offsets = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: F.floor(i.cast("bigint") * dur / F.lit(8)).cast("bigint"),
+        ),
+        lambda o: o < dur,
+    )
+    return (
+        p.filter(dur > 0)
+        .select(
+            "doc_id",
+            dur.cast("int").alias("duration_ms"),
+            F.size(offsets).alias("n_frames"),
+            offsets.alias("frame_offsets_ms"),
+        )
+    )

@@ -380,3 +380,43 @@ def agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_orderstatus") == "F").cast("int").alias("any_finished"),
         F.bool_and(F.col("o_custkey").isNotNull()).cast("int").alias("all_have_cust"),
     )
+
+
+@query(
+    "agg_mode_exact",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY o_orderstatus, o_orderpriority
+    )
+    SELECT o_orderstatus,
+           o_orderpriority AS mode_priority,
+           n AS mode_count
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                     ORDER BY n DESC, o_orderpriority DESC) AS rn
+        FROM c
+    )
+    WHERE rn = 1
+    """,
+    tags=("agg", "mode"),
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mode with a deterministic tiebreak: the most frequent
+    order priority per status (ties resolved to the lexicographically
+    largest value, so both engines pick the same winner — a bare
+    `mode()` is free to pick either and would flap the hash gate).
+
+    Scale: count-then-argmax — the first aggregate shrinks each group
+    to its distinct-value histogram (map-side combined), the argmax
+    is max_by over that tiny table; nothing resembling a sort of the
+    fact table. The struct(n, value) ordering IS the tiebreak."""
+    o = load(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+    return c.groupBy("o_orderstatus").agg(
+        F.max_by(
+            "o_orderpriority", F.struct("n", "o_orderpriority")
+        ).alias("mode_priority"),
+        F.max(F.struct("n", "o_orderpriority")).getField("n").alias("mode_count"),
+    )

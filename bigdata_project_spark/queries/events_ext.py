@@ -135,3 +135,70 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_user_days"), "path")
         .limit(20)
     )
+
+
+@query(
+    "events_anomaly_daily_zscore",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS x
+        FROM events
+        GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    trail AS (
+        SELECT user_id, day, x,
+               SUM(x)     OVER w AS s,
+               SUM(x * x) OVER w AS q,
+               COUNT(*)   OVER w AS n
+        FROM daily
+        WINDOW w AS (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id,
+           COUNT(*) AS n_days,
+           SUM(CASE WHEN n >= 3
+                    AND (n * x - s) * (n * x - s) * (n - 1) > 4 * n * (n * q - s * s)
+                    THEN 1 ELSE 0 END) AS n_anomalous
+    FROM trail
+    GROUP BY user_id
+    """,
+    tags=("events", "anomaly", "window"),
+)
+def events_anomaly_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily-activity anomaly detection: a day is anomalous
+    when its event count deviates from the trailing-week mean by more
+    than 2 sigma. The entire test is INTEGER arithmetic — the
+    condition (x - s/n)^2 > 4 * (nq - s^2)/(n(n-1)) is cleared of
+    divisions to (nx - s)^2 (n-1) > 4 n (nq - s^2) — so the flag is
+    exact and engine-identical: no float variance, no sqrt, no
+    epsilon. (The float formulation would make the 2-sigma cut
+    implementation-defined near the boundary; the integer form makes
+    it a theorem.)
+
+    Scale: one shuffle to (user, day) counts, one window per user
+    ordered by day (bounded 7-row frame, constant state), one tiny
+    per-user rollup. Timestamp ties are impossible (one row per
+    user-day), so the frame content is deterministic."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("x")
+    )
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-7, -1)
+    trail = daily.select(
+        "user_id",
+        "x",
+        F.sum("x").over(w).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("q"),
+        F.count("*").over(w).alias("n"),
+    )
+    nx_s = F.col("n") * F.col("x") - F.col("s")
+    anomalous = (F.col("n") >= 3) & (
+        nx_s * nx_s * (F.col("n") - 1)
+        > 4 * F.col("n") * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    )
+    return trail.groupBy("user_id").agg(
+        F.count("*").alias("n_days"),
+        F.sum(F.when(anomalous, 1).otherwise(0)).alias("n_anomalous"),
+    )

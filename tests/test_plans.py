@@ -371,3 +371,16 @@ def test_triangle_census_no_cartesian(spark, sf_dir):
     from bigdata_project_spark.caching import release_cached
 
     release_cached(spark)
+
+
+def test_anomaly_zscore_bounded_window(spark, sf_dir):
+    # one (user, day) aggregate shuffle + one per-user window with a
+    # bounded 7-row frame — no unbounded-preceding state
+    plan = plan_of(spark, sf_dir, "events_anomaly_daily_zscore")
+    assert "Window" in plan
+    assert "unboundedpreceding" not in plan.lower()
+
+
+def test_frame_sample_plan_is_pure_map(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "multimodal_frame_sample_plan")
+    assert "Exchange" not in plan and "Join" not in plan

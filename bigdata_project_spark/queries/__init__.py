@@ -2,6 +2,7 @@
 
 from bigdata_project_spark.queries import (  # noqa: F401
     advanced,
+    audit_ext,
     analytics_ext,
     aggregates,
     collections_ext,

@@ -1,0 +1,252 @@
+"""Data-quality auditing + remaining scalar/window families (round
+4): referential-integrity checks, column profiling, fixed-bucket
+histograms, string formatting, and lag-cumsum sessionization.
+
+These are the queries a warehouse runs ABOUT its data rather than on
+it — the QA layer every 100 TB ingest needs before anything
+downstream trusts the tables. All deterministic, all DuckDB-oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_project_spark.registry import query
+from bigdata_project_spark.tables import load
+
+
+@query(
+    "qa_referential_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, (
+        SELECT COUNT(*) FROM lineitem WHERE NOT EXISTS (
+            SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->part', (
+        SELECT COUNT(*) FROM lineitem WHERE NOT EXISTS (
+            SELECT 1 FROM part WHERE p_partkey = l_partkey))
+    UNION ALL
+    SELECT 'lineitem->supplier', (
+        SELECT COUNT(*) FROM lineitem WHERE NOT EXISTS (
+            SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey))
+    UNION ALL
+    SELECT 'orders->customer', (
+        SELECT COUNT(*) FROM orders WHERE NOT EXISTS (
+            SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+    """,
+    tags=("qa", "join", "anti"),
+)
+def qa_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the star schema: one row per
+    relationship with its dangling-reference count (all four are 0 on
+    healthy data — the query exists to prove it stays 0 after every
+    ingest). Each check is a LEFT ANTI join against the referenced
+    key set; the dimension-sided ones broadcast, and at 100 TB the
+    orders key set for the lineitem check is exactly the semi-join
+    AQE already optimizes. The four counts union into one audit
+    report so a scheduler runs/alerts on a single query."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+
+    def orphans(fact: DataFrame, fk: str, dim: DataFrame, pk: str, label: str) -> DataFrame:
+        return (
+            fact.join(dim.select(pk), fact[fk] == dim[pk], "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+
+    return (
+        orphans(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        .unionAll(orphans(li, "l_partkey", p, "p_partkey", "lineitem->part"))
+        .unionAll(orphans(li, "l_suppkey", s, "s_suppkey", "lineitem->supplier"))
+        .unionAll(orphans(o, "o_custkey", c, "c_custkey", "orders->customer"))
+    )
+
+
+@query(
+    "qa_column_profile",
+    oracle="""
+    WITH agg AS (
+        SELECT COUNT(*) AS n,
+               COUNT(o_custkey) AS nn_cust, COUNT(DISTINCT o_custkey) AS nd_cust,
+               COUNT(o_orderstatus) AS nn_status, COUNT(DISTINCT o_orderstatus) AS nd_status,
+               COUNT(o_orderpriority) AS nn_prio, COUNT(DISTINCT o_orderpriority) AS nd_prio,
+               COUNT(o_totalprice) AS nn_price, COUNT(DISTINCT o_totalprice) AS nd_price
+        FROM orders
+    )
+    SELECT 'o_custkey' AS col, n, nn_cust AS n_nonnull, nd_cust AS n_distinct FROM agg
+    UNION ALL SELECT 'o_orderstatus', n, nn_status, nd_status FROM agg
+    UNION ALL SELECT 'o_orderpriority', n, nn_prio, nd_prio FROM agg
+    UNION ALL SELECT 'o_totalprice', n, nn_price, nd_price FROM agg
+    """,
+    tags=("qa", "agg", "profile"),
+)
+def qa_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema profiling: row count, non-null count, and exact
+    distinct count per column, in ONE scan — the table-health
+    snapshot a catalog shows next to each column. Spark computes all
+    the aggregates in a single pass (multiple count-distincts expand
+    to one Expand + aggregate, still one scan of the fact) and
+    unpivots the 1-row result to (col, n, n_nonnull, n_distinct) rows
+    with stack() — no per-column re-scan, which is the difference
+    between a profile costing one pass and costing #columns passes at
+    100 TB."""
+    o = load(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count("*").alias("n"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.count_distinct("o_custkey").alias("nd_cust"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.count_distinct("o_orderstatus").alias("nd_status"),
+        F.count("o_orderpriority").alias("nn_prio"),
+        F.count_distinct("o_orderpriority").alias("nd_prio"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.count_distinct("o_totalprice").alias("nd_price"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, "
+            "'o_custkey', n, nn_cust, nd_cust, "
+            "'o_orderstatus', n, nn_status, nd_status, "
+            "'o_orderpriority', n, nn_prio, nd_prio, "
+            "'o_totalprice', n, nn_price, nd_price) "
+            "AS (col, n, n_nonnull, n_distinct)"
+        )
+    )
+
+
+@query(
+    "agg_histogram_fixed",
+    oracle="""
+    SELECT LEAST(CAST(floor(o_totalprice / 50000) AS INT), 9) AS bucket,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("agg", "histogram"),
+)
+def agg_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width price histogram (10 x 50k buckets, top bucket
+    open-ended): the distribution snapshot dashboards render without
+    pulling rows. The bucket id is floor of one double division —
+    IEEE-identical cross-engine, no width_bucket dependency — so the
+    histogram is a plain group-by that map-side combines to at most
+    10 partial rows per task; min/max per bucket ride in the same
+    aggregate."""
+    o = load(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000).cast("int"), F.lit(9))
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@query(
+    "scalar_string_format",
+    oracle="""
+    SELECT p_partkey,
+           lpad(p_brand, 12, '.') AS brand_padded,
+           rpad(p_type, 10, '_') AS type_padded,
+           repeat(left(p_name, 3), 2) AS name_echo,
+           reverse(p_type) AS type_rev,
+           ascii(p_name) AS first_byte,
+           chr(CAST(p_partkey % 26 + 65 AS INT)) AS row_letter,
+           CAST(instr(p_name, ' ') AS INT) AS space_at,
+           right(p_name, 4) AS name_tail
+    FROM part
+    WHERE p_partkey <= 200
+    """,
+    tags=("scalar", "string"),
+)
+def scalar_string_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String formatting family: pad/repeat/reverse/slice/ascii/chr/
+    position — the report-formatting surface. All JVM built-ins
+    inside codegen (one projection, zero shuffle); every function
+    here has byte-identical semantics in DuckDB so the row set
+    hash-matches without normalization."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, ".").alias("brand_padded"),
+        F.rpad("p_type", 10, "_").alias("type_padded"),
+        F.repeat(F.substring("p_name", 1, 3), 2).alias("name_echo"),
+        F.reverse("p_type").alias("type_rev"),
+        F.ascii("p_name").alias("first_byte"),
+        F.chr((F.col("p_partkey") % 26 + 65).cast("int")).alias("row_letter"),
+        F.instr("p_name", " ").cast("int").alias("space_at"),
+        F.substring("p_name", -4, 4).alias("name_tail"),
+    )
+
+
+@query(
+    "window_session_numbering",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    )
+    SELECT user_id, session_no,
+           COUNT(*) AS n_events,
+           epoch_us(MIN(ts)) AS start_us,
+           epoch_us(MAX(ts)) AS end_us
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+    tags=("events", "window", "session"),
+)
+def window_session_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization by lag + running sum — the portable pattern
+    (gap > 30 min starts a new session; the cumulative count of
+    session starts IS the session id) that works on any engine
+    without a session_window primitive, and whose per-user session
+    numbers are stable identifiers a downstream join can use
+    (session_window's struct keys are not). Complements
+    events_session_30m, which exercises Spark's native session
+    window.
+
+    Scale: both windows share ONE partitioning (user_id) and ONE sort
+    (ts, event_id) — Catalyst plans a single Exchange+Sort and runs
+    the lag and the running sum in consecutive Window operators on
+    the same sorted partitions. event_id breaks timestamp ties so the
+    numbering is engine-deterministic."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_no"),
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.unix_micros(F.min("ts")).alias("start_us"),
+        F.unix_micros(F.max("ts")).alias("end_us"),
+    )

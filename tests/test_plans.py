@@ -384,3 +384,22 @@ def test_anomaly_zscore_bounded_window(spark, sf_dir):
 def test_frame_sample_plan_is_pure_map(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "multimodal_frame_sample_plan")
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_session_numbering_shares_one_sort(spark, sf_dir):
+    # lag and the running sum must ride the SAME (user_id) exchange +
+    # (ts, event_id) sort — two Window ops, one Exchange on the facts
+    plan = plan_of(spark, sf_dir, "window_session_numbering")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2  # facts once + the final (user, session) agg
+    assert plan.count("Window") >= 2
+
+
+def test_column_profile_single_scan(spark, sf_dir):
+    # multiple count-distincts must expand into one scan (Expand),
+    # not #columns scans
+    plan = plan_of(spark, sf_dir, "qa_column_profile")
+    # formatted plans print each operator twice (tree line + detail
+    # block), so ONE physical scan == exactly two mentions
+    assert plan.count("Scan parquet") == 2
+    assert "Expand" in plan

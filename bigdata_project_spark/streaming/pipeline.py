@@ -378,3 +378,91 @@ def stream_stateful_max_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_available_now(out, "stream_stateful_max_jump", "update")
+
+
+@query(
+    "stream_incremental_rollup",
+    oracle=f"""
+    SELECT epoch_us(date_trunc('day', ts)) AS day_start_us,
+           event_type,
+           COUNT(*) AS n_events,
+           {SQL_DSUM('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "rollup", "foreachBatch"),
+)
+def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance end-to-end: the STREAMING
+    hourly tier (watermarked tumbling window, update mode) is
+    materialized by foreachBatch into a parquet rollup store —
+    upsert-by-key emulated as append + last-writer-wins on batch_id,
+    the pattern any idempotent sink (Delta MERGE, key-value upsert)
+    implements — and the DAY tier is then one tiny batch
+    re-aggregation over the store. The oracle aggregates raw events
+    straight to days, proving the streaming tier + upsert + rollup
+    composition lossless (decimal sums re-aggregate exactly).
+
+    Scale: the streaming stage keeps only per-(hour, type) state
+    bounded by the watermark; each micro-batch appends just its
+    CHANGED hourly rows (update mode), so maintaining the rollup
+    costs O(changed windows), not O(history) — refreshing a day after
+    a late event touches one hourly upsert + one day row. The final
+    dedup (max_by on batch_id per key) and day rollup run over the
+    hourly store, which is orders of magnitude smaller than the
+    stream."""
+    import shutil
+
+    store = tempfile.mkdtemp(prefix="rollup_store_")
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("sv"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("hour_start_us"),
+            "event_type",
+            "n_events",
+            "sv",
+        )
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        # idempotent upsert stand-in: append with the batch id; readers
+        # resolve each (hour, type) key to its LAST writer. A Delta /
+        # JDBC sink would MERGE here with identical semantics.
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(store)
+
+    q = (
+        hourly.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_rollup_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    raw = spark.read.parquet(store)
+    latest = raw.groupBy("hour_start_us", "event_type").agg(
+        F.max_by("n_events", "batch_id").alias("n_events"),
+        F.max_by("sv", "batch_id").alias("sv"),
+    )
+    day = (
+        latest.groupBy(
+            F.date_trunc("day", F.timestamp_micros("hour_start_us")).alias("d"),
+            "event_type",
+        )
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+        .select(
+            F.unix_micros("d").alias("day_start_us"),
+            "event_type",
+            "n_events",
+            F.col("sv").cast("double").alias("total_value"),
+        )
+    )
+    # materialize before the temp store is removed
+    out = day.localCheckpoint(eager=True)
+    shutil.rmtree(store, ignore_errors=True)
+    return out

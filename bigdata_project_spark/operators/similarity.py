@@ -518,3 +518,60 @@ def sim_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(q).cast("double") / (1048576.0 * F.count("*"))).alias("centroid"),
         F.count("*").alias("n_vectors"),
     )
+
+
+def _oracle_of(name: str) -> str:
+    from bigdata_project_spark.registry import REGISTRY
+
+    return REGISTRY[name].oracle
+
+
+@query(
+    "sim_recall_at_k",
+    oracle=f"""
+    SELECT b.query_id,
+           CAST(COUNT(i.vec_id) AS INT) AS n_hits,
+           COUNT(i.vec_id) / {_TOP_K}.0 AS recall
+    FROM ({{BF}}) b
+    LEFT JOIN ({{IVF}}) i
+      ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+    GROUP BY b.query_id
+    """,
+    tags=("similarity", "llm", "eval"),
+)
+def sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@k of the IVF probe against the
+    exact brute-force ground truth, per query point — the metric that
+    decides whether an ANN index is shippable, computed entirely
+    in-engine (no external eval harness). n_hits counts the true
+    top-k neighbors the IVF probe recovered; recall divides by k.
+
+    Scale: both sides are the already-scale-shaped queries (broadcast
+    query set; cell-local candidates); the comparison joins two
+    k x #queries row sets — negligible. The oracle nests both
+    queries' full oracle SQL as subqueries, so the eval is verified
+    end-to-end, not against a re-derivation."""
+    bf = sim_knn_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    ivf = (
+        sim_ann_ivf_probe(spark, sf_dir)
+        .select(F.col("query_id").alias("i_qid"), F.col("vec_id").alias("i_vid"))
+    )
+    joined = bf.join(
+        ivf,
+        (F.col("query_id") == F.col("i_qid")) & (F.col("vec_id") == F.col("i_vid")),
+        "left_outer",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("i_vid").cast("int").alias("n_hits"),
+        (F.count("i_vid") / float(_TOP_K)).alias("recall"),
+    )
+
+
+# splice the component oracles into the recall oracle (they are full
+# WITH...SELECT statements; DuckDB accepts them as parenthesized
+# subqueries)
+from bigdata_project_spark.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["sim_recall_at_k"].oracle = _REG["sim_recall_at_k"].oracle.format(
+    BF=_oracle_of("sim_knn_bruteforce"), IVF=_oracle_of("sim_ann_ivf_probe")
+)

@@ -242,3 +242,88 @@ def lake_merge_upsert_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("t.doc_id").isNotNull() & F.col("s.doc_id").isNotNull()).cast("int").alias("was_updated"),
         F.col("t.doc_id").isNull().cast("int").alias("was_inserted"),
     )
+
+
+@query(
+    "scd2_snapshot_diff",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts, event_id FROM ordered
+        WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    hist AS (
+        SELECT user_id, event_type, ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        FROM changes
+    ),
+    t1 AS (
+        SELECT user_id, event_type AS status_t1 FROM hist
+        WHERE valid_from <= TIMESTAMP '2024-01-10'
+          AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-10')
+    ),
+    t2 AS (
+        SELECT user_id, event_type AS status_t2 FROM hist
+        WHERE valid_from <= TIMESTAMP '2024-01-20'
+          AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-20')
+    )
+    SELECT COALESCE(t1.status_t1, 'absent') AS status_t1,
+           COALESCE(t2.status_t2, 'absent') AS status_t2,
+           COUNT(*) AS n_users
+    FROM t1 FULL OUTER JOIN t2 ON t1.user_id = t2.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("scd2", "warehouse", "diff"),
+)
+def scd2_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the SCD2 history: reconstruct every user's
+    status as-of two snapshot times (valid_from <= T < valid_to — an
+    interval point-lookup, no event replay) and emit the transition
+    matrix between the snapshots, 'absent' marking users not yet
+    seen. This is the audit query behind 'what changed between
+    yesterday's and today's snapshot' on a lakehouse table.
+
+    Scale: the history build is the existing one-shuffle SCD2 plan;
+    each snapshot is a FILTER on it (no extra shuffle), and the diff
+    joins two (user -> status) maps on the user key they are already
+    grouped by. The transition matrix is at most #status^2 rows."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    from bigdata_project_spark.caching import tracked_persist
+
+    hist = tracked_persist(hist)
+
+    def snapshot(t: str, alias: str) -> DataFrame:
+        ts = F.lit(t).cast("timestamp")
+        return hist.filter(
+            (F.col("valid_from") <= ts)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > ts))
+        ).select("user_id", F.col("event_type").alias(alias))
+
+    t1 = snapshot("2024-01-10", "status_t1")
+    t2 = snapshot("2024-01-20", "status_t2").withColumnRenamed("user_id", "u2")
+    return (
+        t1.join(t2, t1.user_id == F.col("u2"), "full_outer")
+        .groupBy(
+            F.coalesce("status_t1", F.lit("absent")).alias("status_t1"),
+            F.coalesce("status_t2", F.lit("absent")).alias("status_t2"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )

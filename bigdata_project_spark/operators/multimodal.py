@@ -336,3 +336,55 @@ def multimodal_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             offsets.alias("frame_offsets_ms"),
         )
     )
+
+
+@query(
+    "multimodal_resize_plan",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               64 + octet_length(encode(text)) % 960 AS src_w,
+               64 + (octet_length(encode(text)) // 7) % 960 AS src_h
+        FROM documents
+    )
+    SELECT doc_id, src_w, src_h,
+           CASE WHEN greatest(src_w, src_h) <= 224 THEN src_w
+                ELSE CAST(src_w * 224 // greatest(src_w, src_h) AS BIGINT) END AS out_w,
+           CASE WHEN greatest(src_w, src_h) <= 224 THEN src_h
+                ELSE CAST(src_h * 224 // greatest(src_w, src_h) AS BIGINT) END AS out_h,
+           CAST(greatest(src_w, src_h) > 224 AS INT) AS needs_resize
+    FROM dims
+    """,
+    tags=("multimodal", "llm", "plan"),
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning for image payloads: fit each asset into a
+    224-max-side box preserving aspect ratio, computed from container
+    metadata alone (source dims here derived deterministically from
+    the payload length stand-in — a real pipeline reads them from the
+    image header without decoding pixels). The scaled dimensions use
+    INTEGER floor division (w * 224 div max_side), so the plan is
+    engine-exact with no float rounding at the 1-pixel boundary, and
+    a batch resizer can pre-allocate exact output buffers for 100 TB
+    of images before touching a single byte of pixel data.
+
+    Scale: pure map, codegen'd integer arithmetic, no shuffle."""
+    p = _payload_df(spark, sf_dir)
+    nb = F.col("meta.n_bytes").cast("bigint")
+    src_w = (F.lit(64) + nb % 960).alias("src_w")
+    src_h = (F.lit(64) + F.expr("meta.n_bytes div 7") % 960).alias("src_h")
+    dims = p.select("doc_id", src_w, src_h)
+    m = F.greatest("src_w", "src_h")
+    fit = m <= 224
+    return dims.select(
+        "doc_id",
+        "src_w",
+        "src_h",
+        F.when(fit, F.col("src_w"))
+        .otherwise(F.expr("(src_w * 224) div greatest(src_w, src_h)"))
+        .alias("out_w"),
+        F.when(fit, F.col("src_h"))
+        .otherwise(F.expr("(src_h * 224) div greatest(src_w, src_h)"))
+        .alias("out_h"),
+        (~fit).cast("int").alias("needs_resize"),
+    )

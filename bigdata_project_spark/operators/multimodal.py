@@ -349,9 +349,9 @@ def multimodal_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, src_w, src_h,
            CASE WHEN greatest(src_w, src_h) <= 224 THEN src_w
-                ELSE CAST(src_w * 224 // greatest(src_w, src_h) AS BIGINT) END AS out_w,
+                ELSE greatest(CAST(src_w * 224 // greatest(src_w, src_h) AS BIGINT), 1) END AS out_w,
            CASE WHEN greatest(src_w, src_h) <= 224 THEN src_h
-                ELSE CAST(src_h * 224 // greatest(src_w, src_h) AS BIGINT) END AS out_h,
+                ELSE greatest(CAST(src_h * 224 // greatest(src_w, src_h) AS BIGINT), 1) END AS out_h,
            CAST(greatest(src_w, src_h) > 224 AS INT) AS needs_resize
     FROM dims
     """,
@@ -364,7 +364,9 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the payload length stand-in — a real pipeline reads them from the
     image header without decoding pixels). The scaled dimensions use
     INTEGER floor division (w * 224 div max_side), so the plan is
-    engine-exact with no float rounding at the 1-pixel boundary, and
+    engine-exact with no float rounding at the 1-pixel boundary
+    (degenerate aspect ratios clamp to 1 px — a property test caught
+    floor division collapsing a 225x1 asset to zero height), and
     a batch resizer can pre-allocate exact output buffers for 100 TB
     of images before touching a single byte of pixel data.
 
@@ -381,10 +383,10 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src_w",
         "src_h",
         F.when(fit, F.col("src_w"))
-        .otherwise(F.expr("(src_w * 224) div greatest(src_w, src_h)"))
+        .otherwise(F.expr("greatest((src_w * 224) div greatest(src_w, src_h), 1)"))
         .alias("out_w"),
         F.when(fit, F.col("src_h"))
-        .otherwise(F.expr("(src_h * 224) div greatest(src_w, src_h)"))
+        .otherwise(F.expr("greatest((src_h * 224) div greatest(src_w, src_h), 1)"))
         .alias("out_h"),
         (~fit).cast("int").alias("needs_resize"),
     )

@@ -73,6 +73,9 @@ HEADLINE = [
     "vocab_top_terms",
     "tpch_q9_product_type_profit",
     "tpch_q21_waiting_suppliers",
+    "events_top_paths",
+    "window_session_numbering",
+    "graph_triangle_stats",
 ]
 
 

@@ -545,3 +545,75 @@ def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "dedup_lsh_pair_recall",
+    oracle="""
+    SELECT COUNT(DISTINCT (t.doc_a, t.doc_b)) AS n_true_pairs,
+           (SELECT COUNT(*) FROM ({LSH}) l0) AS n_lsh_pairs,
+           COUNT(DISTINCT CASE WHEN l.doc_a IS NOT NULL
+                               THEN (t.doc_a, t.doc_b) END) AS n_hits,
+           CASE WHEN COUNT(DISTINCT (t.doc_a, t.doc_b)) > 0
+                THEN CAST(COUNT(DISTINCT CASE WHEN l.doc_a IS NOT NULL
+                                              THEN (t.doc_a, t.doc_b) END) AS DOUBLE)
+                     / COUNT(DISTINCT (t.doc_a, t.doc_b))
+                ELSE 1.0 END AS pair_recall
+    FROM ({TRUE}) t
+    LEFT JOIN ({LSH}) l ON l.doc_a = t.doc_a AND l.doc_b = t.doc_b
+    """,
+    tags=("dedup", "llm", "eval"),
+)
+def dedup_lsh_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH index quality: pair-level recall of the banded LSH
+    near-dup pairs against the exact capped-Jaccard ground truth —
+    the eval that tells you whether your band/row configuration is
+    missing real duplicates before you run it on 100 TB. One summary
+    row: true pairs, LSH pairs, hits, recall (1.0 when no true pairs
+    exist, e.g. the no-duplicate corpus).
+
+    Scale: both sides are the existing scale-shaped queries (capped
+    shingles, band-bucket candidate joins); the comparison joins two
+    already-small pair sets. The oracle nests BOTH component oracles
+    verbatim, so the eval is cross-verified end-to-end."""
+    true_pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    lsh_pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select(F.col("doc_a").alias("l_a"), F.col("doc_b").alias("l_b"))
+    )
+    joined = true_pairs.join(
+        lsh_pairs,
+        (F.col("doc_a") == F.col("l_a")) & (F.col("doc_b") == F.col("l_b")),
+        "left_outer",
+    )
+    n_lsh = lsh_pairs.agg(F.count("*").alias("n_lsh_pairs"))
+    hits = F.count_distinct(
+        F.when(F.col("l_a").isNotNull(), F.struct("doc_a", "doc_b"))
+    )
+    n_true = F.count_distinct(F.struct("doc_a", "doc_b"))
+    return (
+        joined.agg(
+            n_true.alias("n_true_pairs"),
+            hits.alias("n_hits"),
+        )
+        .join(F.broadcast(n_lsh))
+        .select(
+            "n_true_pairs",
+            "n_lsh_pairs",
+            "n_hits",
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.col("n_hits").cast("double") / F.col("n_true_pairs"),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("pair_recall"),
+        )
+    )
+
+
+from bigdata_project_spark.registry import REGISTRY as _REG_DEDUP  # noqa: E402
+
+_REG_DEDUP["dedup_lsh_pair_recall"].oracle = _REG_DEDUP["dedup_lsh_pair_recall"].oracle.format(
+    TRUE=_REG_DEDUP["dedup_ngram_jaccard"].oracle,
+    LSH=_REG_DEDUP["dedup_minhash_lsh"].oracle,
+)

@@ -551,7 +551,7 @@ def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_lsh_pair_recall",
     oracle="""
     SELECT COUNT(DISTINCT (t.doc_a, t.doc_b)) AS n_true_pairs,
-           (SELECT COUNT(*) FROM ({LSH}) l0) AS n_lsh_pairs,
+           (SELECT COUNT(*) FROM ({LSH}) l0 WHERE l0.jaccard >= 0.5) AS n_lsh_pairs,
            COUNT(DISTINCT CASE WHEN l.doc_a IS NOT NULL
                                THEN (t.doc_a, t.doc_b) END) AS n_hits,
            CASE WHEN COUNT(DISTINCT (t.doc_a, t.doc_b)) > 0
@@ -559,26 +559,36 @@ def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
                                               THEN (t.doc_a, t.doc_b) END) AS DOUBLE)
                      / COUNT(DISTINCT (t.doc_a, t.doc_b))
                 ELSE 1.0 END AS pair_recall
-    FROM ({TRUE}) t
-    LEFT JOIN ({LSH}) l ON l.doc_a = t.doc_a AND l.doc_b = t.doc_b
+    FROM (SELECT * FROM ({TRUE}) t0 WHERE t0.jaccard >= 0.5) t
+    LEFT JOIN (SELECT * FROM ({LSH}) l1 WHERE l1.jaccard >= 0.5) l
+      ON l.doc_a = t.doc_a AND l.doc_b = t.doc_b
     """,
     tags=("dedup", "llm", "eval"),
 )
 def dedup_lsh_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH index quality: pair-level recall of the banded LSH
-    near-dup pairs against the exact capped-Jaccard ground truth —
-    the eval that tells you whether your band/row configuration is
-    missing real duplicates before you run it on 100 TB. One summary
-    row: true pairs, LSH pairs, hits, recall (1.0 when no true pairs
-    exist, e.g. the no-duplicate corpus).
+    """MinHash-LSH index quality at the j >= 0.5 operating point
+    (the 4-band x 2-row S-curve midpoint is (1/4)^(1/2) = 0.5, so
+    this is the threshold the config is tuned for): pair-level recall
+    of the banded LSH pairs against the exact capped-Jaccard ground
+    truth — the eval that tells you whether a band/row configuration
+    misses real duplicates before a 100 TB run. Both sides apply the
+    SAME threshold; comparing against the unthresholded pair list
+    would count j~0.01 accidental-shingle pairs as "missed", which is
+    noise, not recall. One summary row: true pairs, LSH pairs, hits,
+    recall (1.0 when no true pairs exist).
 
     Scale: both sides are the existing scale-shaped queries (capped
     shingles, band-bucket candidate joins); the comparison joins two
     already-small pair sets. The oracle nests BOTH component oracles
     verbatim, so the eval is cross-verified end-to-end."""
-    true_pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    true_pairs = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
     lsh_pairs = (
         dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.5)
         .select(F.col("doc_a").alias("l_a"), F.col("doc_b").alias("l_b"))
     )
     joined = true_pairs.join(

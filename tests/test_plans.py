@@ -179,6 +179,22 @@ def test_exchange_budgets(spark, sf_dir):
         "pack_sequences_by_source": 1,
         # repartition for the CPU-bound map; NO aggregation exchange
         "quality_repetition_filter": 1,
+        # round-4 flagships: budgets are the measured AQE-final counts
+        # li x orders SMJ (2) + per-order rollup + supplier aggregate
+        "tpch_q21_waiting_suppliers": 4,
+        # (user, day) agg + path histogram + count-distinct expand
+        "events_top_paths": 3,
+        # lag + running sum + session aggregate all ride ONE exchange
+        "window_session_numbering": 1,
+        # one exchange per rollup tier (hour -> day -> month)
+        "events_rollup_cascade": 3,
+        # bucket aggregate + count-distinct expand
+        "lake_zorder_key": 2,
+        # daily-count aggregate + trailing window (per-user rollup reuses)
+        "events_anomaly_daily_zscore": 2,
+        # dims broadcast; at this sf AQE broadcasts orders too (<= 2
+        # keeps the budget honest when the fact-fact SMJ materializes)
+        "tpch_q9_product_type_profit": 2,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)

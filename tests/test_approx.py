@@ -72,3 +72,25 @@ def test_datasketches_hll_topk_within_bound(spark, sf_dir):
                 f"sketch count {item} != exact {counts.get(item['item'])} "
                 f"for {r['event_type']}"
             )
+
+
+def test_approx_percentile_within_exact_band(spark, sf_dir):
+    """approx_percentile is engine-specific (Greenwald-Khanna with an
+    accuracy parameter), so it cannot be driver-oracled — bound it
+    against the exact percentile instead: with accuracy A, the rank
+    error is at most n/A, so the approximate p50 must land between
+    the exact (p50 - eps) and (p50 + eps) VALUE quantiles."""
+    from pyspark.sql import functions as F
+
+    from bigdata_project_spark.tables import load
+
+    acc = 1000
+    o = load(spark, sf_dir, "orders")
+    row = o.agg(
+        F.percentile_approx("o_totalprice", 0.5, acc).alias("approx_p50"),
+        F.expr("percentile(o_totalprice, 0.49)").alias("lo"),
+        F.expr("percentile(o_totalprice, 0.51)").alias("hi"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    # rank error n/acc -> quantile error 1/acc = 0.001 << 0.01 band
+    assert row["lo"] <= row["approx_p50"] <= row["hi"], row

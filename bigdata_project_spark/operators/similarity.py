@@ -575,3 +575,101 @@ from bigdata_project_spark.registry import REGISTRY as _REG  # noqa: E402
 _REG["sim_recall_at_k"].oracle = _REG["sim_recall_at_k"].oracle.format(
     BF=_oracle_of("sim_knn_bruteforce"), IVF=_oracle_of("sim_ann_ivf_probe")
 )
+
+
+@query(
+    "sim_ann_ivf_nprobe2",
+    oracle=_REG["sim_ann_ivf_probe"].oracle.replace(
+        "FROM assign WHERE rn = 1", "FROM assign WHERE rn <= 2"
+    ),
+    tags=("similarity", "llm", "ann", "ivf"),
+)
+def sim_ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe with nprobe=2: identical pipeline to
+    sim_ann_ivf_probe but each query searches its TWO nearest cells —
+    the standard recall/cost knob (sim_recall_at_k measured nprobe=1
+    at 0-20% recall on this corpus; sim_recall_ivf2_at_k shows what
+    doubling the probed cells buys). Cost scales linearly in nprobe
+    (2 cells' candidates instead of 1); the plan shape is unchanged —
+    each corpus vector still belongs to exactly one cell, so the
+    probe join fans out to at most nprobe rows per query with no
+    duplicate candidates."""
+    emb = with_norm(load(spark, sf_dir, "embeddings"))
+    exploded = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    qv = F.round(F.col("val").cast("double") * 1048576, 0).cast("long")
+    cdim = exploded.groupBy("label", "pos").agg(
+        (F.sum(qv).cast("double") / (1048576.0 * F.count("*"))).alias("c")
+    )
+    cent = cdim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("c_arr")
+    )
+    q = emb.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm_sq").alias("q_norm"),
+    )
+    dot_qc = F.aggregate(
+        F.zip_with("q_emb", "c_arr", lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    c_norm = F.aggregate(
+        F.transform("c_arr", lambda y: y * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    assign = q.crossJoin(F.broadcast(cent)).select(
+        "query_id", "q_emb", "q_norm", "label", (dot_qc / F.sqrt(c_norm)).alias("score")
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("score"), "label")
+    probe = (
+        assign.select("*", F.row_number().over(wq).alias("rn"))
+        .filter(F.col("rn") <= 2)
+        .select("query_id", "q_emb", "q_norm", F.col("label").alias("cell"))
+    )
+    cand = probe.join(
+        emb, (F.col("label") == F.col("cell")) & (F.col("vec_id") != F.col("query_id"))
+    )
+    cosine = _dot_col("q_emb", "embedding") / (F.sqrt("q_norm") * F.sqrt("norm_sq"))
+    scored = cand.select("query_id", "vec_id", cosine.alias("cosine"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return scored.select("*", F.row_number().over(w).alias("rank")).filter(F.col("rank") <= 5)
+
+
+@query(
+    "sim_recall_ivf2_at_k",
+    oracle=f"""
+    SELECT b.query_id,
+           CAST(COUNT(i.vec_id) AS INT) AS n_hits,
+           COUNT(i.vec_id) / {_TOP_K}.0 AS recall
+    FROM ({{BF}}) b
+    LEFT JOIN ({{IVF2}}) i
+      ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+    GROUP BY b.query_id
+    """,
+    tags=("similarity", "llm", "eval"),
+)
+def sim_recall_ivf2_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k for the nprobe=2 IVF variant — paired with
+    sim_recall_at_k (nprobe=1) this quantifies the recall/cost curve
+    in-engine: the tuning loop (evaluate -> widen probes ->
+    re-evaluate) without leaving the warehouse."""
+    bf = sim_knn_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    ivf2 = (
+        sim_ann_ivf_nprobe2(spark, sf_dir)
+        .select(F.col("query_id").alias("i_qid"), F.col("vec_id").alias("i_vid"))
+    )
+    joined = bf.join(
+        ivf2,
+        (F.col("query_id") == F.col("i_qid")) & (F.col("vec_id") == F.col("i_vid")),
+        "left_outer",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("i_vid").cast("int").alias("n_hits"),
+        (F.count("i_vid") / float(_TOP_K)).alias("recall"),
+    )
+
+
+_REG["sim_recall_ivf2_at_k"].oracle = _REG["sim_recall_ivf2_at_k"].oracle.format(
+    BF=_oracle_of("sim_knn_bruteforce"), IVF2=_oracle_of("sim_ann_ivf_nprobe2")
+)

@@ -202,3 +202,45 @@ def events_anomaly_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_days"),
         F.sum(F.when(anomalous, 1).otherwise(0)).alias("n_anomalous"),
     )
+
+
+@query(
+    "events_cumulative_users",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+        FROM events
+        GROUP BY user_id
+    ),
+    per_day AS (
+        SELECT day, COUNT(*) AS new_users FROM first_seen GROUP BY day
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           new_users,
+           SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+             AS cum_users
+    FROM per_day
+    """,
+    tags=("events", "window", "growth"),
+)
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the growth curve. COUNT
+    (DISTINCT) over a running window is not computable incrementally,
+    so the scale-correct rewrite is: each user's FIRST-SEEN day (one
+    user-keyed aggregate), daily new-user counts, then a running sum
+    over the tiny per-day series. The only SinglePartition work is
+    the ordered cumsum over #days rows (~30 here, a few thousand for
+    a decade), never the event stream; the same rewrite is what keeps
+    this query incremental in a warehouse (yesterday's curve +
+    today's new users)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
+    per_day = first_seen.groupBy("day").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        F.col("day").cast("string").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )

@@ -244,3 +244,85 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).alias("cum_users"),
     )
+
+
+@query(
+    "events_rfm_segments",
+    oracle="""
+    WITH anchor AS (SELECT MAX(ts) AS max_ts FROM events),
+    per_user AS (
+        SELECT user_id,
+               (epoch_us((SELECT max_ts FROM anchor)) - epoch_us(MAX(ts)))
+                 // 3600000000 AS recency_hours,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS monetary
+        FROM events
+        GROUP BY user_id
+    ),
+    scored AS (
+        SELECT CASE WHEN recency_hours <= 2 THEN 3
+                    WHEN recency_hours <= 8 THEN 2 ELSE 1 END AS r_score,
+               CASE WHEN frequency >= 70 THEN 3
+                    WHEN frequency >= 64 THEN 2 ELSE 1 END AS f_score,
+               CASE WHEN monetary >= 3550 THEN 3
+                    WHEN monetary >= 3250 THEN 2 ELSE 1 END AS m_score,
+               monetary
+        FROM per_user
+    )
+    SELECT r_score, f_score, m_score,
+           COUNT(*) AS n_users,
+           CAST(SUM(CAST(monetary AS DECIMAL(38,6))) AS DOUBLE) AS segment_value
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    """,
+    tags=("events", "agg", "segmentation"),
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency / frequency / monetary
+    scores on fixed thresholds (fixed cuts rather than quantile cuts
+    keep segment membership stable release-to-release AND
+    cross-engine exact — quantile cuts would move with every data
+    refresh), rolled up to segment sizes and value. Recency is
+    hour-grain epoch-microsecond integer division (calendar
+    date_diff counts boundary crossings differently across engines;
+    epoch arithmetic is exact in both); the anchor is the corpus max
+    timestamp, broadcast as a 1-row aggregate.
+
+    Scale: one user-keyed aggregate over the fact stream (map-side
+    combined), then scoring is a pure map and the segment rollup has
+    at most 27 groups. Decimal-exact monetary sums end to end."""
+    ev = load(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("max_ts"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("monetary"),
+        )
+        .join(F.broadcast(anchor))
+        .select(
+            F.expr(
+                "(unix_micros(max_ts) - unix_micros(last_ts)) div 3600000000"
+            ).alias("recency_hours"),
+            "frequency",
+            "monetary",
+        )
+    )
+    r = (
+        F.when(F.col("recency_hours") <= 2, 3)
+        .when(F.col("recency_hours") <= 8, 2)
+        .otherwise(1)
+    )
+    f = F.when(F.col("frequency") >= 70, 3).when(F.col("frequency") >= 64, 2).otherwise(1)
+    m = F.when(F.col("monetary") >= 3550, 3).when(F.col("monetary") >= 3250, 2).otherwise(1)
+    return (
+        per_user.select(
+            r.alias("r_score"), f.alias("f_score"), m.alias("m_score"), "monetary"
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.col("monetary").cast(DEC)).cast("double").alias("segment_value"),
+        )
+    )

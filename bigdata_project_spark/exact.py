@@ -19,6 +19,16 @@ format helpers keep the two sides in lock-step.
 At 100 TB this costs one widened column in the partial aggregate —
 decimal(38,6) sums are still map-side-combined and whole-stage
 codegen'd by Tungsten; it does not change the shuffle shape.
+
+CAVEAT — integer-valued terms: do NOT route large-integer sums (epoch
+microseconds, byte counts) through DECIMAL(38,6). The scale-6
+representation multiplies by 1e6, and once the scaled integer exceeds
+2^53 an engine that converts decimal->double via double(scaled_int) *
+1e-6 double-rounds while one that converts the exact value in one
+step rounds once — observed last-ulp drift on inter-arrival sums.
+For integer terms a plain BIGINT SUM is already exact and
+order-free; cast to double only at the end (sums below 2^53 convert
+exactly, and the single division is IEEE-identical everywhere).
 """
 
 from __future__ import annotations

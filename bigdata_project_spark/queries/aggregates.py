@@ -420,3 +420,46 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mode_priority"),
         F.max(F.struct("n", "o_orderpriority")).getField("n").alias("mode_count"),
     )
+
+
+@query(
+    "agg_share_of_total",
+    oracle=f"""
+    WITH per_nation AS (
+        SELECT n_name, {SQL_DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    )
+    SELECT n_name, revenue,
+           revenue / (SELECT CAST(SUM(CAST(revenue AS DECIMAL(38,6))) AS DOUBLE)
+                      FROM per_nation) AS revenue_share
+    FROM per_nation
+    """,
+    tags=("agg", "share", "subquery"),
+)
+def agg_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total per group — the rewrite that matters: the naive
+    form is `revenue / SUM(revenue) OVER ()`, whose empty-frame
+    window collapses ALL rows onto one partition at scale. Here the
+    grand total is a 1-row aggregate of the (tiny, already-grouped)
+    per-nation table, broadcast back — the fact stream shuffles once
+    for the group-by and never again. Decimal-exact at both levels so
+    the shares are cross-engine identical doubles."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    per_nation = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    total = per_nation.agg(
+        F.sum(F.col("revenue").cast(DEC)).cast("double").alias("total_revenue")
+    )
+    return (
+        per_nation.join(F.broadcast(total))
+        .select("n_name", "revenue", (F.col("revenue") / F.col("total_revenue")).alias("revenue_share"))
+    )

@@ -326,3 +326,52 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("monetary").cast(DEC)).cast("double").alias("segment_value"),
         )
     )
+
+
+@query(
+    "events_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           COUNT(gap_us) AS n_gaps,
+           MIN(gap_us) AS min_gap_us,
+           MAX(gap_us) AS max_gap_us,
+           CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) AS mean_gap_us
+    FROM gaps
+    WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    tags=("events", "window", "timeseries"),
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time statistics per user: gaps between
+    consecutive events as exact epoch-microsecond integers (lag over
+    the same (ts, event_id) total order every other per-user window
+    in this engine uses), aggregated to count/min/max/mean. The mean
+    is a decimal-exact integer sum over a count — bit-identical
+    across engines; no float timestamp arithmetic anywhere.
+
+    Scale: one user-keyed window + one user-keyed aggregate riding
+    the same exchange. The gap distribution is the input to burst
+    detection and session-gap calibration (the 30-minute session
+    threshold in this repo's sessionizers is exactly the kind of
+    number this query justifies)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        (F.sum("gap_us").cast("double") / F.count("gap_us")).alias("mean_gap_us"),
+    )

@@ -397,3 +397,45 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("wgt")
         .agg(F.count("*").alias("n_orders"), F.min("o_orderkey").alias("min_key"))
     )
+
+
+@query(
+    "join_market_basket_pairs",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, COUNT(*) AS n_orders_together
+    FROM pairs
+    GROUP BY part_a, part_b
+    ORDER BY n_orders_together DESC, part_a, part_b
+    LIMIT 20
+    """,
+    tags=("join", "affinity", "topk"),
+)
+def join_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: the 20 part pairs most often bought in
+    the same order. The self-join is keyed on l_orderkey with the
+    a < b orientation, so each unordered pair counts once; fan-out
+    per order is bounded by (lines-per-order choose 2) — a per-key
+    constant, NOT corpus-quadratic (the same bounded-group discipline
+    as the capped shingle joins). Distinct (order, part) first so
+    multi-line quantities don't inflate co-occurrence. Top-20 via
+    TakeOrderedAndProject with the full pair tiebreak."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders_together"))
+        .orderBy(F.desc("n_orders_together"), "part_a", "part_b")
+        .limit(20)
+    )

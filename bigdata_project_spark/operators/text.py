@@ -431,3 +431,64 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.expr(_BM25_SCORE).alias("score"))
     )
     return scored.orderBy(F.desc("score"), "doc_id").limit(20)
+
+
+@query(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang, {_SQL_LANG_PICK.replace(chr(10), ' ')} AS predicted
+        FROM (SELECT lang, {_SQL_LANG_SCORES} FROM documents)
+    ),
+    cells AS (
+        SELECT lang, predicted, COUNT(*) AS n_docs
+        FROM scored GROUP BY lang, predicted
+    )
+    SELECT lang, predicted, n_docs,
+           CAST(n_docs AS DOUBLE)
+             / SUM(n_docs) OVER (PARTITION BY lang) AS share_of_true
+    FROM cells
+    """,
+    tags=("text", "llm", "langid", "eval"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: per (true lang, predicted lang)
+    document counts plus each cell's share of its true-language row —
+    the eval that shows WHERE the marker heuristic fails, not just
+    how often (here: 'zh' has no marker set, so its row is 100%
+    misclassification pressure on the other labels — exactly the
+    signal that tells a pipeline owner to add a marker family before
+    scaling up).
+
+    Scale: the scoring is the existing map-only marker pass; the
+    matrix is a #langs^2-row aggregate, and the per-row share window
+    runs over those few cells, not the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang",
+        *[
+            F.regexp_count(F.lower("text"), F.lit(pat)).alias(f"sc_{lang}")
+            for lang, pat in _LANG_MARKERS.items()
+        ],
+    )
+    en, fr, de, es = (F.col(f"sc_{x}") for x in ("en", "fr", "de", "es"))
+    pick = (
+        F.when((en >= fr) & (en >= de) & (en >= es), "en")
+        .when((fr >= de) & (fr >= es), "fr")
+        .when(de >= es, "de")
+        .otherwise("es")
+    )
+    cells = (
+        scored.select("lang", pick.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "predicted",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(w)).alias("share_of_true"),
+    )

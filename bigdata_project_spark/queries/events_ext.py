@@ -375,3 +375,58 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_us").alias("max_gap_us"),
         (F.sum("gap_us").cast("double") / F.count("gap_us")).alias("mean_gap_us"),
     )
+
+
+@query(
+    "events_burst_detection",
+    oracle="""
+    WITH counted AS (
+        SELECT user_id, ts, event_id,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                              RANGE BETWEEN 300000000 PRECEDING
+                                        AND CURRENT ROW) AS burst
+        FROM events
+    )
+    SELECT user_id,
+           MAX(burst) AS max_burst_5m,
+           MIN(CASE WHEN burst = mb THEN us END) AS burst_end_us
+    FROM (
+        SELECT user_id, burst, epoch_us(ts) AS us,
+               MAX(burst) OVER (PARTITION BY user_id) AS mb
+        FROM counted
+    )
+    GROUP BY user_id
+    """,
+    tags=("events", "window", "range", "abuse"),
+)
+def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: each user's maximum event count inside any
+    trailing 5-minute window, plus the (earliest) time that peak
+    burst ended — the rate-limiting / abuse-detection primitive. The
+    trailing count is a RANGE frame over exact epoch-microseconds
+    (every event anchors a candidate window ending at itself, which
+    covers all maximal bursts), so no bucketing approximation: a
+    burst straddling a 5-minute bucket boundary is still counted.
+
+    Scale: one user-keyed window sort; the RANGE frame holds at most
+    one window's events in state. Ties on the peak pick the earliest
+    end time (MIN over the equal-burst rows) — engine-deterministic.
+    The frame is on epoch_us (not the timestamp) so frame inclusion
+    is integer comparison in both engines."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us").rangeBetween(-300000000, 0)
+    counted = ev.select(
+        "user_id", "us", F.count("*").over(w).alias("burst")
+    )
+    wm = Window.partitionBy("user_id")
+    flagged = counted.select(
+        "user_id", "burst", "us", F.max("burst").over(wm).alias("mb")
+    )
+    return flagged.groupBy("user_id").agg(
+        F.max("burst").alias("max_burst_5m"),
+        F.min(F.when(F.col("burst") == F.col("mb"), F.col("us"))).alias("burst_end_us"),
+    )

@@ -430,3 +430,73 @@ def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("burst").alias("max_burst_5m"),
         F.min(F.when(F.col("burst") == F.col("mb"), F.col("us"))).alias("burst_end_us"),
     )
+
+
+@query(
+    "events_user_trend_slope",
+    oracle="""
+    WITH base AS (
+        SELECT user_id,
+               (epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY user_id))
+                 // 60000000 AS x,
+               value AS y
+        FROM events
+    ),
+    sums AS (
+        SELECT user_id,
+               COUNT(*) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        FROM base
+        GROUP BY user_id
+    )
+    SELECT user_id, n,
+           CASE WHEN n * sxx - sx * sx > 0
+                THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                ELSE 0.0 END AS slope_per_minute
+    FROM sums
+    """,
+    tags=("events", "agg", "regression"),
+)
+def events_user_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares trend of event value over time — is
+    each user's activity value rising or falling? Slope =
+    (n Sxy - Sx Sy) / (n Sxx - Sx^2) with x = minutes since the
+    user's first event (integer; anchoring per user keeps x small so
+    every sum stays exactly representable) and the cross-sums routed
+    through DECIMAL (y is fractional — the decimal path applies; x
+    sums are plain integers). All four sums cast to double EXACTLY
+    (magnitudes << 2^53), and the final arithmetic mirrors the same
+    expression tree on both engines, so the slope is bit-identical
+    without any regr_slope() builtin dependency.
+
+    Scale: one window (per-user min) and one aggregate sharing the
+    user_id exchange; no driver math."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    base = ev.select(
+        "user_id",
+        F.expr(
+            "(unix_micros(ts) - min(unix_micros(ts)) OVER (PARTITION BY user_id))"
+            " div 60000000"
+        ).alias("x"),
+        F.col("value").alias("y"),
+    )
+    sums = base.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return sums.select(
+        "user_id",
+        "n",
+        F.when(denom > 0, num / denom).otherwise(F.lit(0.0)).alias("slope_per_minute"),
+    )

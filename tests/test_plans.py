@@ -419,3 +419,24 @@ def test_column_profile_single_scan(spark, sf_dir):
     # block), so ONE physical scan == exactly two mentions
     assert plan.count("Scan parquet") == 2
     assert "Expand" in plan
+
+
+def test_burst_and_slope_share_user_exchange(spark, sf_dir):
+    # both the RANGE-frame window (burst) and the anchor-window +
+    # aggregate (slope) must ride a single user_id exchange
+    for name in ("events_burst_detection", "events_user_trend_slope"):
+        plan = plan_of(spark, sf_dir, name)
+        assert plan.count("Exchange hashpartitioning") <= 1, name
+
+
+def test_market_basket_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_market_basket_pairs")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_share_of_total_no_single_partition_on_facts(spark, sf_dir):
+    # the grand total must be a broadcast of the grouped table, not a
+    # SUM() OVER () empty-frame window over the facts
+    plan = plan_of(spark, sf_dir, "agg_share_of_total")
+    assert "Window" not in plan

@@ -10,7 +10,9 @@ Timing starts BEFORE the plan builder runs: some builders do real
 work (persisted intermediates, driver-side fixpoint loops), and that
 cost belongs to the query. Caches are released between queries, and
 each scale point gets its own untimed warm-up pass over the full
-headline set — so every number is cold-data / warm-code, and the
+headline set — so every number is a warm-cache steady-state
+measurement (Spark caches are released, but the OS page cache and
+parquet footer/metadata caches are deliberately left hot), and the
 two scale lines are directly comparable (scale-invariant codegen
 compile cost is excluded from both).
 

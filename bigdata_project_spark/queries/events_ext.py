@@ -500,3 +500,92 @@ def events_user_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.when(denom > 0, num / denom).otherwise(F.lit(0.0)).alias("slope_per_minute"),
     )
+
+
+@query(
+    "events_peak_concurrency",
+    oracle="""
+    WITH deltas AS (
+        SELECT event_type, epoch_us(ts) AS t_us, 1 AS delta FROM events
+        UNION ALL
+        SELECT event_type, epoch_us(ts) + 900000000 AS t_us, -1 AS delta
+        FROM events
+    ), run AS (
+        SELECT event_type, t_us,
+               SUM(delta) OVER (
+                   PARTITION BY event_type ORDER BY t_us, delta
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS concurrency
+        FROM deltas
+    ), peak AS (
+        SELECT event_type, MAX(concurrency) AS peak_concurrency
+        FROM run GROUP BY event_type
+    )
+    SELECT r.event_type,
+           p.peak_concurrency,
+           MIN(r.t_us) AS peak_at_us
+    FROM run r
+    JOIN peak p
+      ON r.event_type = p.event_type
+     AND r.concurrency = p.peak_concurrency
+    GROUP BY r.event_type, p.peak_concurrency
+    ORDER BY r.event_type
+    """,
+    tags=("events", "window", "sweep"),
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent activity per event type via the sweep-line
+    (+1/-1) interval-overlap pattern: each event opens a 15-minute
+    activity window [ts, ts+15m); the running sum of +1 (open) and
+    -1 (close) deltas ordered by time IS the concurrency curve, and
+    its max is the peak. Half-open semantics come free from the
+    (t_us, delta) sort key: at equal instants the -1 sorts first, so
+    a window closing exactly when another opens never double-counts.
+    `peak_at_us` is the earliest instant the peak is reached —
+    deterministic because reordering equal (t, delta) ties permutes
+    identical deltas and leaves every prefix sum unchanged.
+
+    Exactness: all arithmetic is integer (epoch micros, unit deltas).
+
+    Scale: ONE event_type-keyed exchange feeds both the sweep window
+    and the peak aggregate; the peak table is tiny (one row per type)
+    and broadcasts back onto the curve. The per-key time sort is the
+    scale concern at 100 TB: a single key's curve must sort within
+    its partitions' spill budget. The fix at that scale is the same
+    two-stage trick pack_sequences_global uses — local sweeps over
+    time-range slices, then broadcast per-slice carry-in offsets —
+    which this query's shape converts to without changing semantics.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("t_us")
+    )
+    deltas = ev.select("event_type", "t_us", F.lit(1).alias("delta")).unionAll(
+        ev.select(
+            "event_type",
+            (F.col("t_us") + F.lit(900_000_000)).alias("t_us"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    from pyspark.sql import Window
+
+    sweep = Window.partitionBy("event_type").orderBy("t_us", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = deltas.withColumn("concurrency", F.sum("delta").over(sweep))
+    # derived from `run`, so rename the key to keep the self-join
+    # lineage unambiguous
+    peak = (
+        run.groupBy("event_type")
+        .agg(F.max("concurrency").alias("peak_concurrency"))
+        .withColumnRenamed("event_type", "peak_type")
+    )
+    return (
+        run.join(
+            F.broadcast(peak),
+            (F.col("event_type") == F.col("peak_type"))
+            & (F.col("concurrency") == F.col("peak_concurrency")),
+        )
+        .groupBy("event_type", "peak_concurrency")
+        .agg(F.min("t_us").alias("peak_at_us"))
+        .orderBy("event_type")
+    )

@@ -440,3 +440,14 @@ def test_share_of_total_no_single_partition_on_facts(spark, sf_dir):
     # SUM() OVER () empty-frame window over the facts
     plan = plan_of(spark, sf_dir, "agg_share_of_total")
     assert "Window" not in plan
+
+
+def test_peak_concurrency_broadcast_and_one_sweep_exchange(spark, sf_dir):
+    # the sweep-line curve and its per-type peak must ride the same
+    # event_type exchange (reused, not recomputed), the tiny peak
+    # table must come back as a broadcast join, and nothing in the
+    # plan may degenerate to a cartesian or single-partition sort
+    plan = plan_of(spark, sf_dir, "events_peak_concurrency")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

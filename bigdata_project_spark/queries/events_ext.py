@@ -547,14 +547,26 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: all arithmetic is integer (epoch micros, unit deltas).
 
-    Scale: ONE event_type-keyed exchange feeds both the sweep window
-    and the peak aggregate; the peak table is tiny (one row per type)
-    and broadcasts back onto the curve. The per-key time sort is the
-    scale concern at 100 TB: a single key's curve must sort within
-    its partitions' spill budget. The fix at that scale is the same
-    two-stage trick pack_sequences_global uses — local sweeps over
-    time-range slices, then broadcast per-slice carry-in offsets —
-    which this query's shape converts to without changing semantics.
+    Scale — TWO-STAGE SLICED SWEEP (the pack_sequences_global recipe,
+    operators/corpus.py): events has ~5 distinct event types, so a
+    single Window.partitionBy(event_type) would sort the entire
+    doubled delta stream inside 5 partitions — a scale-killer at
+    100 TB. Instead:
+      1. slice = t_us div 1 day; slice is monotone in t_us and equal
+         instants share a slice, so ordering by (slice, t_us, delta)
+         IS the global (t_us, delta) order — semantics unchanged;
+      2. the local sweep runs per (event_type, slice): the sort is
+         bounded by one type-day of deltas, parallel across
+         types x days partitions (hashpartitioning(event_type, slice));
+      3. per-slice delta totals (a map-side partial agg — never
+         sorted) roll into carry-in offsets via a window over the
+         tiny (types x days)-row totals table, broadcast back;
+      4. concurrency = carry_in + local_run.
+    The argmax (peak value + earliest instant reaching it) is ONE
+    aggregate over the curve — max(struct(concurrency, -t_us)) picks
+    max concurrency then min t_us — so the curve and its sort are
+    computed exactly once: no self-join, no second window pass, no
+    broadcast-back onto the full curve.
     """
     ev = load(spark, sf_dir, "events").select(
         "event_type", F.unix_micros("ts").alias("t_us")
@@ -566,26 +578,40 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).alias("delta"),
         )
     )
+    SLICE_US = 86_400_000_000  # 1 day of epoch micros
+    deltas = deltas.withColumn("slice", F.expr(f"t_us div {SLICE_US}"))
     from pyspark.sql import Window
 
-    sweep = Window.partitionBy("event_type").orderBy("t_us", "delta").rowsBetween(
+    # stage 1: local sweep, bounded sort per (event_type, slice)
+    local = Window.partitionBy("event_type", "slice").orderBy("t_us", "delta").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    run = deltas.withColumn("concurrency", F.sum("delta").over(sweep))
-    # derived from `run`, so rename the key to keep the self-join
-    # lineage unambiguous
-    peak = (
-        run.groupBy("event_type")
-        .agg(F.max("concurrency").alias("peak_concurrency"))
-        .withColumnRenamed("event_type", "peak_type")
+    swept = deltas.withColumn("local_run", F.sum("delta").over(local))
+    # stage 2: carry-in = running total of whole-slice delta sums over
+    # all earlier slices of the same type. The totals branch is a
+    # partial-agg scan (no sort); the running-total window sees only
+    # types x days rows and its result broadcasts.
+    totals = deltas.groupBy("event_type", "slice").agg(
+        F.sum("delta").cast("long").alias("slice_total")
     )
-    return (
-        run.join(
-            F.broadcast(peak),
-            (F.col("event_type") == F.col("peak_type"))
-            & (F.col("concurrency") == F.col("peak_concurrency")),
-        )
-        .groupBy("event_type", "peak_concurrency")
-        .agg(F.min("t_us").alias("peak_at_us"))
-        .orderBy("event_type")
+    w_carry = Window.partitionBy("event_type").orderBy("slice").rowsBetween(
+        Window.unboundedPreceding, -1
     )
+    carry = totals.select(
+        "event_type",
+        "slice",
+        F.coalesce(F.sum("slice_total").over(w_carry), F.lit(0)).cast("long").alias("carry_in"),
+    )
+    run = swept.join(F.broadcast(carry), ["event_type", "slice"]).withColumn(
+        "concurrency", F.col("carry_in") + F.col("local_run")
+    )
+    # argmax in one agg: struct orders by concurrency first, then
+    # -t_us (t_us > 0), so max() = (peak, earliest instant at peak)
+    best = run.groupBy("event_type").agg(
+        F.max(F.struct(F.col("concurrency"), (-F.col("t_us")).alias("neg_t"))).alias("b")
+    )
+    return best.select(
+        "event_type",
+        F.col("b.concurrency").alias("peak_concurrency"),
+        (-F.col("b.neg_t")).alias("peak_at_us"),
+    ).orderBy("event_type")

@@ -95,78 +95,82 @@ def all_oracles() -> dict[str, str]:
 _LOADED = False
 
 # Externally-verified-first ordering. The driver's correctness harness
-# checks the first 50 registered queries each round. Rounds 1-3
-# hash-verified 97 distinct queries (CORRECTNESS_r01-r03.json); round 4
-# front-loads the 43 oracled queries that have never had a driver row
-# (the events batch family, 16 scalar families, the round-3 corpus
-# operators, SCD2/MERGE, PageRank, null-safe join, union-by-name,
-# vn_listing_normalize), plus `sample_tablesample` (its only driver
-# rows predate the determinism fix in commit 8505300) and six
-# re-verification slots for r2-green queries whose modules were edited
-# in r3 after their green rows (the shingle-cap and HOF rewrites).
-# No-oracle queries are deliberately excluded — a rows-only row wastes
-# a window slot. Queries not named here keep their registration
-# (import) order after these.
+# checks the first 50 registered queries each round. Rounds 1-4
+# hash-verified 142 distinct queries (CORRECTNESS_r01-r04.json, r4 =
+# 50/50 green). Round 5 front-loads 50 of the 54 oracled queries that
+# have never had a driver row: the full TPC-H sweep (tpch_more.py +
+# tpch_full.py — round 4's flagship addition, zero driver rows), the
+# round-4 events/analytics family (including `events_peak_concurrency`,
+# whose plan is now the two-stage sliced sweep), the QA/audit layer,
+# the ANN/LSH recall evaluations, the corpus-ext operators, the
+# multimodal plan queries, and the session-window / SCD2-diff /
+# incremental-rollup stragglers. Deliberately deferred to the round-6
+# top-up (the window holds exactly 50): `scalar_string_format`,
+# `window_forward_fill_ignore_nulls`, `agg_histogram_fixed`,
+# `agg_mode_exact` — all four come from families with the deepest
+# existing driver coverage (16 scalar families, the window family, and
+# the aggregate family are all green in r3/r4) and are the lowest-risk
+# residue. No-oracle queries are excluded — a rows-only row wastes a
+# window slot. Queries not named here keep registration order after.
 _DRIVER_FIRST: tuple[str, ...] = (
-    # events batch family (§2.9 batch twins) — never driver-checked
-    "events_tumbling_hourly",
-    "events_sliding_1h_15m",
-    "events_session_30m",
-    "events_dedup_first_arrival",
-    "events_rate_per_type_day",
-    "events_funnel_view_click_purchase",
-    "events_retention_cohort",
-    "events_gapfill_hourly",
-    # round-3 corpus / training-data operators (§2.10) — never driver-checked
-    "graph_pagerank_neardup",
-    "pack_sequences_by_source",
-    "pack_sequences_global",
-    "contamination_ngram_overlap",
-    "scrub_pii_stats",
-    "split_train_val_test",
-    "quality_repetition_filter",
-    "dedup_incremental_merge",
-    "training_corpus_manifest",
-    "sample_fixed_k_per_stratum",
-    "text_rarity_score",
-    "multimodal_feature_knn",
-    # lakehouse maintenance (§2.10) — never driver-checked
-    "scd2_user_status_history",
-    "lake_merge_upsert_projection",
-    # scalar families (§2.8) — never driver-checked
-    "scalar_string_functions",
-    "scalar_date_functions",
-    "scalar_math_guarded",
-    "scalar_null_handling",
-    "scalar_array_functions",
-    "scalar_json_extraction",
-    "scalar_case_conversion",
-    "scalar_regexp_family",
-    "scalar_url_parse",
-    "scalar_csv_column_codec",
-    "scalar_interval_datetime",
-    "scalar_try_functions",
-    "scalar_bit_binary_ops",
-    "scalar_array_set_algebra",
-    "scalar_date_construction",
-    "scalar_map_higher_order",
-    # aggregate families (§2.4) — never driver-checked
-    "agg_boolean_family",
-    "agg_bitwise",
-    # join / setop stragglers (§2.3, §2.7) — never driver-checked
-    "join_null_safe_eq",
-    "setop_union_by_name_missing",
-    # reference-parity normalization (§2.2) — never driver-checked
-    "vn_listing_normalize",
-    # deterministic since commit 8505300; prior driver rows predate the fix
-    "sample_tablesample",
-    # re-verification: r2-green but their modules were edited in r3
-    "dedup_ngram_jaccard",
-    "dedup_cluster_components",
-    "corpus_clean_pipeline",
-    "sim_ann_lsh_banded",
-    "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
+    # TPC-H sweep (§2.3) — never driver-checked
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q12_late_priority",
+    "tpch_q13_order_count_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_bracket_revenue",
+    "tpch_q20_excess_shippers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_windfall_customers",
+    # round-4 events / analytics family (§2.4, §2.5) — never driver-checked
+    "events_rollup_cascade",
+    "events_top_paths",
+    "events_anomaly_daily_zscore",
+    "events_cumulative_users",
+    "events_rfm_segments",
+    "events_interarrival_stats",
+    "events_burst_detection",
+    "events_user_trend_slope",
+    "events_peak_concurrency",
+    "agg_share_of_total",
+    "join_market_basket_pairs",
+    # QA / audit layer (§2.10) — never driver-checked
+    "qa_referential_integrity",
+    "qa_column_profile",
+    # ANN / LSH recall evaluations (§2.10) — never driver-checked
+    "dedup_lsh_pair_recall",
+    "sim_recall_at_k",
+    "sim_ann_ivf_nprobe2",
+    "sim_recall_ivf2_at_k",
+    # graph (§2.10) — never driver-checked
+    "graph_triangle_stats",
+    # corpus-ext operators (§2.10) — never driver-checked
+    "chunk_documents_overlap",
+    "vocab_top_terms",
+    "sample_quality_weighted",
+    "mixture_source_weights",
+    "quality_gopher_rules",
+    "index_inverted_postings",
+    "lake_zorder_key",
+    # text / multimodal (§2.10) — never driver-checked
+    "text_langid_confusion",
+    "multimodal_frame_sample_plan",
+    "multimodal_resize_plan",
+    # window / lakehouse / streaming stragglers — never driver-checked
+    "window_session_numbering",
+    "scd2_snapshot_diff",
+    "stream_incremental_rollup",
 )
 
 

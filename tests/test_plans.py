@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 from bigdata_project_spark.registry import REGISTRY, _ensure_loaded
 
@@ -442,12 +443,27 @@ def test_share_of_total_no_single_partition_on_facts(spark, sf_dir):
     assert "Window" not in plan
 
 
-def test_peak_concurrency_broadcast_and_one_sweep_exchange(spark, sf_dir):
-    # the sweep-line curve and its per-type peak must ride the same
-    # event_type exchange (reused, not recomputed), the tiny peak
-    # table must come back as a broadcast join, and nothing in the
-    # plan may degenerate to a cartesian or single-partition sort
+def test_peak_concurrency_two_stage_sliced_sweep(spark, sf_dir):
+    # the sweep must be the TWO-STAGE sliced form: the curve's sort
+    # runs per (event_type, slice) — never per event_type alone (5
+    # distinct types would serialize the whole doubled delta stream
+    # into 5 sort partitions at 100 TB) — with the tiny carry-in
+    # offsets table coming back as a broadcast join, and no cartesian
+    # or shuffle join anywhere
     plan = plan_of(spark, sf_dir, "events_peak_concurrency")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+    # the sweep window's exchange and sort both carry the slice key
+    assert re.search(r"hashpartitioning\(event_type#\d+, slice#\d+", plan), plan
+    assert re.search(r"event_type#\d+ ASC[^,]*, slice#\d+L? ASC[^,]*, t_us#\d+L? ASC", plan), plan
+    # the sweep window (the one ordered by t_us) must be partitioned
+    # by (event_type, slice), not event_type alone; the only other
+    # window (carry-in running total) runs over the tiny per-slice
+    # totals table and never orders by t_us
+    sweep_specs = [
+        s for s in re.findall(r"windowspecdefinition\(([^)]*)\)", plan) if "t_us" in s
+    ]
+    assert sweep_specs, plan
+    for spec in sweep_specs:
+        assert "slice" in spec, spec

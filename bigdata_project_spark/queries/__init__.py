@@ -6,6 +6,7 @@ from bigdata_project_spark.queries import (  # noqa: F401
     analytics_ext,
     aggregates,
     collections_ext,
+    enrich_ext,
     events,
     events_ext,
     funnel,

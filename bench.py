@@ -78,6 +78,15 @@ HEADLINE = [
     "events_top_paths",
     "window_session_numbering",
     "graph_triangle_stats",
+    # round-5 additions (timing loop unchanged since r4 — only the
+    # query list grows, so round-over-round deltas on the common set
+    # stay pure plan effects)
+    "join_pointintime_enrich",
+    "events_attribution_last_touch",
+    "events_sliding_distinct_users",
+    "dedup_editdistance_blocked",
+    "events_twap",
+    "events_peak_concurrency",
 ]
 
 

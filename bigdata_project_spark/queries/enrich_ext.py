@@ -553,3 +553,263 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+# --------------------------------------- decile bucketing at scale
+
+_DECILE_QS = [i / 10.0 for i in range(1, 10)]
+
+
+@query(
+    "agg_spend_decile_buckets",
+    oracle=f"""
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS spend_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    bounds AS (
+        SELECT quantile_cont(spend_cents, {_DECILE_QS}) AS bs FROM spend
+    )
+    SELECT len(list_filter(b.bs, x -> x < s.spend_cents)) AS decile,
+           COUNT(*) AS n_customers,
+           SUM(s.spend_cents) AS sum_spend_cents,
+           MIN(s.spend_cents) AS min_spend_cents,
+           MAX(s.spend_cents) AS max_spend_cents
+    FROM spend s CROSS JOIN bounds b
+    GROUP BY 1
+    """,
+    tags=("agg", "decile", "broadcast", "scale-pattern"),
+)
+def agg_spend_decile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile bucketing of customer spend WITHOUT a global NTILE —
+    NTILE(10) OVER (ORDER BY spend) is an unpartitioned window, i.e.
+    a single-task sort of every customer at any scale. The scale
+    shape instead computes the nine decile boundaries once (exact
+    percentiles of integer cents; interpolated midpoints are exact
+    binary fractions) and broadcasts them back as a 1-row cross join;
+    bucket = how many boundaries lie strictly below the row's spend.
+    Boundary-tie rule (boundary value itself goes to the LOWER
+    bucket, strict <) is identical in both engines.
+
+    Unlike NTILE, bucket populations can be uneven when values tie at
+    a boundary — the price of a broadcastable assignment; the audit
+    columns (count + min/max per bucket) make that visible.
+
+    Scale: one shuffle for the per-customer rollup; the percentile
+    agg reduces to a 9-double row (exact percentile needs the full
+    multiset — swap approx_percentile at 100 TB, same plan shape);
+    assignment is a codegen'd expression over a broadcast row."""
+    o = load(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("spend_cents")
+    )
+    qs = ", ".join(str(q) for q in _DECILE_QS)
+    bounds = spend.agg(F.expr(f"percentile(spend_cents, array({qs}))").alias("bs"))
+    decile = F.size(F.filter(F.col("bs"), lambda x: x < F.col("spend_cents")))
+    return (
+        spend.join(F.broadcast(bounds))
+        .groupBy(decile.alias("decile"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("spend_cents").alias("sum_spend_cents"),
+            F.min("spend_cents").alias("min_spend_cents"),
+            F.max("spend_cents").alias("max_spend_cents"),
+        )
+    )
+
+
+# ------------------------------------------- week-over-week growth
+
+_WEEK_DAYS = 7
+
+
+@query(
+    "events_wow_growth",
+    oracle=f"""
+    WITH weekly AS (
+        SELECT event_type,
+               (epoch_us(ts) // {_DAY_US}) // {_WEEK_DAYS} AS week,
+               SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS rev_cents
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, week, rev_cents,
+           LAG(rev_cents) OVER (PARTITION BY event_type ORDER BY week) AS prev_cents,
+           CASE WHEN LAG(rev_cents) OVER (PARTITION BY event_type ORDER BY week) > 0
+                THEN ROUND(CAST(rev_cents - LAG(rev_cents) OVER (PARTITION BY event_type
+                                                                 ORDER BY week) AS DOUBLE)
+                           / CAST(LAG(rev_cents) OVER (PARTITION BY event_type
+                                                       ORDER BY week) AS DOUBLE), 6)
+           END AS wow_growth
+    FROM weekly
+    """,
+    tags=("events", "window", "timeseries"),
+)
+def events_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type — the canonical KPI trend
+    query: aggregate to (type, epoch-week) exact cents totals, then a
+    lag window over the TINY aggregated series computes the growth
+    ratio (single guarded division, rounded; weeks with no
+    predecessor or zero base stay NULL).
+
+    Scale: the window runs over types x weeks rows — aggregation
+    shrank the stream by orders of magnitude before any sort, the
+    pattern every timeseries-trend query should follow (window AFTER
+    agg, never over raw facts)."""
+    ev = load(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type",
+        F.expr(f"(unix_micros(ts) div {_DAY_US}) div {_WEEK_DAYS}").alias("week"),
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("rev_cents"))
+    w = W.partitionBy("event_type").orderBy("week")
+    prev = F.lag("rev_cents").over(w)
+    growth = F.when(
+        prev > 0,
+        F.round((F.col("rev_cents") - prev).cast("double") / prev.cast("double"), 6),
+    )
+    return weekly.select(
+        "event_type",
+        "week",
+        "rev_cents",
+        prev.alias("prev_cents"),
+        growth.alias("wow_growth"),
+    )
+
+
+# --------------------------------------- conversion latency stats
+
+
+@query(
+    "events_time_to_convert",
+    oracle="""
+    WITH fv AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS first_view_us
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    conv AS (
+        SELECT f.user_id, f.first_view_us,
+               MIN(epoch_us(p.ts)) AS first_purchase_us
+        FROM fv f
+        LEFT JOIN events p
+          ON p.user_id = f.user_id AND p.event_type = 'purchase'
+         AND epoch_us(p.ts) >= f.first_view_us
+        GROUP BY f.user_id, f.first_view_us
+    )
+    SELECT COUNT(*) AS n_viewers,
+           SUM(CASE WHEN first_purchase_us IS NOT NULL THEN 1 ELSE 0 END) AS n_converted,
+           median(first_purchase_us - first_view_us) AS median_latency_us,
+           quantile_cont(first_purchase_us - first_view_us, 0.9) AS p90_latency_us
+    FROM conv
+    """,
+    tags=("events", "funnel", "latency"),
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, latency from FIRST view
+    to the first purchase at-or-after it; report viewer count,
+    converter count, and exact median/p90 latency (integer micros, so
+    the interpolated percentiles are exact binary fractions). NULL
+    latencies (never converted) are excluded from percentiles by both
+    engines' aggregate-null semantics — the same rows, by
+    construction.
+
+    Scale: first-view is a map-side-combinable min; the purchase
+    probe is an EQUI join on user_id with the at-or-after check as
+    residual; the final percentile is one global aggregate over the
+    per-user (two-column) table — swap approx_percentile at 100 TB,
+    identical shape."""
+    ev = load(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("first_view_us"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.unix_micros("ts").alias("p_t_us")
+    )
+    conv = (
+        fv.join(
+            p,
+            (F.col("p_user_id") == F.col("user_id"))
+            & (F.col("p_t_us") >= F.col("first_view_us")),
+            "left",
+        )
+        .groupBy("user_id", "first_view_us")
+        .agg(F.min("p_t_us").alias("first_purchase_us"))
+    )
+    lat = F.col("first_purchase_us") - F.col("first_view_us")
+    return conv.agg(
+        F.count("*").alias("n_viewers"),
+        F.sum(F.col("first_purchase_us").isNotNull().cast("long")).alias("n_converted"),
+        F.expr("percentile(first_purchase_us - first_view_us, 0.5)").alias("median_latency_us"),
+        F.expr("percentile(first_purchase_us - first_view_us, 0.9)").alias("p90_latency_us"),
+    )
+
+
+# ------------------------------------------------- cohort LTV curve
+
+
+@query(
+    "events_cohort_ltv",
+    oracle=f"""
+    WITH first_seen AS (
+        SELECT user_id,
+               (MIN(epoch_us(ts)) // {_DAY_US}) // {_WEEK_DAYS} AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    rev AS (
+        SELECT f.cohort_week,
+               ((epoch_us(p.ts) // {_DAY_US}) // {_WEEK_DAYS}) - f.cohort_week
+                   AS weeks_since,
+               SUM(CAST(ROUND(p.value * 100, 0) AS BIGINT)) AS rev_cents
+        FROM events p JOIN first_seen f ON p.user_id = f.user_id
+        WHERE p.event_type = 'purchase'
+        GROUP BY 1, 2
+    )
+    SELECT cohort_week, weeks_since, rev_cents,
+           SUM(rev_cents) OVER (PARTITION BY cohort_week ORDER BY weeks_since
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_ltv_cents
+    FROM rev
+    """,
+    tags=("events", "cohort", "ltv", "window"),
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: users grouped by first-seen week,
+    purchase revenue bucketed by weeks-since-acquisition, and the
+    running (cumulative) LTV per cohort — the growth-analytics
+    complement to events_retention_cohort (counts -> revenue). All
+    cents integers; the cumulative sum is exact.
+
+    Scale: first-seen is a map-side min per user; the cohort tag
+    joins back on user_id (at 100 TB the first-seen table is the
+    user dimension — bucket both sides or broadcast if it fits);
+    the cumulative window runs over the tiny (cohort x weeks)
+    aggregate, never raw facts."""
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.expr(f"(min(unix_micros(ts)) div {_DAY_US}) div {_WEEK_DAYS}").alias("cohort_week")
+    )
+    p = ev.filter(F.col("event_type") == "purchase")
+    rev = (
+        p.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.expr(f"(unix_micros(ts) div {_DAY_US}) div {_WEEK_DAYS}")
+                - F.col("cohort_week")
+            ).alias("weeks_since"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("rev_cents"))
+    )
+    w = (
+        W.partitionBy("cohort_week")
+        .orderBy("weeks_since")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return rev.select(
+        "cohort_week",
+        "weeks_since",
+        "rev_cents",
+        F.sum("rev_cents").over(w).alias("cum_ltv_cents"),
+    )

@@ -525,3 +525,30 @@ def test_bounce_rate_two_exchanges(spark, sf_dir):
     # the user_id exchange; only the tiny per-day aggregate adds one
     plan = plan_of(spark, sf_dir, "events_bounce_rate")
     assert plan.count("hashpartitioning(") <= 2
+
+
+def test_decile_buckets_no_global_window(spark, sf_dir):
+    # decile assignment must be the broadcast-boundaries shape — no
+    # NTILE/Window at all, and the boundary table joins as broadcast
+    plan = plan_of(spark, sf_dir, "agg_spend_decile_buckets")
+    assert "Window" not in plan
+    assert not re.search(r"\bntile\(", plan)  # \b: percentile( contains "ntile("
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_wow_growth_window_after_agg(spark, sf_dir):
+    # the lag window must run over the aggregated weekly series: the
+    # Window's child chain contains the HashAggregate, so raw facts
+    # are never sorted
+    plan = plan_of(spark, sf_dir, "events_wow_growth")
+    tree = plan.split("\n\n")[0]
+    # the formatted tree prints top-down (last operator first), so the
+    # Window node must appear ABOVE (= smaller index than) the weekly
+    # HashAggregate it consumes
+    assert tree.index("Window") < tree.index("HashAggregate")
+
+
+def test_time_to_convert_equi_probe(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "events_time_to_convert")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

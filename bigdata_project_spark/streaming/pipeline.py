@@ -466,3 +466,36 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = day.localCheckpoint(eager=True)
     shutil.rmtree(store, ignore_errors=True)
     return out
+
+
+@query(
+    "stream_daily_distinct_users",
+    oracle="""
+    SELECT epoch_us(date_trunc('day', ts)) AS day_start_us,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+    tags=("streaming", "distinct", "chained-stateful"),
+)
+def stream_daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT distinct users per day — COUNT(DISTINCT) is not
+    a streamable aggregate, so the streaming form chains two stateful
+    operators: watermarked dropDuplicates on (user_id, day) emits each
+    user's first event of the day exactly once, and a downstream
+    count per day sees exactly one row per distinct user. The batch
+    twin of this identity is events_sliding_distinct_users' dedup-
+    then-count recipe; the oracle is the plain COUNT(DISTINCT).
+
+    Scale: dedup state is one entry per (user, day) inside the
+    watermark horizon — bounded and evictable, never per event; the
+    downstream count keeps one counter per day. This is the streaming
+    counterpart of 'shrink to the deduped key set before counting'."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    keyed = ev.select("user_id", F.date_trunc("day", "ts").alias("day"), "ts")
+    firsts = keyed.dropDuplicates(["user_id", "day"])
+    daily = (
+        firsts.groupBy("day")
+        .agg(F.count("*").alias("n_users"))
+        .select(F.unix_micros("day").alias("day_start_us"), "n_users")
+    )
+    return run_available_now(daily, "stream_daily_distinct_users", "complete")

@@ -250,3 +250,86 @@ def window_session_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.min("ts")).alias("start_us"),
         F.unix_micros(F.max("ts")).alias("end_us"),
     )
+
+
+@query(
+    "qa_key_uniqueness",
+    oracle="""
+    SELECT 'orders.o_orderkey' AS pk, COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_orderkey) AS n_keys,
+           COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_dup_rows
+    FROM orders
+    UNION ALL
+    SELECT 'customer.c_custkey', COUNT(*), COUNT(DISTINCT c_custkey),
+           COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer
+    UNION ALL
+    SELECT 'part.p_partkey', COUNT(*), COUNT(DISTINCT p_partkey),
+           COUNT(*) - COUNT(DISTINCT p_partkey) FROM part
+    UNION ALL
+    SELECT 'supplier.s_suppkey', COUNT(*), COUNT(DISTINCT s_suppkey),
+           COUNT(*) - COUNT(DISTINCT s_suppkey) FROM supplier
+    UNION ALL
+    SELECT 'events.event_id', COUNT(*), COUNT(DISTINCT event_id),
+           COUNT(*) - COUNT(DISTINCT event_id) FROM events
+    UNION ALL
+    SELECT 'documents.doc_id', COUNT(*), COUNT(DISTINCT doc_id),
+           COUNT(*) - COUNT(DISTINCT doc_id) FROM documents
+    UNION ALL
+    SELECT 'lineitem.(l_orderkey,l_linenumber)', COUNT(*),
+           COUNT(DISTINCT l_orderkey * 1000 + l_linenumber),
+           COUNT(*) - COUNT(DISTINCT l_orderkey * 1000 + l_linenumber)
+    FROM lineitem
+    """,
+    tags=("qa", "uniqueness", "audit"),
+)
+def qa_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across the lake — the third leg of
+    the QA layer (orphans: qa_referential_integrity; distributions:
+    qa_column_profile; identity: here). One row per declared key with
+    row count, distinct-key count, and the duplicate surplus; the
+    composite lineitem key is packed into a single integer
+    (l_linenumber < 1000 by TPC-H construction) so the distinct
+    aggregates stay single-column in both engines.
+
+    Scale: each leg is one count-distinct aggregate — Spark expands
+    it to a two-phase partial/final hash agg on the key; the seven
+    one-row results union driver-free. No joins, no windows."""
+    defs = [
+        ("orders", "o_orderkey", "orders.o_orderkey"),
+        ("customer", "c_custkey", "customer.c_custkey"),
+        ("part", "p_partkey", "part.p_partkey"),
+        ("supplier", "s_suppkey", "supplier.s_suppkey"),
+        ("events", "event_id", "events.event_id"),
+        ("documents", "doc_id", "documents.doc_id"),
+    ]
+    parts = []
+    for table, key, label in defs:
+        t = load(spark, sf_dir, table)
+        parts.append(
+            t.agg(
+                F.count("*").alias("n_rows"),
+                F.countDistinct(key).alias("n_keys"),
+            ).select(
+                F.lit(label).alias("pk"),
+                "n_rows",
+                "n_keys",
+                (F.col("n_rows") - F.col("n_keys")).alias("n_dup_rows"),
+            )
+        )
+    li = load(spark, sf_dir, "lineitem")
+    packed = F.col("l_orderkey") * 1000 + F.col("l_linenumber")
+    parts.append(
+        li.agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct(packed).alias("n_keys"),
+        ).select(
+            F.lit("lineitem.(l_orderkey,l_linenumber)").alias("pk"),
+            "n_rows",
+            "n_keys",
+            (F.col("n_rows") - F.col("n_keys")).alias("n_dup_rows"),
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

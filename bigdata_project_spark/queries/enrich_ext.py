@@ -813,3 +813,60 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev_cents",
         F.sum("rev_cents").over(w).alias("cum_ltv_cents"),
     )
+
+
+# ----------------------------------------------- DAU/WAU stickiness
+
+
+@query(
+    "events_dau_wau_stickiness",
+    oracle=f"""
+    WITH user_days AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM user_days),
+    dau AS (
+        SELECT day, COUNT(*) AS dau FROM user_days GROUP BY day
+    ),
+    wau AS (
+        SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+        FROM days d JOIN user_days u ON u.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day
+    )
+    SELECT d.day, d.dau, w.wau,
+           ROUND(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+    FROM dau d JOIN wau w ON d.day = w.day
+    """,
+    tags=("events", "distinct", "stickiness", "fan-out"),
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness — the engagement ratio product teams track
+    daily: of the users active in the trailing week, what share came
+    back today. Both counts come from ONE deduped (user, day) table:
+    DAU is a plain count per day (each pair is already distinct), WAU
+    reuses the bounded x7 fan-out from events_sliding_distinct_users.
+    One division, rounded; everything else integer.
+
+    Scale: the expensive shrink (events -> user-days) happens once
+    and feeds both counts; the DAU/WAU join is day-keyed over
+    #days-sized tables — broadcastable at any corpus size."""
+    ev = load(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day")
+    ).distinct()
+    days = user_days.select("day").distinct()
+    dau = user_days.groupBy("day").agg(F.count("*").alias("dau"))
+    fanned = user_days.select(
+        "user_id", "day", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off")
+    ).select("user_id", (F.col("day") + F.col("off")).alias("day"))
+    wau = (
+        fanned.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+    )

@@ -14,6 +14,7 @@ from bigdata_project_spark.queries import (  # noqa: F401
     joins,
     robustness,
     scalars,
+    scale_ext,
     setops_sorts,
     subqueries,
     tpch_full,

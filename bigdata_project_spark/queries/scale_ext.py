@@ -1,0 +1,317 @@
+"""Scale-pattern analytics (round 5): exact heavy hitters via
+mergeable Misra-Gries candidate summaries, a two-stage bucketed
+Pareto frontier (skyline), and a grid-bucketed geo radius self-join.
+
+Each query is the SCALE-SAFE shape of a classically quadratic or
+single-partition problem:
+
+- agg_heavy_hitters_exact: "which keys exceed 1% of all traffic"
+  without trusting an approximate sketch — a map-only mergeable-
+  summary pass generates a guaranteed-superset candidate set, and
+  one exact counting pass over the candidates verifies. The output
+  is EXACT (oracled); the sketch only prunes.
+- sort_pareto_frontier: the skyline operator (non-dominated points)
+  without the O(n^2) NOT-EXISTS self-join the naive SQL implies —
+  bucketed local frontiers + a broadcast cross-bucket carry, the
+  same sliced-sweep recipe as events_peak_concurrency.
+- join_geo_grid_radius: "all pairs within R km" without a cross
+  join — integer grid cells + a 9-cell neighborhood equi-join bound
+  the candidate pairs, exact haversine verifies.
+
+Deterministic per the registry contract; oracles in DuckDB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_project_spark.registry import query
+from bigdata_project_spark.tables import load
+
+# Heavy-hitter threshold: tokens with count * K > total token count,
+# i.e. > 1/K of the token stream. Mirrored in the oracle SQL below.
+_HH_K = 40
+
+
+def mg_merge(counts: dict, batch_counts, cap: int) -> dict:
+    """One mergeable-summaries step (Agarwal et al., 'Mergeable
+    Summaries'): add a batch of exact counts into a Misra-Gries
+    summary, then if it exceeds `cap` entries subtract the (cap+1)-th
+    largest count from every entry and drop non-positives. Guarantee
+    preserved: every key's summary count underestimates its true
+    count by at most (stream length)/(cap+1). Module-level (not a
+    closure) so the property test can drive it with synthetic skewed
+    streams where the prune actually fires."""
+    for k, v in batch_counts:
+        counts[k] = counts.get(k, 0) + int(v)
+    if len(counts) > cap:
+        vals = sorted(counts.values(), reverse=True)
+        sub = vals[cap]  # (cap+1)-th largest
+        counts = {k: c - sub for k, c in counts.items() if c > sub}
+    return counts
+
+
+@query(
+    "agg_heavy_hitters_exact",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    )
+    SELECT tok,
+           COUNT(*) AS n_tok,
+           CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM toks) AS share
+    FROM toks
+    GROUP BY tok
+    HAVING COUNT(*) * {_HH_K} > (SELECT COUNT(*) FROM toks)
+    """,
+    tags=("agg", "sketch", "heavy-hitter", "llm", "text"),
+)
+def agg_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters over the corpus token stream (tokens with
+    > 1/K of all occurrences, K=40 — the boilerplate/stopword screen
+    of a training-data pipeline) via the candidate-then-verify
+    pattern — the scale-correct way to get exact answers when the key
+    space (web-scale vocabulary) is too large to group exactly:
+
+    1. CANDIDATES — a map-only mapInPandas pass builds one Misra-
+       Gries summary per partition (capacity K, merged batch-at-a-
+       time with the mergeable-summaries prune in `mg_merge`). MG's
+       guarantee: a key's summary count underestimates its partition-
+       local count by at most n_p/(K+1). A key with global count
+       > n/K must, by averaging, have count > n_p/K >= n_p/(K+1) in
+       at least one partition — so the union of per-partition
+       summaries is a SUPERSET of every true heavy hitter. At most
+       K x n_partitions candidate rows leave the map stage; the raw
+       token stream is never shuffled.
+    2. VERIFY — one exact counting pass restricted to the candidates
+       (broadcast left-semi join, map-side partial counts), filtered
+       by the exact integer predicate count * K > total. The
+       surviving keys are by construction the most frequent — the
+       partial aggregation combines them map-side, so the heavy keys
+       themselves cannot skew the (tiny) shuffle.
+
+    The candidate SET depends on partition boundaries; the OUTPUT
+    does not — verification recounts exactly, so the result equals
+    the oracle's plain GROUP BY ... HAVING on any partitioning.
+
+    Testbed honesty: documents' synthetic vocabulary (31 tokens) is
+    smaller than the capacity, so the prune never fires here — the
+    prune path is property-tested on synthetic skewed streams with
+    |vocab| >> capacity (tests/test_scale_ext.py). All threshold
+    comparisons are integer (count * K > total); `share` is one
+    double division — IEEE-identical in both engines.
+    """
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+    )
+
+    cap = _HH_K
+
+    def mg_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # inline copy of mg_merge (kept in lock-step; module-level
+        # twin exists for the property test) so cloudpickle ships the
+        # closure by value — workers never import this repo
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for k, v in pdf["tok"].value_counts().items():
+                counts[k] = counts.get(k, 0) + int(v)
+            if len(counts) > cap:
+                vals = sorted(counts.values(), reverse=True)
+                sub = vals[cap]
+                counts = {k: c - sub for k, c in counts.items() if c > sub}
+        if counts:
+            yield pd.DataFrame({"tok": list(counts.keys())})
+
+    candidates = toks.mapInPandas(mg_candidates, "tok string").distinct()
+
+    total = toks.agg(F.count("*").alias("total"))
+    exact = (
+        toks.join(F.broadcast(candidates), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count("*").alias("n_tok"))
+    )
+    return (
+        exact.join(F.broadcast(total))
+        .filter(F.col("n_tok") * _HH_K > F.col("total"))
+        .select(
+            "tok",
+            "n_tok",
+            (F.col("n_tok").cast("double") / F.col("total")).alias("share"),
+        )
+        .orderBy(F.desc("n_tok"), "tok")
+    )
+
+
+@query(
+    "sort_pareto_frontier",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+    tags=("sort", "skyline", "window"),
+)
+def sort_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier / skyline: parts not dominated on (cheaper
+    price, larger size). The oracle is the O(n^2) NOT-EXISTS
+    definition; the Spark plan is the two-stage bucketed sweep that
+    replaces it at scale (the sliced-sweep recipe of
+    events_peak_concurrency / pack_sequences_global):
+
+    1. bucket = floor(price / 100): a fixed price-range slice, so
+       every strictly-cheaper point is either in the same bucket or
+       a strictly smaller one;
+    2. per (bucket, price) group-max of size (`gmax`) collapses the
+       facts to one row per distinct price BEFORE any window — the
+       window input is the deduped price table, orders of magnitude
+       smaller than the facts;
+    3. within a bucket, `m1` = running max of gmax over strictly
+       cheaper prices (rows-frame to -1 on the deduped table, where
+       each price occurs exactly once — bounded sort per bucket);
+    4. across buckets, the carry is a running max over the per-
+       bucket maxima — a #buckets-row table (the single-partition
+       window is over ~dozens of rows) broadcast back;
+    5. a price survives iff gmax beats BOTH m1 and the carry
+       strictly; facts join the surviving (tiny) price list by
+       broadcast and keep rows with size == gmax. Equal-price
+       equal-size duplicates are all on the frontier (neither
+       dominates), matching the NOT-EXISTS semantics exactly.
+    """
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    p = p.withColumn("bucket", F.floor(F.col("p_retailprice") / F.lit(100.0)))
+
+    g = p.groupBy("bucket", "p_retailprice").agg(F.max("p_size").alias("gmax"))
+    w_prev = (
+        Window.partitionBy("bucket")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g = g.withColumn("m1", F.max("gmax").over(w_prev))
+
+    btot = g.groupBy("bucket").agg(F.max("gmax").alias("bmax"))
+    w_carry = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    carry = btot.select("bucket", F.max("bmax").over(w_carry).alias("carry"))
+
+    keep = (
+        g.join(F.broadcast(carry), "bucket")
+        .filter(
+            (F.col("m1").isNull() | (F.col("gmax") > F.col("m1")))
+            & (F.col("carry").isNull() | (F.col("gmax") > F.col("carry")))
+        )
+        .select("bucket", "p_retailprice", "gmax")
+    )
+    return (
+        p.join(F.broadcast(keep), ["bucket", "p_retailprice"])
+        .filter(F.col("p_size") == F.col("gmax"))
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", F.desc("p_size"), "p_partkey")
+    )
+
+
+@query(
+    "join_geo_grid_radius",
+    oracle="""
+    WITH pts AS (
+        SELECT s_suppkey AS s,
+               20.0 + (s_suppkey * 37 % 100) / 100.0 AS lat,
+               105.0 + (s_suppkey * 91 % 100) / 100.0 AS lon
+        FROM supplier
+    )
+    SELECT * FROM (
+        SELECT a.s AS s_a, b.s AS s_b,
+               CAST(ROUND(
+                 2 * 6371.0 * ASIN(SQRT(
+                   POW(SIN(RADIANS(b.lat - a.lat) / 2), 2)
+                   + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+                     * POW(SIN(RADIANS(b.lon - a.lon) / 2), 2)
+                 )), 0) AS BIGINT) AS km
+        FROM pts a JOIN pts b ON a.s < b.s
+    ) WHERE km <= 45
+    """,
+    tags=("join", "geo", "grid"),
+)
+def join_geo_grid_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All supplier pairs within 45 km (whole-km rounding), the
+    spatial radius self-join. The oracle is the O(n^2) cross join;
+    the Spark plan is the grid-bucketed candidate join:
+
+    - coordinates are synthesized deterministically from s_suppkey
+      into a 1 x 1 degree area (lat 20-21, lon 105-106 — the
+      reference corpus's region, BASELINE.md), by pure integer
+      modulo arithmetic shared with the oracle;
+    - cell = integer 0.5-degree grid id ((k*37 % 200) div 50 —
+      integer division, no float boundary risk);
+    - candidates = equi-join on the 9-cell neighborhood (one explode
+      of the 3x3 offsets on the left side, then a plain equi-join on
+      the shifted cell id). Correctness of +-1: at |lat| <= 21 a
+      45 km haversine distance implies dLat <= 0.41 deg and
+      dLon <= 0.44 deg (1 deg lon >= 103.81 km at lat 21), both
+      < 0.5 deg, so any qualifying pair is in same-or-adjacent
+      cells; a given pair is produced exactly once because the right
+      row's cell is covered by exactly one of the left row's nine
+      offsets.
+    - exact haversine verifies each candidate. Distance is rounded
+      to whole km before output AND threshold (libm trig differs in
+      the last ulp across engines; integer km is portable — same
+      convention as scalar_geo_haversine_km).
+
+    Scale: candidate volume is sum over cells of |cell| x |3x3
+    neighborhood| — linear in points for bounded density, vs the
+    cross join's quadratic blowup. The equi-join shuffles on the
+    cell id; skewed (dense) cells are exactly the AQE skew-join
+    case. At planet scale, cells become partition keys of the
+    stored table and the neighborhood join is co-located.
+    """
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("s"),
+        (F.lit(20.0) + (F.col("s_suppkey") * 37 % 100) / 100.0).alias("lat"),
+        (F.lit(105.0) + (F.col("s_suppkey") * 91 % 100) / 100.0).alias("lon"),
+        F.expr("(s_suppkey * 37 % 100) div 50").alias("cy"),
+        F.expr("(s_suppkey * 91 % 100) div 50").alias("cx"),
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+    )
+    a = (
+        s.withColumn("o", F.explode(offs))
+        .select(
+            F.col("s").alias("s_a"),
+            F.col("lat").alias("lat_a"),
+            F.col("lon").alias("lon_a"),
+            (F.col("cy") + F.col("o.dy")).alias("ncy"),
+            (F.col("cx") + F.col("o.dx")).alias("ncx"),
+        )
+    )
+    b = s.select(
+        F.col("s").alias("s_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        F.col("cy").alias("ncy"),
+        F.col("cx").alias("ncx"),
+    )
+    cand = a.join(b, ["ncy", "ncx"]).filter(F.col("s_a") < F.col("s_b"))
+    dlat = F.radians(F.col("lat_b") - F.col("lat_a")) / 2
+    dlon = F.radians(F.col("lon_b") - F.col("lon_a")) / 2
+    hav = F.pow(F.sin(dlat), 2) + F.cos(F.radians("lat_a")) * F.cos(
+        F.radians("lat_b")
+    ) * F.pow(F.sin(dlon), 2)
+    km = F.round(2 * 6371.0 * F.asin(F.sqrt(hav)), 0).cast("long")
+    return (
+        cand.select("s_a", "s_b", km.alias("km"))
+        .filter(F.col("km") <= 45)
+        .orderBy("s_a", "s_b")
+    )

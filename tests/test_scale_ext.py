@@ -1,0 +1,107 @@
+"""queries/scale_ext.py: Misra-Gries superset guarantee on synthetic
+skewed streams (where the prune actually fires), and plan shapes for
+the three scale-pattern queries (no cartesian / no quadratic join
+anywhere — the whole point of each rewrite)."""
+
+from __future__ import annotations
+
+import random
+import re
+from collections import Counter
+
+from tests.test_plans import plan_of
+
+
+def _mg_run(stream, cap, batch=997):
+    """Feed a python stream through mg_merge in batches, like one
+    partition's mapInPandas generator would."""
+    from bigdata_project_spark.queries.scale_ext import mg_merge
+
+    counts: dict = {}
+    for i in range(0, len(stream), batch):
+        counts = mg_merge(counts, Counter(stream[i : i + batch]).items(), cap)
+    return counts
+
+
+def test_mg_superset_guarantee_under_prune():
+    """Vocabulary (5000) >> capacity (50): the prune fires constantly,
+    yet every key with true count > n/cap must survive — the property
+    the candidate stage of agg_heavy_hitters_exact stands on. Also
+    check the error bound: the summary undercounts any key by at most
+    n/(cap+1)."""
+    rng = random.Random(20240814)
+    cap = 50
+    # zipf-ish: a few genuinely heavy keys on a huge light-key tail
+    heavy = [f"h{i}" for i in range(8)]
+    stream = []
+    for i, k in enumerate(heavy):
+        stream += [k] * (4000 // (i + 1))
+    stream += [f"t{rng.randrange(5000)}" for _ in range(30000)]
+    rng.shuffle(stream)
+
+    true = Counter(stream)
+    n = len(stream)
+    summary = _mg_run(stream, cap)
+
+    assert len(summary) <= cap + 1
+    for k, c in true.items():
+        if c * cap > n:  # true heavy hitter at threshold n/cap
+            assert k in summary, f"heavy key {k} (count {c}, n {n}) pruned"
+        if k in summary:
+            assert summary[k] <= c  # never overcounts
+            assert c - summary[k] <= n // (cap + 1) + 1  # bounded undercount
+
+
+def test_mg_partition_union_covers_global_heavy_hitters():
+    """The averaging argument across partitions: a key above n/cap
+    GLOBALLY survives in at least one partition's summary, however
+    the stream is split."""
+    rng = random.Random(7)
+    cap = 20
+    stream = ["big"] * 3000 + [f"t{rng.randrange(2000)}" for _ in range(20000)]
+    rng.shuffle(stream)
+    n = len(stream)
+    assert Counter(stream)["big"] * cap > n  # it IS a global heavy hitter
+
+    # adversarial split sizes, not equal halves
+    cuts = sorted(rng.randrange(n) for _ in range(7))
+    parts = [stream[a:b] for a, b in zip([0] + cuts, cuts + [n])]
+    union = set()
+    for p in parts:
+        union |= set(_mg_run(p, cap))
+    assert "big" in union
+
+
+def test_heavy_hitters_plan_no_wide_shuffle_of_raw_stream(spark, sf_dir):
+    """The raw token stream must never be shuffled whole: candidates
+    come from a map-side MG pass, and both verification joins are
+    broadcasts. The only aggregation of raw tokens is the left-semi-
+    filtered exact count (partial agg map-side first)."""
+    plan = plan_of(spark, sf_dir, "agg_heavy_hitters_exact")
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # semi join + total join
+
+
+def test_pareto_frontier_plan_two_stage(spark, sf_dir):
+    """No NOT-EXISTS self-join shape: the skyline must be the bucketed
+    sweep — windows partitioned by bucket, broadcast joins only, and
+    the facts-side window input is the deduped (bucket, price) table
+    (a HashAggregate below the Window)."""
+    plan = plan_of(spark, sf_dir, "sort_pareto_frontier")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # carry join + facts join
+    assert re.search(r"hashpartitioning\(bucket#\d+", plan)
+
+
+def test_geo_grid_plan_equi_join_not_cross(spark, sf_dir):
+    """The radius self-join must be the 9-cell-neighborhood EQUI join
+    over exploded offsets — never a cross join + filter."""
+    plan = plan_of(spark, sf_dir, "join_geo_grid_radius")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan and "explode(" in plan  # the 3x3 offset fan-out
+    # join keys are the shifted integer cell ids
+    assert re.search(r"ncy#\d+", plan) and re.search(r"ncx#\d+", plan)

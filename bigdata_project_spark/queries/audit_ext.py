@@ -333,3 +333,59 @@ def qa_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "qa_skew_histogram",
+    oracle="""
+    WITH k AS (
+        SELECT 'events.user_id' AS tbl_key, user_id AS k, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+        UNION ALL
+        SELECT 'lineitem.l_orderkey', l_orderkey, COUNT(*)
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT tbl_key,
+           LENGTH(BIN(n)) - 1 AS bucket_log2,
+           COUNT(*) AS n_keys,
+           MIN(n) AS min_count,
+           MAX(n) AS max_count
+    FROM k
+    GROUP BY 1, 2
+    """,
+    tags=("qa", "skew", "agg"),
+)
+def qa_skew_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew early warning: a log2 histogram of per-key row
+    counts for the two hottest join/agg keys. The ops question this
+    answers before a 100 TB run: 'is any key so hot that the shuffle
+    partition holding it will straggle or spill?' — a bucket far to
+    the right of the median bucket is the salting / AQE-skew-join
+    trigger (operators/skew.py is the mitigation this query tells
+    you to deploy).
+
+    The bucket is floor(log2(n)) computed EXACTLY as integer bit
+    length (length of the binary string minus one) — no float log on
+    either engine, so bucket edges can't drift by an ulp. Two-level
+    aggregation: per-key counts (the usual map-side-combined
+    shuffle), then a histogram over the much smaller key-count table.
+    """
+    ev = (
+        load(spark, sf_dir, "events")
+        .select(F.lit("events.user_id").alias("tbl_key"), F.col("user_id").alias("k"))
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.lit("lineitem.l_orderkey").alias("tbl_key"), F.col("l_orderkey").alias("k"))
+    )
+    per_key = ev.unionAll(li).groupBy("tbl_key", "k").agg(F.count("*").alias("n"))
+    return (
+        per_key.withColumn("bucket_log2", (F.length(F.bin("n")) - 1).cast("long"))
+        .groupBy("tbl_key", "bucket_log2")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.min("n").alias("min_count"),
+            F.max("n").alias("max_count"),
+        )
+        .orderBy("tbl_key", "bucket_log2")
+    )

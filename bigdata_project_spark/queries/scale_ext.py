@@ -315,3 +315,71 @@ def join_geo_grid_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("km") <= 45)
         .orderBy("s_a", "s_b")
     )
+
+
+@query(
+    "join_interval_overlap_binned",
+    oracle="""
+    WITH v AS (
+        SELECT ts AS vt FROM events WHERE event_type = 'view'
+    ), p AS (
+        SELECT event_id, ts AS pt FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS purchase_id, COUNT(v.vt) AS n_active_views
+    FROM p LEFT JOIN v
+      ON v.vt <= p.pt AND p.pt < v.vt + INTERVAL '15 minutes'
+    GROUP BY p.event_id
+    """,
+    tags=("join", "interval", "range"),
+)
+def join_interval_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big temporal overlap join with NO shared equi-key: for
+    each purchase, how many 15-minute view-activity windows (any
+    user) contain it. The naive form is a pure range join — a
+    nested-loop/cartesian at scale, since neither side broadcasts
+    and there is no key to hash on. The scale-correct rewrite is
+    TIME-SLICE BINNING, the standard interval-join decomposition:
+
+    - slice width == max interval length (15 min), so a view window
+      [t, t+15m) overlaps at most TWO slices — each view emits
+      exactly 2 candidate rows (slice k and k+1), a fixed 2x, never
+      a data-dependent fan-out;
+    - a purchase instant lives in exactly one slice, so every
+      qualifying (view, purchase) pair meets in exactly one slice —
+      candidates are produced once, no dedup pass;
+    - the join becomes a plain EQUI join on the slice id with the
+      exact interval predicate as a residual filter, and the LEFT
+      join keeps zero-view purchases (count(vt) counts matches
+      only).
+
+    All arithmetic is integer epoch-micros (slice = t div 15min).
+    Scale: candidate volume is sum over slices of |views_in_slice| x
+    |purchases_in_slice| — density-bounded by the slice width, vs
+    the nested-loop's |V| x |P|; a bursty slice is precisely the
+    AQE skew-join case. This is the same binning that makes the
+    stream-stream interval join's state bounded (watermark slices).
+    """
+    ev = load(spark, sf_dir, "events")
+    S = 900_000_000  # 15 minutes of epoch micros
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(F.unix_micros("ts").alias("vt"))
+        .withColumn("slice", F.explode(F.array(F.expr(f"vt div {S}"), F.expr(f"vt div {S} + 1"))))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), F.unix_micros("ts").alias("pt"))
+        .withColumn("slice", F.expr(f"pt div {S}"))
+    )
+    joined = purchases.join(
+        views,
+        (purchases.slice == views.slice)
+        & (F.col("vt") <= F.col("pt"))
+        & (F.col("pt") < F.col("vt") + S),
+        "left",
+    )
+    return (
+        joined.groupBy("purchase_id")
+        .agg(F.count("vt").alias("n_active_views"))
+        .orderBy("purchase_id")
+    )

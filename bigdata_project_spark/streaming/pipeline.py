@@ -499,3 +499,39 @@ def stream_daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.unix_micros("day").alias("day_start_us"), "n_users")
     )
     return run_available_now(daily, "stream_daily_distinct_users", "complete")
+
+
+@query(
+    "stream_exactly_once_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "dedup", "exactly-once"),
+)
+def stream_exactly_once_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once repair of an at-least-once transport:
+    dropDuplicatesWithinWatermark on the event id. The query SIMULATES
+    duplicate delivery by unioning the source stream with itself —
+    every event arrives twice, as it would from a Kafka producer
+    retry — and the dedup stage collapses each back to one row, so
+    the per-type counts equal the plain batch aggregate (the oracle).
+    Without the dedup stage every count would be exactly 2x.
+
+    dropDuplicatesWithinWatermark vs dropDuplicates: the plain form
+    keys state eviction on the DEDUP COLUMNS' event time (and keeps
+    state forever if the key set has no time column); the
+    WithinWatermark form guarantees dedup only for duplicates
+    arriving within the watermark delay of each other and evicts by
+    that horizon — the production contract for transport dedup,
+    where retries land within seconds, never across days. State is
+    one entry per in-horizon event id, independent of stream length.
+
+    Scale: the dedup shuffles once on event_id; the downstream count
+    is the usual partial-agg shuffle over 5 types. Chained stateful
+    (dedup -> agg) exactly like stream_daily_distinct_users."""
+    a = read_events_stream(spark, sf_dir)
+    b = read_events_stream(spark, sf_dir)
+    doubled = a.unionAll(b).withWatermark("ts", "1 hour")
+    once = doubled.dropDuplicatesWithinWatermark(["event_id"])
+    counts = once.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    return run_available_now(counts, "stream_exactly_once_dedup", "complete")

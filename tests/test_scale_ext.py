@@ -105,3 +105,17 @@ def test_geo_grid_plan_equi_join_not_cross(spark, sf_dir):
     assert "Generate" in plan and "explode(" in plan  # the 3x3 offset fan-out
     # join keys are the shifted integer cell ids
     assert re.search(r"ncy#\d+", plan) and re.search(r"ncx#\d+", plan)
+
+
+def test_interval_overlap_plan_equi_not_nested_loop(spark, sf_dir):
+    """The temporal overlap join must be the slice-binned EQUI join
+    (hash-joinable on the slice id, interval predicate as residual) —
+    never a BroadcastNestedLoopJoin/cartesian, which is what the raw
+    range predicate alone would produce."""
+    plan = plan_of(spark, sf_dir, "join_interval_overlap_binned")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the 2x slice fan-out on the views side
+    assert "Generate" in plan and "explode(" in plan
+    # join keys include the slice id
+    assert re.search(r"slice#\d+", plan)

@@ -87,6 +87,12 @@ HEADLINE = [
     "dedup_editdistance_blocked",
     "events_twap",
     "events_peak_concurrency",
+    # round-5 scale-pattern additions (noop sink: output size is not
+    # the cost — geo's 190k pairs at sf0.1 never hit the driver)
+    "agg_heavy_hitters_exact",
+    "sort_pareto_frontier",
+    "join_geo_grid_radius",
+    "join_interval_overlap_binned",
 ]
 
 

@@ -97,3 +97,63 @@ def test_driver_window_is_the_intended_fifty():
     oracles = all_oracles()
     rows_only = {n for n in _DRIVER_FIRST if n not in oracles}
     assert rows_only == set(), rows_only
+
+
+def test_dataframe_lateral_join_top2_per_nation(spark, sf_dir):
+    """DataFrame-native lateral join (Spark 4): per-nation top-2
+    customers by balance via a correlated subquery referencing the
+    outer row with .outer() — the API twin of the SQL LATERAL form
+    (join_lateral_top2_per_nation). Must equal the window top-2."""
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    top2 = (
+        c.where(F.col("c_nationkey") == F.col("n_nationkey").outer())
+        .orderBy(F.desc("c_acctbal"), "c_custkey")
+        .limit(2)
+    )
+    got = {
+        (r["n_nationkey"], r["c_custkey"])
+        for r in n.lateralJoin(top2).select("n_nationkey", "c_custkey").collect()
+    }
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    expected = {
+        (r["c_nationkey"], r["c_custkey"])
+        for r in c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"), "left_semi")
+        .collect()
+    }
+    assert got == expected
+
+
+def test_merge_into_requires_v2_catalog(spark, sf_dir):
+    """DataFrame mergeInto (Spark 4) is catalog-gated: the built-in
+    v1 parquet catalog rejects MERGE INTO (needs a row-level-ops v2
+    table — Delta/Iceberg, not in this container). The engine's merge
+    semantics ship as lake_merge_upsert_projection (oracled); swap to
+    mergeInto on a lakehouse catalog."""
+    import pytest as pt
+
+    from pyspark.sql.functions import col
+
+    spark.sql("DROP TABLE IF EXISTS m_probe_target")
+    c = load(spark, sf_dir, "customer")
+    c.write.mode("overwrite").saveAsTable("m_probe_target")
+    src = c.limit(5).withColumn("c_acctbal", F.lit(0.0)).alias("source")
+    try:
+        with pt.raises(Exception, match="MERGE INTO"):
+            (
+                src.mergeInto(
+                    "m_probe_target",
+                    col("m_probe_target.c_custkey") == col("source.c_custkey"),
+                )
+                .whenMatched()
+                .updateAll()
+                .whenNotMatched()
+                .insertAll()
+                .merge()
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS m_probe_target")

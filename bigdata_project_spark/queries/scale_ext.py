@@ -383,3 +383,80 @@ def join_interval_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("vt").alias("n_active_views"))
         .orderBy("purchase_id")
     )
+
+
+@query(
+    "sim_knn_quantized_int8",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 256) AS BIGINT)) AS qv
+        FROM embeddings WHERE vec_id < 5
+    ), d AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 256) AS BIGINT)) AS dv
+        FROM embeddings
+    )
+    SELECT query_id, neighbor_id, qdot, rnk FROM (
+        SELECT q.query_id, d.vec_id AS neighbor_id,
+               CAST(list_dot_product(qv, dv) AS BIGINT) AS qdot,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY list_dot_product(qv, dv) DESC,
+                                           d.vec_id) AS rnk
+        FROM q JOIN d ON d.vec_id <> q.query_id
+    ) WHERE rnk <= 5
+    """,
+    tags=("similarity", "quantization", "llm", "topk"),
+)
+def sim_knn_quantized_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors under int8-style fixed-point quantization —
+    the vector-index compression step of a production ANN stack:
+    q_i = floor(v_i * 256) stores each float32 component in one byte
+    (range here: [-135, 118]), shrinking the index 4x and turning
+    every similarity into EXACT integer arithmetic.
+
+    Cross-engine exactness by construction: 256 is a power of two, so
+    v * 256 is a pure exponent shift — lossless in float32 OR float64
+    — and floor of an exact product is exact. Integer dot products
+    (<= 64 * 135^2 ~ 1.2M) never overflow or round. The entire query
+    is therefore bit-deterministic on both engines with NO rounding
+    convention needed — unlike float cosine, where libm/fma ulps
+    differ.
+
+    Scale: quantization is a pure map (stays in the scan stage);
+    the 5 query vectors broadcast; integer dot products are 4x
+    denser per cache line than float and SIMD-friendly. The brute
+    force here is the VERIFY stage shape — the same quantized
+    vectors drop into the IVF cells (sim_ann_ivf_probe) or LSH bands
+    (sim_ann_lsh_banded) for candidate generation at corpus scale.
+    Quality loss is bounded: |q/256 - v| < 1/256 per component
+    (recall vs float32 checked in tests/test_scale_ext.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    quant = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 256).cast("long")
+        ).alias("qv"),
+    )
+    queries = quant.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("query_qv")
+    )
+    pairs = quant.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    )
+    dot = F.aggregate(
+        F.zip_with("query_qv", "qv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), dot.alias("qdot")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .orderBy("query_id", "rnk")
+    )

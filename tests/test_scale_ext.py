@@ -119,3 +119,42 @@ def test_interval_overlap_plan_equi_not_nested_loop(spark, sf_dir):
     assert "Generate" in plan and "explode(" in plan
     # join keys include the slice id
     assert re.search(r"slice#\d+", plan)
+
+
+def test_quantized_knn_recall_vs_float(spark, sf_dir):
+    """8-bit fixed-point quantization must preserve neighbor quality:
+    per-component error < 1/256, so top-5 sets vs float32 brute force
+    overlap heavily. Computed fully in-engine (no collect of vectors)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigdata_project_spark.registry import REGISTRY
+    from bigdata_project_spark.tables import load
+
+    quant = {
+        (r["query_id"], r["neighbor_id"])
+        for r in REGISTRY["sim_knn_quantized_int8"].fn(spark, sf_dir).collect()
+    }
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("fdot"), "vec_id")
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", dot.alias("fdot"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .collect()
+    }
+    recall = len(quant & exact) / len(exact)
+    assert recall >= 0.8, f"quantized recall@5 {recall}"

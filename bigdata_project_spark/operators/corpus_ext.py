@@ -326,3 +326,67 @@ def lake_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("z_key").alias("z_max"),
         )
     )
+
+
+# --------------------------------------------- token-budget allocation
+
+_BUDGET_TOKENS = 1000
+
+
+@query(
+    "corpus_token_budget_fill",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source, n_chars,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source
+                                   ORDER BY n_chars DESC, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM d
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= {_BUDGET_TOKENS}
+    """,
+    tags=("llm", "corpus", "budget", "window"),
+)
+def corpus_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget allocation: fill each source's quota
+    ({_BUDGET_TOKENS} tokens) greedily in quality order (longest docs
+    first, doc_id tiebreak) — the step that turns mixture weights
+    (mixture_source_weights) into an actual document selection when
+    assembling a training corpus with a fixed token budget per
+    source. A doc is kept iff the running total INCLUDING it still
+    fits; the first overflowing doc and everything after it are cut.
+
+    All integer arithmetic (token counts, running sums) — exact and
+    order-free given the total order (n_chars DESC, doc_id).
+
+    Scale: one window per source partition — the pack_sequences_by_
+    source shape; sources are the partition key, so the sort is
+    bounded per source and parallel across sources. A source too big
+    to sort in one partition slices by a quality-band prefix exactly
+    like pack_sequences_global's two-stage cumsum (the cut point is
+    in the band where the running total crosses the budget; earlier
+    bands are all-in, later bands all-out)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= _BUDGET_TOKENS)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+        .orderBy("source", "cum_tokens")
+    )

@@ -460,3 +460,56 @@ def sim_knn_quantized_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .orderBy("query_id", "rnk")
     )
+
+
+@query(
+    "ivm_join_view_delta",
+    oracle="""
+    SELECT o_orderkey, c_custkey, c_mktsegment, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey % 10 = 9 OR c_custkey % 10 = 9
+    """,
+    tags=("ivm", "join", "incremental", "lakehouse"),
+)
+def ivm_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (IVM) of a join view: given the
+    previous snapshot (A_old, B_old) and new deltas (dA, dB), the
+    NEW rows of V = A JOIN B are computed WITHOUT recomputing the
+    view, by the standard delta-join identity
+
+        V_new - V_old  =  (dA JOIN B_new)  UNION ALL  (A_old JOIN dB)
+
+    (disjoint by construction: a pair in both branches would need its
+    A-row in dA and in A_old simultaneously). The testbed simulates
+    the snapshot split deterministically: rows with key % 10 == 9 are
+    'this batch's arrivals'; the oracle states the SEMANTICS directly
+    — the full join filtered to pairs touching a delta row — so the
+    identity itself is what gets verified.
+
+    Scale: this is the continuous-aggregate / materialized-view
+    refresh pattern for joins. Both deltas broadcast (a refresh
+    batch is small by definition), so each branch is a map-side probe
+    of one big table — refresh cost is O(|delta| + one scan of the
+    probed side's matching partitions), never O(|A JOIN B|); with the
+    lake bucketed on the join key (test_bucketed_join_eliminates_
+    shuffle) the probe touches only the delta's buckets and the scan
+    term drops away too. foreachBatch upserts these delta rows into
+    the serving store (stream_incremental_rollup is the aggregate
+    twin)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    dA = o.filter(F.col("o_orderkey") % 10 == 9)
+    a_old = o.filter(F.col("o_orderkey") % 10 != 9)
+    dB = c.filter(F.col("c_custkey") % 10 == 9)
+
+    new_from_a = dA.join(c, dA.o_custkey == c.c_custkey)  # dA x B_new
+    new_from_b = a_old.join(F.broadcast(dB), a_old.o_custkey == dB.c_custkey)
+    return (
+        new_from_a.select("o_orderkey", "c_custkey", "c_mktsegment", "o_totalprice")
+        .unionAll(
+            new_from_b.select("o_orderkey", "c_custkey", "c_mktsegment", "o_totalprice")
+        )
+        .orderBy("o_orderkey", "c_custkey")
+    )

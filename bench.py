@@ -93,6 +93,7 @@ HEADLINE = [
     "sort_pareto_frontier",
     "join_geo_grid_radius",
     "join_interval_overlap_binned",
+    "sim_knn_quantized_int8",
 ]
 
 

@@ -1,15 +1,10 @@
-"""Scale-pattern analytics (round 5): exact heavy hitters via
-mergeable Misra-Gries candidate summaries, a two-stage bucketed
-Pareto frontier (skyline), and a grid-bucketed geo radius self-join.
+"""Scale-pattern analytics (round 5). Each query is the SCALE-SAFE
+shape of a classically quadratic or single-partition problem:
 
-Each query is the SCALE-SAFE shape of a classically quadratic or
-single-partition problem:
-
-- agg_heavy_hitters_exact: "which keys exceed 1% of all traffic"
+- agg_heavy_hitters_exact: "which keys exceed 1/K of all traffic"
   without trusting an approximate sketch — a map-only mergeable-
-  summary pass generates a guaranteed-superset candidate set, and
-  one exact counting pass over the candidates verifies. The output
-  is EXACT (oracled); the sketch only prunes.
+  summary (Misra-Gries) pass generates a guaranteed-superset
+  candidate set, one exact counting pass verifies. Output is EXACT.
 - sort_pareto_frontier: the skyline operator (non-dominated points)
   without the O(n^2) NOT-EXISTS self-join the naive SQL implies —
   bucketed local frontiers + a broadcast cross-bucket carry, the
@@ -17,6 +12,14 @@ single-partition problem:
 - join_geo_grid_radius: "all pairs within R km" without a cross
   join — integer grid cells + a 9-cell neighborhood equi-join bound
   the candidate pairs, exact haversine verifies.
+- join_interval_overlap_binned: big-big temporal overlap with no
+  shared key — time-slice binning turns the range join into an
+  equi-join with a fixed 2x fan-out.
+- sim_knn_quantized_int8: int8 fixed-point vector quantization with
+  a power-of-two scale — bit-exact in any float width, exact
+  integer dot-product top-k.
+- ivm_join_view_delta: incremental join-view maintenance via the
+  delta-join identity — O(delta) refresh, never a view recompute.
 
 Deterministic per the registry contract; oracles in DuckDB.
 """

@@ -89,3 +89,74 @@ def test_sliding_distinct_matches_bruteforce_sets(spark, sf_dir):
         for r in REGISTRY["events_sliding_distinct_users"].fn(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_pareto_frontier_matches_bruteforce_dominance(spark, sf_dir):
+    # brute force: literal O(n^2) dominance scan over (price, size) —
+    # no buckets, no windows. The registered bucketed sweep must agree.
+    con = duckdb.connect()
+    pts = con.execute(
+        f"SELECT p_partkey, p_retailprice, p_size "
+        f"FROM read_parquet('{sf_dir}/part.parquet')"
+    ).fetchall()
+    con.close()
+    expected = set()
+    for pk, price, size in pts:
+        dominated = any(
+            qprice <= price and qsize >= size and (qprice < price or qsize > size)
+            for _, qprice, qsize in pts
+        )
+        if not dominated:
+            expected.add((pk, price, size))
+
+    got = {
+        (r["p_partkey"], r["p_retailprice"], r["p_size"])
+        for r in REGISTRY["sort_pareto_frontier"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_interval_overlap_matches_bruteforce_scan(spark, sf_dir):
+    # brute force: for each purchase instant, count views in the
+    # trailing 15 minutes by linear scan — no slices, no join.
+    rows = _events(sf_dir)
+    view_ts = sorted(t for et, t, *_ in rows if et == "view")
+    import bisect
+
+    expected = {}
+    for et, t, _, eid, _ in rows:
+        if et != "purchase":
+            continue
+        # views with vt <= t < vt + 15m  <=>  vt in (t - 15m, t]
+        lo = bisect.bisect_right(view_ts, t - 900_000_000)
+        hi = bisect.bisect_right(view_ts, t)
+        expected[eid] = hi - lo
+
+    got = {
+        r["purchase_id"]: r["n_active_views"]
+        for r in REGISTRY["join_interval_overlap_binned"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_heavy_hitters_matches_bruteforce_count(spark, sf_dir):
+    # brute force: a python Counter over the whole token stream — no
+    # sketch, no candidates. The MG-then-verify plan must agree.
+    from collections import Counter
+
+    con = duckdb.connect()
+    texts = con.execute(
+        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    counts: Counter = Counter()
+    for (text,) in texts:
+        counts.update(text.split(" "))
+    n = sum(counts.values())
+    expected = {tok: c for tok, c in counts.items() if c * 40 > n}
+
+    got = {
+        r["tok"]: r["n_tok"]
+        for r in REGISTRY["agg_heavy_hitters_exact"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected

@@ -344,11 +344,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HEX = "0123456789abcdef"
 
-
-@query(
-    "dedup_simhash64",
-    oracle=f"""
-    WITH toks AS (
+# Shared CTE chain producing (doc_id, simhash64) — used by the
+# signature query's oracle AND the hamming-pair search's oracle so
+# the two stay in lock-step.
+_SQL_SIMHASH_SIGS = f"""
+    toks AS (
         SELECT DISTINCT doc_id,
                unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS token
         FROM documents
@@ -372,9 +372,18 @@ _HEX = "0123456789abcdef"
                  CAST(8 * CAST(s3 > 0 AS INT) + 4 * CAST(s2 > 0 AS INT)
                     + 2 * CAST(s1 > 0 AS INT) + CAST(s0 > 0 AS INT) AS INT) + 1, 1) AS c
         FROM bitsums
-    )
-    SELECT doc_id, string_agg(c, '' ORDER BY p) AS simhash64
-    FROM chars GROUP BY doc_id
+    ),
+    sigs AS (
+        SELECT doc_id, string_agg(c, '' ORDER BY p) AS simhash64
+        FROM chars GROUP BY doc_id
+    )"""
+
+
+@query(
+    "dedup_simhash64",
+    oracle=f"""
+    WITH {_SQL_SIMHASH_SIGS}
+    SELECT doc_id, simhash64 FROM sigs
     """,
     tags=("dedup", "llm", "simhash"),
 )
@@ -422,6 +431,93 @@ def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         chars.groupBy("doc_id")
         .agg(F.concat_ws("", F.transform(F.array_sort(F.collect_list(F.struct("p", "c"))), lambda s: s["c"])).alias("simhash64"))
+    )
+
+
+@query(
+    "dedup_simhash_hamming_pairs",
+    oracle=f"""
+    WITH {_SQL_SIMHASH_SIGS},
+    blocks AS (
+        SELECT doc_id, simhash64, b.b AS b,
+               substring(simhash64, 4 * b.b + 1, 4) AS bk
+        FROM sigs, LATERAL (SELECT unnest(range(4)) AS b) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, x.doc_id AS doc_b,
+               a.simhash64 AS sig_a, x.simhash64 AS sig_b
+        FROM blocks a
+        JOIN blocks x ON a.b = x.b AND a.bk = x.bk AND a.doc_id < x.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+        SELECT doc_a, doc_b,
+               (SELECT SUM(bit_count(xor(
+                    instr('{_HEX}', substring(sig_a, i.i, 1)) - 1,
+                    instr('{_HEX}', substring(sig_b, i.i, 1)) - 1)))
+                FROM (SELECT unnest(range(1, 17)) AS i) i) AS hamming
+        FROM cand
+    ) WHERE hamming <= 3
+    """,
+    tags=("dedup", "llm", "simhash", "hamming"),
+)
+def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance <= 3 — the
+    SEARCH half that makes the 64-bit signature useful at corpus
+    scale (Manku et al.'s web-dedup recipe): pigeonhole blocking.
+    Split each signature into 4 blocks of 16 bits; a pair differing
+    in <= 3 bits leaves at least one block untouched, so candidates
+    = pairs agreeing EXACTLY on some block — a plain equi-join on
+    (block index, block value), never an all-pairs Hamming scan.
+    Exact nibble-wise popcount( xor ) verifies candidates; the
+    pigeonhole bound makes the result EXACT, not approximate
+    (recall 1.0 for the declared radius by construction).
+
+    Scale: per-block candidate groups are hash buckets over a
+    16-bit key — the same bounded-bucket discipline as the LSH band
+    join; a pair sharing several blocks is deduped by DISTINCT
+    before the (cheap, integer) verification. Signatures come from
+    the registered SimHash builder, persisted once across both
+    sides of the self-join."""
+    from bigdata_project_spark.caching import tracked_persist
+
+    sigs = tracked_persist(dedup_simhash64(spark, sf_dir))
+    blocks = sigs.select(
+        "doc_id",
+        "simhash64",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.substring("simhash64", 4 * b + 1, 4).alias("bk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("o"),
+    ).select("doc_id", "simhash64", F.col("o.b").alias("b"), F.col("o.bk").alias("bk"))
+    a = blocks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash64").alias("sig_a"), "b", "bk"
+    )
+    x = blocks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash64").alias("sig_b"), "b", "bk"
+    )
+    cand = (
+        a.join(x, ["b", "bk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = F.expr(
+        f"aggregate(sequence(1, 16), 0, (acc, i) -> acc + bit_count("
+        f"(instr('{_HEX}', substring(sig_a, i, 1)) - 1) ^ "
+        f"(instr('{_HEX}', substring(sig_b, i, 1)) - 1)))"
+    )
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
     )
 
 

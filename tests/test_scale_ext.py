@@ -158,3 +158,15 @@ def test_quantized_knn_recall_vs_float(spark, sf_dir):
     }
     recall = len(quant & exact) / len(exact)
     assert recall >= 0.8, f"quantized recall@5 {recall}"
+
+
+def test_simhash_hamming_plan_pigeonhole_equi_join(spark, sf_dir):
+    """The hamming-radius search must be the pigeonhole block EQUI
+    join (hashpartitioning on block index + block value) — never an
+    all-pairs signature comparison."""
+    plan = plan_of(spark, sf_dir, "dedup_simhash_hamming_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"hashpartitioning\(b#\d+, bk#\d+", plan) or re.search(
+        r"\[b#\d+, bk#\d+\]", plan
+    )

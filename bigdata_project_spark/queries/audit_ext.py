@@ -389,3 +389,56 @@ def qa_skew_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tbl_key", "bucket_log2")
     )
+
+
+@query(
+    "qa_benford_leading_digit",
+    oracle="""
+    WITH cents AS (
+        SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c
+        FROM orders WHERE o_totalprice > 0
+    ), digits AS (
+        SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS d FROM cents
+    )
+    SELECT d AS leading_digit,
+           COUNT(*) AS n,
+           CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM cents) AS share
+    FROM digits GROUP BY 1
+    """,
+    tags=("qa", "audit", "benford"),
+)
+def qa_benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: the distribution of
+    leading digits, the classic forensic screen for fabricated or
+    truncated monetary data (organic amounts lean heavily on leading
+    1s and 2s; uniform leading digits are a red flag). The engine
+    emits exact digit counts + shares; judging them against the
+    Benford curve is the analyst's last step.
+
+    Exactness: the leading digit is the first character of the
+    CENTS integer's decimal string — integer-to-string is exact and
+    identical in both engines, unlike float log10 (libm boundary
+    ulps) or float floor-division (DuckDB's // rounds 9.5e6/1e6 to
+    10). One map + one 9-group aggregate; `share` is one double
+    division.
+    """
+    cents = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c"))
+    )
+    digits = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("long").alias("leading_digit")
+    )
+    total = cents.agg(F.count("*").alias("total"))
+    return (
+        digits.groupBy("leading_digit")
+        .agg(F.count("*").alias("n"))
+        .join(F.broadcast(total))
+        .select(
+            "leading_digit",
+            "n",
+            (F.col("n").cast("double") / F.col("total")).alias("share"),
+        )
+        .orderBy("leading_digit")
+    )

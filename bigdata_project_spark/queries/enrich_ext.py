@@ -870,3 +870,76 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
     )
+
+
+_WEEK_US = 7 * 86_400_000_000
+
+
+@query(
+    "events_attribution_linear_ppm",
+    oracle=f"""
+    WITH p AS (
+        SELECT user_id, epoch_us(ts) AS pt, event_id AS pid
+        FROM events WHERE event_type = 'purchase'
+    ), c AS (
+        SELECT user_id, epoch_us(ts) AS ct, event_id AS cid
+        FROM events WHERE event_type = 'click'
+    ), pairs AS (
+        SELECT p.user_id, p.pid, c.cid
+        FROM p JOIN c ON p.user_id = c.user_id
+         AND c.ct <= p.pt AND c.ct > p.pt - {_WEEK_US}
+    ), credits AS (
+        SELECT user_id, pid, cid,
+               1000000 // COUNT(*) OVER (PARTITION BY pid) AS ppm
+        FROM pairs
+    )
+    SELECT user_id, SUM(ppm) AS total_ppm, COUNT(*) AS n_credited
+    FROM credits GROUP BY user_id
+    """,
+    tags=("events", "attribution", "multi-touch"),
+)
+def events_attribution_linear_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution: every click in the 7-day
+    window before a same-user purchase shares the credit equally —
+    the fairness-motivated alternative to last-touch
+    (events_attribution_last_touch). Credit is integer parts-per-
+    million, floor(1e6 / n_contributing_clicks): floats like 1/3
+    are not exactly representable and their sums are order-dependent,
+    so fractional credits would hash-differently across engines —
+    ppm floors are exact, associative, and auditable (a purchase
+    distributes at most 1e6 ppm; the floor remainder is the
+    documented rounding dust).
+
+    Scale: the click-purchase pairing is an EQUI join on user_id
+    with the window residual — per-user activity bounds the fan-out.
+    A user-free variant (any-click attribution) would need the
+    time-slice binning of join_interval_overlap_binned; user-keyed
+    attribution co-partitions with one shuffle. The per-purchase
+    click count is a window over the pairs (purchase-keyed), then
+    one user-keyed aggregate."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("pt"), F.col("event_id").alias("pid")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.unix_micros("ts").alias("ct"),
+        F.col("event_id").alias("cid"),
+    )
+    pairs = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("ct") <= F.col("pt"))
+        & (F.col("ct") > F.col("pt") - _WEEK_US),
+    ).select("user_id", "pid", "cid")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("pid")
+    credits = pairs.withColumn("cnt", F.count("*").over(w)).withColumn(
+        "ppm", F.expr("1000000 div cnt")
+    )
+    return (
+        credits.groupBy("user_id")
+        .agg(F.sum("ppm").alias("total_ppm"), F.count("*").alias("n_credited"))
+        .orderBy("user_id")
+    )

@@ -30,6 +30,11 @@ def get_spark(app_name: str = "bigdata_project_spark", cpus: str | None = None) 
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python UDTFs evaluate row-at-a-time (BatchEvalPythonUDTF)
+        # unless Arrow transfer is opted in — the only non-Arrow
+        # Python boundary left without this flag (audited fleet-wide
+        # in tests/test_plan_audit.py)
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")

@@ -1,0 +1,112 @@
+"""Fleet-wide physical-plan audit: invariants asserted over EVERY
+registered batch query, not just the per-query showcase tests in
+test_plans.py. A new query that silently plans a cartesian product, a
+nested-loop join, or a row-at-a-time Python boundary fails here until
+it is either fixed or explicitly justified in the whitelist below.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from bigdata_project_spark.caching import release_cached
+from bigdata_project_spark.registry import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+# BroadcastNestedLoopJoin is acceptable ONLY when the build side is
+# provably tiny by construction — a scalar/1-row aggregate, a
+# fixed-size query/band table, or a deliberate cross join. Every entry
+# names its tiny side so the justification is auditable.
+BNLJ_WHITELIST: dict[str, str] = {
+    "tpch_q11_important_parts": "1-row scalar threshold (sum * fraction) joined to groups",
+    "tpch_q22_windfall_customers": "1-row avg-balance scalar subquery",
+    "events_rfm_segments": "1-row percentile-boundary struct broadcast",
+    "agg_share_of_total": "1-row grand-total broadcast",
+    "agg_spend_decile_buckets": "1-row decile-boundary array broadcast",
+    "agg_heavy_hitters_exact": "1-row total-count broadcast",
+    "qa_benford_leading_digit": "1-row total-count broadcast",
+    "mixture_source_weights": "1-row corpus-total broadcast",
+    "index_inverted_postings": "1-row df-cap threshold broadcast",
+    "graph_triangle_stats": "1-row edge/wedge-count broadcasts",
+    "dedup_lsh_pair_recall": "1-row ground-truth-count broadcast (recall denominator)",
+    "sim_recall_at_k": "tiny fixed query set + 1-row recall denominator",
+    "sim_recall_ivf2_at_k": "tiny fixed query set + 1-row recall denominator",
+    "sim_ann_ivf_probe": "fixed-k centroid table cross to assign cells",
+    "sim_ann_ivf_nprobe2": "fixed-k centroid table cross to assign cells",
+    "sim_knn_bruteforce": "fixed 5-vector query set broadcast (non-equi by design)",
+    "sim_knn_quantized_int8": "fixed 5-vector query set broadcast (non-equi by design)",
+    "multimodal_feature_knn": "fixed tiny query-feature set broadcast",
+    "text_bm25_topk": "1-row corpus stats (N, avgdl) broadcast",
+    "join_range_price_bands": "fixed band table broadcast — the documented theta-join plan",
+    "join_cross_region_status": "deliberate cross join operator (tiny x tiny)",
+}
+
+
+@pytest.fixture(scope="module")
+def batch_plans(spark, sf_dir):
+    """Build every non-streaming query's formatted plan once."""
+    plans = {}
+    for name, spec in REGISTRY.items():
+        if "streaming" in spec.tags:
+            continue  # streaming queries EXECUTE on build; covered by their own tests
+        df = spec.fn(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plans[name] = buf.getvalue()
+        release_cached(spark)
+    return plans
+
+
+def test_no_cartesian_product_anywhere(batch_plans):
+    offenders = [n for n, p in batch_plans.items() if "CartesianProduct" in p]
+    assert not offenders, f"CartesianProduct in: {offenders}"
+
+
+def test_nested_loop_joins_all_whitelisted(batch_plans):
+    offenders = [
+        n
+        for n, p in batch_plans.items()
+        if "BroadcastNestedLoopJoin" in p and n not in BNLJ_WHITELIST
+    ]
+    assert not offenders, (
+        f"unjustified BroadcastNestedLoopJoin in: {offenders} — "
+        "either rewrite as an equi-join or add a justified whitelist entry"
+    )
+
+
+def test_whitelist_has_no_stale_entries(batch_plans):
+    stale = [
+        n
+        for n in BNLJ_WHITELIST
+        if n in batch_plans and "BroadcastNestedLoopJoin" not in batch_plans[n]
+    ]
+    assert not stale, f"whitelist entries no longer needed: {stale}"
+
+
+def test_no_row_at_a_time_python_boundary(batch_plans):
+    """Every Python boundary must be Arrow-batched: pandas_udf /
+    mapInPandas / applyInPandas / mapInArrow / Arrow-enabled UDTFs.
+    BatchEvalPython (pickle row loop) would be a 10-100x slowdown on
+    the hot path at 100 TB."""
+    offenders = [n for n, p in batch_plans.items() if "BatchEvalPython" in p]
+    assert not offenders, f"row-at-a-time Python eval in: {offenders}"
+
+
+def test_every_scan_reads_pruned_schema(batch_plans):
+    """No query may scan lineitem's full 16-column schema unless it
+    genuinely touches most columns — spot the widest ReadSchema as a
+    tripwire for accidental select-star plans."""
+    import re
+
+    wide = []
+    for n, p in batch_plans.items():
+        for m in re.finditer(r"ReadSchema: struct<([^>]*)>", p):
+            ncols = m.group(1).count(":")
+            if ncols >= 15:
+                wide.append((n, ncols))
+    assert not wide, f"suspiciously wide scans (>=15 cols): {wide}"

@@ -615,3 +615,56 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.concurrency").alias("peak_concurrency"),
         (-F.col("b.neg_t")).alias("peak_at_us"),
     ).orderBy("event_type")
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           COUNT(*) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY event_type) AS p
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags=("events", "markov", "paths", "window"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for
+    each (from, to) event-type pair, the count of consecutive
+    occurrences in per-user timelines and the row-normalized
+    transition probability — the model behind next-action
+    prediction, funnel leak diagnosis, and the top-paths mining of
+    events_top_paths (which enumerates realized sequences; this
+    summarizes the chain that generates them).
+
+    Determinism: the successor is defined by the total order
+    (ts, event_id); `p` is one integer/integer double division per
+    output row (5x5 matrix), computed AFTER exact counts.
+
+    Scale: lead() runs on the per-user exchange (the same single
+    user-keyed shuffle every sessionization query here uses), the
+    pair count is map-side combined, and the row-normalizing window
+    sees only |types|^2 rows. Nothing global touches raw events."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    w_row = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w_row)).alias("p"),
+    ).orderBy("from_type", "to_type")

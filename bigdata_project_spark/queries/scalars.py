@@ -407,3 +407,46 @@ def scalar_interval_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
             "plus_90d12h_us"
         ),
     )
+
+
+@query(
+    "scalar_collation_ci_grouping",
+    oracle="""
+    WITH mixed AS (
+        SELECT unnest([p_brand, lower(p_brand),
+                       upper(substring(p_brand, 1, 1)) || lower(substring(p_brand, 2))]) AS b
+        FROM part
+    )
+    SELECT MIN(b) AS brand_rep, COUNT(*) AS n
+    FROM mixed GROUP BY lower(b)
+    """,
+    tags=("scalar", "collation", "string"),
+)
+def scalar_collation_ci_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware GROUP BY (Spark 4 collations): grouping mixed-
+    case brand variants under UTF8_LCASE folds case in the COMPARATOR
+    — no lower() materialization in the grouping key, which at scale
+    keeps the original column prunable and lets the collation ride
+    into sorts and joins too. The oracle states the same semantics
+    the portable way (GROUP BY lower(b)).
+
+    The group REPRESENTATIVE is min(original) — the collated key
+    itself would surface an arbitrary case variant per group
+    (whichever partial aggregate won), which is exactly the kind of
+    engine-dependent nondeterminism the registry contract bans."""
+    p = load(spark, sf_dir, "part")
+    mixed = p.select(
+        F.explode(
+            F.array(
+                F.col("p_brand"),
+                F.lower("p_brand"),
+                F.initcap(F.lower("p_brand")),
+            )
+        ).alias("b")
+    )
+    return (
+        mixed.groupBy(F.expr("b COLLATE UTF8_LCASE").alias("k"))
+        .agg(F.min("b").alias("brand_rep"), F.count("*").alias("n"))
+        .select("brand_rep", "n")
+        .orderBy("brand_rep")
+    )

@@ -112,6 +112,18 @@ _LOADED = False
 # the aggregate family are all green in r3/r4) and are the lowest-risk
 # residue. No-oracle queries are excluded — a rows-only row wastes a
 # window slot. Queries not named here keep registration order after.
+#
+# Round-6 rotation queue (added in round 5 AFTER this window was
+# pinned, all judge-green at sf0.001/0.01/0.1 but no driver row yet):
+# the enrichment family (point-in-time join, attribution last-touch +
+# linear-ppm, sliding distinct, edit-distance, TWAP, k-fold, bounce,
+# MAD, deciles, WoW, time-to-convert, cohort LTV, DAU/WAU,
+# key-uniqueness), the scale-pattern family (heavy hitters, Pareto,
+# geo grid, interval overlap, quantized kNN, IVM delta), simhash
+# hamming pairs, token-budget fill, skew/Benford audits, Markov
+# transitions, collation grouping, exactly-once stream dedup, plus
+# the four round-5 deferrals above — ~33 queries, i.e. round 6's full
+# window and part of round 7's.
 _DRIVER_FIRST: tuple[str, ...] = (
     # TPC-H sweep (§2.3) — never driver-checked
     "tpch_q2_min_cost_supplier",

@@ -442,3 +442,58 @@ def qa_benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("leading_digit")
     )
+
+
+@query(
+    "qa_drift_split_halves",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END AS half
+        FROM events
+    ), c AS (
+        SELECT event_type,
+               SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_first,
+               SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_second
+        FROM b GROUP BY event_type
+    )
+    SELECT event_type, n_first, n_second,
+           CAST(n_first AS DOUBLE) / (SELECT SUM(n_first) FROM c) AS share_first,
+           CAST(n_second AS DOUBLE) / (SELECT SUM(n_second) FROM c) AS share_second
+    FROM c
+    """,
+    tags=("qa", "drift", "audit"),
+)
+def qa_drift_split_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit: event-type mix in the first half of
+    the month vs the second — the pre-flight for 'did the upstream
+    schema/traffic change under me' before retraining or backfilling.
+    The engine emits exact counts and per-half shares; a PSI/chi-2
+    judgment on top is analyst-side (their log/division chains are
+    not portably bit-exact, the counts are).
+
+    Shares are each ONE double division of exact integers —
+    IEEE-identical cross-engine. One scan, one 5-group aggregate,
+    two 1-row totals broadcast back."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("ts") < "2024-01-16", F.lit(0)).otherwise(F.lit(1)).alias("half"),
+    )
+    c = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_first"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_second"),
+    )
+    totals = c.agg(
+        F.sum("n_first").alias("t1"), F.sum("n_second").alias("t2")
+    )
+    return (
+        c.join(F.broadcast(totals))
+        .select(
+            "event_type",
+            "n_first",
+            "n_second",
+            (F.col("n_first").cast("double") / F.col("t1")).alias("share_first"),
+            (F.col("n_second").cast("double") / F.col("t2")).alias("share_second"),
+        )
+        .orderBy("event_type")
+    )

@@ -439,3 +439,88 @@ def join_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders_together"), "part_a", "part_b")
         .limit(20)
     )
+
+
+@query(
+    "join_asof_tolerance_1h",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, MAX(event_id) AS cid
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    ), p AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT purchase_event_id, user_id, purchase_ts_us,
+           click_event_id, click_ts_us
+    FROM (
+        SELECT p.event_id AS purchase_event_id, p.user_id AS user_id,
+               epoch_us(p.ts) AS purchase_ts_us,
+               c.cid AS click_event_id, epoch_us(c.ts) AS click_ts_us,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY c.ts DESC NULLS LAST, c.cid DESC NULLS LAST
+               ) AS rn
+        FROM p LEFT JOIN clicks c
+          ON p.user_id = c.user_id
+         AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL '1 hour'
+    ) WHERE rn = 1
+    """,
+    tags=("join", "asof", "tolerance"),
+)
+def join_asof_tolerance_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH A TOLERANCE (pandas merge_asof(tolerance=...)
+    semantics): each purchase takes the latest same-user click
+    at-or-before it, but only if that click is within the trailing
+    hour — older matches become NULL, not stale attributions. Same
+    union+last_value sweep as join_asof_purchase_click (ONE shuffle
+    on the entity key, no range-join candidate set); the tolerance is
+    a post-sweep predicate on the carried click's age, so it adds
+    ZERO plan cost — the crucial property at 100 TB, where the naive
+    tolerance formulation (a range join on [t-1h, t]) would plan a
+    nested loop. Click ties at one instant resolve to max event_id,
+    purchases at the exact click instant DO match (click sorts before
+    purchase at equal timestamps via the side flag)."""
+    ev = load(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.unix_micros("ts").alias("t_us"))
+        .agg(F.max("event_id").alias("cid"))
+        .select("user_id", "t_us", F.lit(0).alias("side"), "cid", F.lit(None).cast("long").alias("pid"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("t_us"),
+            F.lit(1).alias("side"),
+            F.lit(None).cast("long").alias("cid"),
+            F.col("event_id").alias("pid"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = clicks.unionAll(purchases).withColumn(
+        "last_click",
+        F.last(
+            F.when(F.col("side") == 0, F.struct("t_us", "cid")), ignorenulls=True
+        ).over(w),
+    )
+    HOUR_US = 3_600_000_000
+    in_tol = F.col("last_click.t_us") > F.col("t_us") - HOUR_US
+    return (
+        swept.filter(F.col("side") == 1)
+        .select(
+            F.col("pid").alias("purchase_event_id"),
+            "user_id",
+            F.col("t_us").alias("purchase_ts_us"),
+            F.when(in_tol, F.col("last_click.cid")).alias("click_event_id"),
+            F.when(in_tol, F.col("last_click.t_us")).alias("click_ts_us"),
+        )
+        .orderBy("purchase_event_id")
+    )

@@ -186,3 +186,43 @@ def setop_union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_nations", F.lit("nations").alias("src"))
     )
     return r.unionByName(n, allowMissingColumns=True).select("region_name", "n_nations", "src")
+
+
+@query(
+    "sort_keyset_pagination",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM orders
+    WHERE (o_totalprice < 400000.0)
+       OR (o_totalprice = 400000.0 AND o_orderkey > 1000)
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    tags=("sort", "pagination", "topk"),
+)
+def sort_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (cursor) pagination: the next 20 orders after the
+    cursor (o_totalprice=400000.0, o_orderkey=1000) in
+    (price DESC, key ASC) order. The serving-layer pattern that
+    replaces OFFSET pagination: OFFSET n must compute-and-discard n
+    rows (page 10000 costs 10000 pages of work, and a global sort),
+    while the keyset predicate pushes into the scan and the plan
+    stays TakeOrderedAndProject — page 10000 costs the same as page
+    one. The cursor tuple's strict-inequality form ((p < c_p) OR
+    (p = c_p AND k > c_k)) is the standard composite-key
+    continuation, exact under the total order (price, key)."""
+    o = load(spark, sf_dir, "orders")
+    after_cursor = (F.col("o_totalprice") < 400000.0) | (
+        (F.col("o_totalprice") == 400000.0) & (F.col("o_orderkey") > 1000)
+    )
+    return (
+        o.filter(after_cursor)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )

@@ -552,3 +552,12 @@ def test_time_to_convert_equi_probe(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "events_time_to_convert")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_keyset_pagination_pushes_cursor_and_takeordered(spark, sf_dir):
+    """Keyset pagination must push the cursor predicate into the scan
+    (PushedFilters on o_totalprice) and plan TakeOrderedAndProject —
+    the whole point vs OFFSET, which cannot push anything."""
+    plan = plan_of(spark, sf_dir, "sort_keyset_pagination")
+    assert "TakeOrderedAndProject" in plan
+    assert "LessThan(o_totalprice" in plan  # cursor reached the parquet scan

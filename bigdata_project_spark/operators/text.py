@@ -492,3 +492,75 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         (F.col("n_docs").cast("double") / F.sum("n_docs").over(w)).alias("share_of_true"),
     )
+
+
+@query(
+    "text_novelty_share",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, substring(text, r.r + 1, 8) AS s
+        FROM documents,
+             LATERAL (SELECT unnest(range(greatest(length(text) - 7, 1))) AS r) r
+    ), firsts AS (
+        SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS novelty_share
+    FROM sh JOIN firsts f ON sh.s = f.s
+    GROUP BY sh.doc_id
+    """,
+    tags=("text", "llm", "novelty", "dedup"),
+)
+def text_novelty_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content novelty per document: the share of a doc's distinct
+    8-char shingles whose FIRST appearance (minimum doc_id) is this
+    doc — the curation metric that separates fresh content from
+    recombinations of already-ingested text, complementing pairwise
+    dedup (a doc can evade every near-dup pair test yet be 95%
+    recycled shingles; novelty_share catches exactly that).
+
+    'First' is the deterministic min(doc_id) owner per shingle — a
+    stable arrival order (the incremental-merge batch convention),
+    not wall-clock. n_novel and n_shingles are exact integers;
+    the share is one double division.
+
+    Scale: shingle explode is map-side; the per-shingle min(doc_id)
+    is a map-combined aggregate; the join back to doc shingles is a
+    plain equi-join on the shingle (both sides pre-shrunk to
+    distinct (doc, shingle) pairs). Per-doc shingle counts are
+    bounded by document length — no df cap needed because nothing
+    here collects postings, only a min and a bit."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(F.length("text") - 8, F.lit(0)))
+            ).alias("r"),
+            "text",
+        )
+        .select("doc_id", F.expr("substring(text, r + 1, 8)").alias("s"))
+        .distinct()
+    )
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        sh.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(novel).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_shingles")).alias(
+                "novelty_share"
+            ),
+        )
+        .orderBy("doc_id")
+    )

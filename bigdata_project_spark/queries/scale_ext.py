@@ -516,3 +516,103 @@ def ivm_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey", "c_custkey")
     )
+
+
+@query(
+    "agg_weighted_median_exact",
+    oracle="""
+    WITH f AS (
+        SELECT l_returnflag AS flag,
+               CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v,
+               CAST(ROUND(l_quantity, 0) AS BIGINT) AS wt
+        FROM lineitem
+    ), g AS (
+        SELECT flag, v, SUM(wt) AS w FROM f GROUP BY 1, 2
+    ), c AS (
+        SELECT flag, v,
+               SUM(w) OVER (PARTITION BY flag ORDER BY v) AS cum,
+               SUM(w) OVER (PARTITION BY flag) AS tot
+        FROM g
+    )
+    SELECT flag AS l_returnflag, MIN(v) AS weighted_median_cents
+    FROM c WHERE 2 * cum >= tot GROUP BY flag
+    """,
+    tags=("agg", "percentile", "weighted", "two-stage"),
+)
+def agg_weighted_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median of line price (cents) weighted by
+    quantity, per return flag — the weighted-quantile primitive
+    (fairness metrics, cost-weighted SLO cutoffs) that Spark has no
+    built-in for. Definition: the smallest v with
+    2 * cumweight(<= v) >= totalweight, all integer arithmetic.
+
+    The oracle is the direct one-window definition; with only 3
+    return-flag groups that window would sort EVERYTHING inside 3
+    partitions at 100 TB — the peak-concurrency scale-killer shape.
+    The Spark plan is the TWO-STAGE BUCKETED form instead:
+
+    1. per (flag, price-bucket) weight totals (bucket = cents div
+       10000, i.e. $100 ranges) — the usual map-combined aggregate;
+    2. a running total over the tiny (flags x buckets) table locates
+       each flag's MEDIAN BUCKET and its carry-in cumweight
+       (broadcast back);
+    3. only rows IN the median bucket are re-aggregated per distinct
+       value and swept with a bounded per-(flag, bucket) sort; the
+       answer is min(v) where 2 * (carry + local cum) >= total.
+       Collapsing to distinct v BEFORE the cumsum makes ties exact
+       (no intra-tie ordering dependence), mirroring the oracle's
+       GROUP BY flag, v.
+    The full-fact sort never happens; stage 3 touches one bucket's
+    rows per group."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("v"),
+        F.round(F.col("l_quantity"), 0).cast("long").alias("wt"),
+    )
+    BUCKET = 10_000  # $100 in cents
+    li = li.withColumn("bucket", F.expr(f"v div {BUCKET}"))
+
+    btot = li.groupBy("flag", "bucket").agg(F.sum("wt").alias("bw"))
+    w_cum = Window.partitionBy("flag").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy("flag").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    marked = btot.select(
+        "flag",
+        "bucket",
+        "bw",
+        F.sum("bw").over(w_cum).alias("cum"),
+        F.sum("bw").over(w_all).alias("tot"),
+    )
+    med_bucket = (
+        marked.filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("flag")
+        .agg(
+            F.min(F.struct("bucket", "cum", "bw", "tot")).alias("m")
+        )
+        .select(
+            F.col("flag").alias("mflag"),
+            F.col("m.bucket").alias("mbucket"),
+            (F.col("m.cum") - F.col("m.bw")).alias("carry"),
+            F.col("m.tot").alias("tot"),
+        )
+    )
+    in_bucket = li.join(
+        F.broadcast(med_bucket),
+        (F.col("flag") == F.col("mflag")) & (F.col("bucket") == F.col("mbucket")),
+    ).select("flag", "v", "wt", "carry", "tot")
+    per_v = in_bucket.groupBy("flag", "carry", "tot", "v").agg(
+        F.sum("wt").alias("w")
+    )
+    w_local = Window.partitionBy("flag").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    swept = per_v.withColumn("lcum", F.sum("w").over(w_local))
+    return (
+        swept.filter(2 * (F.col("carry") + F.col("lcum")) >= F.col("tot"))
+        .groupBy(F.col("flag").alias("l_returnflag"))
+        .agg(F.min("v").alias("weighted_median_cents"))
+        .orderBy("l_returnflag")
+    )

@@ -668,3 +668,69 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(w_row)).alias("p"),
     ).orderBy("from_type", "to_type")
+
+
+@query(
+    "events_audience_overlap",
+    oracle="""
+    WITH tu AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ), sizes AS (
+        SELECT event_type, COUNT(*) AS n FROM tu GROUP BY event_type
+    ), inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_both
+        FROM tu a JOIN tu b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, i.n_both,
+           sa.n AS n_a, sb.n AS n_b,
+           CAST(i.n_both AS DOUBLE) / (sa.n + sb.n - i.n_both) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+    tags=("events", "audience", "jaccard", "join"),
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap matrix: for every pair of event types, the
+    exact count of shared users and the Jaccard similarity of their
+    audiences — the segmentation question ('do clickers also
+    purchase?') behind campaign targeting and funnel design.
+
+    Scale shape: the raw facts shrink FIRST to distinct (type, user)
+    pairs (one map-combined dedup — at most |types| rows per user
+    survive), and the pair intersection is a self-equi-join ON
+    user_id of that shrunken table: per-user fan-out is bounded by
+    |types|^2 = 25, never data-dependent. Audience sizes ride a
+    #types-row aggregate broadcast back onto the 10-row pair matrix.
+    The jaccard is one double division of exact integers."""
+    tu = load(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    sizes = tu.groupBy("event_type").agg(F.count("*").alias("n"))
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -170,3 +170,15 @@ def test_simhash_hamming_plan_pigeonhole_equi_join(spark, sf_dir):
     assert re.search(r"hashpartitioning\(b#\d+, bk#\d+", plan) or re.search(
         r"\[b#\d+, bk#\d+\]", plan
     )
+
+
+def test_weighted_median_plan_two_stage(spark, sf_dir):
+    """The weighted median must be the bucketed two-stage form: the
+    median-bucket lookup joins back by BROADCAST (never a shuffle
+    join), and no cartesian appears. The only full-fact operations
+    are map-combined aggregates; the value-level sweep window runs on
+    the post-join (single-bucket) aggregate."""
+    plan = plan_of(spark, sf_dir, "agg_weighted_median_exact")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -704,3 +704,55 @@ def agg_gini_spend_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "segment", "n_customers", "total_cents", gini.alias("gini")
     ).orderBy("segment")
+
+
+@query(
+    "agg_hhi_market_concentration",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_mktsegment AS segment, c.c_custkey AS ck,
+               CAST(ROUND(SUM(o.o_totalprice) * 100, 0) AS BIGINT) AS cents
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    )
+    SELECT segment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS DECIMAL(38,0)) AS DOUBLE)
+             / (CAST(SUM(cents) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE)) AS hhi
+    FROM spend GROUP BY segment
+    """,
+    tags=("agg", "hhi", "concentration"),
+)
+def agg_hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of customer spend per segment —
+    sum of squared revenue shares, the antitrust-style concentration
+    measure that complements the Gini (HHI weights the head, Gini
+    the whole curve). HHI = sum(x_i^2) / (sum x)^2 needs NO ranks at
+    all: one aggregate, no sort, no window — the cheapest member of
+    the concentration family and the one to reach for first at
+    100 TB.
+
+    Exactness: cents^2 reaches ~1e19 at test scale and far beyond
+    2^63 at cluster scale, so the squared sum rides DECIMAL(38,0)
+    (exact, associative); sum(cents) stays BIGINT. Each final cast
+    converts one exact integer to double (single rounding, identical
+    both engines) and the division is one IEEE op."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "c_custkey")
+        .agg(F.round(F.sum("o_totalprice") * 100, 0).cast("long").alias("cents"))
+    )
+    agg = spend.groupBy("segment").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).cast("decimal(38,0)").alias("s2"),
+    )
+    hhi = F.col("s2").cast("double") / (
+        F.col("total_cents").cast("double") * F.col("total_cents").cast("double")
+    )
+    return agg.select(
+        "segment", "n_customers", "total_cents", hhi.alias("hhi")
+    ).orderBy("segment")

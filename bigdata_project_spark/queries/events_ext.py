@@ -734,3 +734,69 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "events_longest_streak",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS day
+        FROM events
+    ), isl AS (
+        SELECT user_id, day,
+               day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island
+        FROM ud
+    ), streaks AS (
+        SELECT user_id, island, COUNT(*) AS len, MIN(day) AS start_day
+        FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           MAX(len) AS longest_streak_days,
+           MIN(CASE WHEN len = (SELECT MAX(len) FROM streaks s2
+                                WHERE s2.user_id = streaks.user_id)
+                    THEN start_day END) AS streak_start_day
+    FROM streaks GROUP BY user_id
+    """,
+    tags=("events", "streak", "islands", "window"),
+)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (plus the
+    earliest day a longest streak starts) — the gaps-and-islands
+    pattern: on the deduped (user, day) table, `day - row_number()`
+    is constant exactly within a run of consecutive days, so the
+    island id costs one window over user-days and streaks are a
+    plain group-by. The engagement metric behind 'N-day streak'
+    product mechanics and habit-formation cohorts.
+
+    Deterministic: days are integer epoch-day ordinals; the
+    tie-break for equal-length streaks is MIN(start_day) — computed
+    with max_by-free integer logic (max(struct(len, -start)) picks
+    longest then earliest).
+
+    Scale: the dedup shrink (at most days-per-month rows per user)
+    comes FIRST, then one user-keyed window over user-days — the
+    same single exchange every sessionization query here rides;
+    islands never leave their user partition."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        (F.unix_micros(F.date_trunc("day", "ts")) / F.lit(86_400_000_000))
+        .cast("long")
+        .alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = ud.withColumn("island", F.col("day") - F.row_number().over(w))
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count("*").alias("len"), F.min("day").alias("start_day")
+    )
+    best = streaks.groupBy("user_id").agg(
+        F.max(F.struct(F.col("len"), (-F.col("start_day")).alias("neg"))).alias("b")
+    )
+    return best.select(
+        "user_id",
+        F.col("b.len").alias("longest_streak_days"),
+        (-F.col("b.neg")).alias("streak_start_day"),
+    ).orderBy("user_id")

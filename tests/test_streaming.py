@@ -236,3 +236,72 @@ def test_incremental_ingest_processes_only_new_files(spark, sf_dir, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 2 * n  # batch1 NOT reprocessed, batch2 fully in
     assert got.select("event_id").distinct().count() == 2 * n
+
+
+def test_watermark_drops_late_data_across_batches(spark, tmp_path):
+    """The watermark CONTRACT, pinned end-to-end: after batch 1
+    advances the watermark, a batch-2 event older than (max ts seen -
+    delay) is DROPPED from the windowed aggregate — its window's
+    state is closed and its row never appears — while an on-time
+    batch-2 event still lands. maxFilesPerTrigger=1 forces the two
+    files into separate micro-batches so the watermark actually
+    advances between them."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    base = int(_time.mktime((2024, 3, 1, 10, 0, 0, 0, 0, 0)))  # local; exact value irrelevant
+
+    def mk(rows, name, mtime):
+        df = spark.createDataFrame(
+            [(i,) for i in rows], "t long"
+        ).select(F.timestamp_seconds("t").alias("ts"))
+        staged = str(tmp_path / ("st_" + name))
+        df.coalesce(1).write.parquet(staged)
+        import glob
+        import shutil
+
+        f = glob.glob(staged + "/part-*.parquet")[0]
+        dst = str(src / name)
+        shutil.copy(f, dst)
+        os.utime(dst, (mtime, mtime))
+
+    H = 3600
+    # batch 1: 10:00-11:59 activity
+    mk([base, base + H // 2, base + H, base + 2 * H - 60], "b1.parquet", 1_000_000)
+    # batch 2: an on-time 12:30 event; its COMMIT is what makes the
+    # watermark (12:20) visible to the next batch — the watermark a
+    # batch filters with is the one committed by the batch before it
+    mk([base + 2 * H + 30 * 60], "b2.parquet", 2_000_000)
+    # batch 3: an event from a full hour before base — hopelessly late
+    mk([base - H], "b3.parquet", 3_000_000)
+
+    schema = spark.read.parquet(str(src / "b1.parquet")).schema
+    agg = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_micros("w.start").alias("ws"), "n")
+    )
+    from bigdata_project_spark.streaming.pipeline import run_available_now
+
+    got = {r["ws"]: r["n"] for r in run_available_now(agg, "t_late_drop", "append").collect()}
+
+    us = 1_000_000
+    # the late (base - H) event arrives when the committed watermark
+    # is 12:20, far past its window end -> the row is dropped and its
+    # window never appears. (One batch earlier the drop would only be
+    # best-effort: Spark filters with the watermark committed by the
+    # PREVIOUS batch, which is why b3 is staged separately from b2.)
+    assert (base - H) * us not in got
+    assert got.get(base * us) == 2  # 10:00 window: base, base+30m
+    assert got.get((base + H) * us) == 2  # 11:00 window
+    # the 12:30 on-time event's window is not finalized in append mode
+    # (final watermark 12:20 < its 13:00 end) — pending, not lost
+    assert (base + 2 * H) * us not in got

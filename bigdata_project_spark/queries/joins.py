@@ -524,3 +524,84 @@ def join_asof_tolerance_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_event_id")
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, ts, MAX(event_id) AS pid
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    ), c AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    )
+    SELECT click_event_id, user_id, click_ts_us,
+           purchase_event_id, purchase_ts_us
+    FROM (
+        SELECT c.event_id AS click_event_id, c.user_id AS user_id,
+               epoch_us(c.ts) AS click_ts_us,
+               p.pid AS purchase_event_id, epoch_us(p.ts) AS purchase_ts_us,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.event_id
+                   ORDER BY p.ts ASC NULLS LAST, p.pid ASC NULLS LAST
+               ) AS rn
+        FROM c LEFT JOIN purchases p
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    ) WHERE rn = 1
+    """,
+    tags=("join", "asof", "forward"),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (pandas merge_asof direction='forward'):
+    each click takes the EARLIEST same-user purchase at-or-after it —
+    the time-to-outcome pairing (click -> eventual conversion), the
+    mirror of the backward attribution join. Same union+last_value
+    sweep, run in DESCENDING time order: sorting (t DESC, side) with
+    purchases flagged to sort before clicks at equal instants makes
+    `last(purchase, ignorenulls)` carry the NEXT purchase backward
+    through time, so an at-the-same-instant purchase matches
+    (inclusive >=). One shuffle on the entity key; no range join.
+    Purchase ties at one instant resolve to max event_id before the
+    sweep, exactly as the oracle's pre-dedup."""
+    ev = load(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.unix_micros("ts").alias("t_us"))
+        .agg(F.max("event_id").alias("pid"))
+        .select("user_id", "t_us", F.lit(0).alias("side"), "pid", F.lit(None).cast("long").alias("cid"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("t_us"),
+            F.lit(1).alias("side"),
+            F.lit(None).cast("long").alias("pid"),
+            F.col("event_id").alias("cid"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("t_us"), F.asc("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = purchases.unionAll(clicks).withColumn(
+        "next_p",
+        F.last(
+            F.when(F.col("side") == 0, F.struct("t_us", "pid")), ignorenulls=True
+        ).over(w),
+    )
+    return (
+        swept.filter(F.col("side") == 1)
+        .select(
+            F.col("cid").alias("click_event_id"),
+            "user_id",
+            F.col("t_us").alias("click_ts_us"),
+            F.col("next_p.pid").alias("purchase_event_id"),
+            F.col("next_p.t_us").alias("purchase_ts_us"),
+        )
+        .orderBy("click_event_id")
+    )

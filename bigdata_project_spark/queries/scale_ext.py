@@ -756,3 +756,90 @@ def agg_hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "segment", "n_customers", "total_cents", hhi.alias("hhi")
     ).orderBy("segment")
+
+
+@query(
+    "events_users_for_p80",
+    oracle="""
+    WITH ucount AS (
+        SELECT event_type, user_id, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT event_type, n,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY n DESC, user_id) AS rnk,
+               SUM(n) OVER (PARTITION BY event_type
+                            ORDER BY n DESC, user_id
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(n) OVER (PARTITION BY event_type) AS tot,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_users
+        FROM ucount
+    )
+    SELECT event_type, n_users,
+           MIN(rnk) AS k_users_p80,
+           CAST(MIN(rnk) AS DOUBLE) / n_users AS share_users_p80
+    FROM ranked WHERE 5 * cum >= 4 * tot
+    GROUP BY event_type, n_users
+    """,
+    tags=("events", "concentration", "pareto", "two-stage"),
+)
+def events_users_for_p80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 question, exactly: the minimum number of top users
+    whose combined activity covers 80% of each event type's traffic
+    (and that count as a share of the audience) — the 'how many
+    whales' metric behind capacity planning and abuse thresholds,
+    the quantile cousin of Gini/HHI.
+
+    The oracle ranks with one window per type (a |types|-partition
+    full sort at 100 TB). The Spark plan exploits that rank position
+    is CLOSED-FORM within an activity level: bucket users by their
+    exact count n; for the users at level n, rank = (users at higher
+    levels) + row_number within the level, and cumulative activity =
+    (events at higher levels) + rank-within-level * n — so the only
+    windows run over the tiny per-(type, level) table (carry sums)
+    and within levels (bounded row_number by user id). All integer;
+    the final share is one double division."""
+    ev = load(spark, sf_dir, "events")
+    uc = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+
+    lvl = uc.groupBy("event_type", "n").agg(
+        F.count("*").alias("cnt"), F.sum("n").alias("lvl_ev")
+    )
+    w_hi = Window.partitionBy("event_type").orderBy(F.desc("n")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    carry = lvl.select(
+        F.col("event_type").alias("ct"),
+        F.col("n").alias("cn"),
+        F.coalesce(F.sum("cnt").over(w_hi), F.lit(0)).alias("carry_users"),
+        F.coalesce(F.sum("lvl_ev").over(w_hi), F.lit(0)).alias("carry_ev"),
+        F.sum("lvl_ev").over(w_all).alias("tot"),
+        F.sum("cnt").over(w_all).alias("n_users"),
+    )
+    w_in = Window.partitionBy("event_type", "n").orderBy("user_id")
+    ranked = (
+        uc.join(
+            F.broadcast(carry),
+            (F.col("event_type") == F.col("ct")) & (F.col("n") == F.col("cn")),
+        )
+        .withColumn("rn", F.row_number().over(w_in))
+        .withColumn("rnk", F.col("carry_users") + F.col("rn"))
+        .withColumn("cum", F.col("carry_ev") + F.col("rn") * F.col("n"))
+    )
+    return (
+        ranked.filter(5 * F.col("cum") >= 4 * F.col("tot"))
+        .groupBy("event_type", "n_users")
+        .agg(F.min("rnk").alias("k_users_p80"))
+        .select(
+            "event_type",
+            "n_users",
+            "k_users_p80",
+            (F.col("k_users_p80").cast("double") / F.col("n_users")).alias(
+                "share_users_p80"
+            ),
+        )
+        .orderBy("event_type")
+    )

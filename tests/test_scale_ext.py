@@ -182,3 +182,17 @@ def test_weighted_median_plan_two_stage(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_concentration_family_plans(spark, sf_dir):
+    """Gini / p80: the two-stage rank plans must join their carry
+    tables by BROADCAST (no shuffle join of facts against facts) and
+    plan no cartesian; HHI is one aggregate — no Window at all."""
+    for name in ("agg_gini_spend_concentration", "events_users_for_p80"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+    hhi = plan_of(spark, sf_dir, "agg_hhi_market_concentration")
+    assert "Window" not in hhi
+    assert "CartesianProduct" not in hhi

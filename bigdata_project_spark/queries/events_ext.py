@@ -800,3 +800,114 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.len").alias("longest_streak_days"),
         (-F.col("b.neg")).alias("streak_start_day"),
     ).orderBy("user_id")
+
+
+@query(
+    "events_dow_seasonality",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow
+        FROM events
+    ), c AS (
+        SELECT event_type, dow, COUNT(*) AS n FROM d GROUP BY 1, 2
+    )
+    SELECT event_type, dow, n,
+           CAST(7 * n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY event_type) AS seasonality_index
+    FROM c
+    """,
+    tags=("events", "seasonality", "agg"),
+)
+def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index per event type: 7 * dow_count /
+    total — 1.0 means a flat week, >1 a hot day. The capacity-planning
+    and anomaly-baseline primitive (a Monday spike is only an anomaly
+    against the MONDAY baseline).
+
+    Convention pinned to Spark's dayofweek (1 = Sunday); DuckDB's is
+    0-based, so the oracle adds one. The index
+    is one exact-integer division per output row (types x 7 rows).
+    Scale: one map + one 35-group aggregate; the normalizing window
+    runs over the 35-row result."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.dayofweek("ts").cast("long").alias("dow")
+    )
+    c = ev.groupBy("event_type", "dow").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type")
+    return c.select(
+        "event_type",
+        "dow",
+        "n",
+        ((7 * F.col("n")).cast("double") / F.sum("n").over(w)).alias(
+            "seasonality_index"
+        ),
+    ).orderBy("event_type", "dow")
+
+
+@query(
+    "events_session_depth_histogram",
+    oracle="""
+    WITH marks AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL
+                         OR ts > LAG(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                              + INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ), sess AS (
+        SELECT user_id,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marks
+    ), sizes AS (
+        SELECT user_id, sid, COUNT(*) AS depth FROM sess GROUP BY 1, 2
+    )
+    SELECT LENGTH(BIN(depth)) - 1 AS depth_log2,
+           COUNT(*) AS n_sessions,
+           MIN(depth) AS min_depth,
+           MAX(depth) AS max_depth
+    FROM sizes GROUP BY 1
+    """,
+    tags=("events", "session", "histogram"),
+)
+def events_session_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-depth distribution: how many events a 30-minute-gap
+    session contains, bucketed log2 — the engagement-shape metric
+    (bounce-heavy vs deep-session product) that complements the
+    bounce RATE (events_bounce_rate) with the whole curve.
+
+    Same lag+cumsum sessionization as events_session_30m on the one
+    user-keyed exchange; the histogram buckets with the integer
+    bit-length trick (qa_skew_histogram) — no float log. The
+    (ts, event_id) tiebreak makes session boundaries deterministic
+    under timestamp ties."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    marks = ev.withColumn(
+        "new_s",
+        F.when(
+            prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1
+        ).otherwise(0),
+    )
+    w_run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = marks.withColumn("sid", F.sum("new_s").over(w_run))
+    sizes = sess.groupBy("user_id", "sid").agg(F.count("*").alias("depth"))
+    return (
+        sizes.withColumn("depth_log2", (F.length(F.bin("depth")) - 1).cast("long"))
+        .groupBy("depth_log2")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.min("depth").alias("min_depth"),
+            F.max("depth").alias("max_depth"),
+        )
+        .orderBy("depth_log2")
+    )

@@ -120,10 +120,13 @@ _LOADED = False
 # MAD, deciles, WoW, time-to-convert, cohort LTV, DAU/WAU,
 # key-uniqueness), the scale-pattern family (heavy hitters, Pareto,
 # geo grid, interval overlap, quantized kNN, IVM delta), simhash
-# hamming pairs, token-budget fill, skew/Benford audits, Markov
-# transitions, collation grouping, exactly-once stream dedup, plus
-# the four round-5 deferrals above — ~33 queries, i.e. round 6's full
-# window and part of round 7's.
+# hamming pairs, token-budget fill, skew/Benford/drift audits, Markov
+# transitions, collation grouping, exactly-once stream dedup, the
+# as-of tolerance/forward variants, keyset pagination, weighted
+# median, novelty share, audience overlap, the concentration family
+# (Gini, HHI, p80), longest streak, DOW seasonality, session-depth
+# histogram, plus the four round-5 deferrals above — ~45 queries,
+# i.e. round 6's full window and most of round 7's.
 _DRIVER_FIRST: tuple[str, ...] = (
     # TPC-H sweep (§2.3) — never driver-checked
     "tpch_q2_min_cost_supplier",

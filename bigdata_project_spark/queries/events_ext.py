@@ -911,3 +911,64 @@ def events_session_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("depth_log2")
     )
+
+
+@query(
+    "events_new_vs_returning",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               epoch_us(date_trunc('day', ts)) AS day_us
+        FROM events
+    ), tagged AS (
+        SELECT user_id, day_us,
+               MIN(day_us) OVER (PARTITION BY user_id) AS first_day
+        FROM ud
+    )
+    SELECT day_us,
+           SUM(CASE WHEN day_us = first_day THEN 1 ELSE 0 END) AS n_new,
+           SUM(CASE WHEN day_us > first_day THEN 1 ELSE 0 END) AS n_returning,
+           CAST(SUM(CASE WHEN day_us = first_day THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS new_share
+    FROM tagged GROUP BY day_us
+    """,
+    tags=("events", "growth", "retention"),
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning split: each active user-day is 'new' iff
+    it is that user's first-ever day — the top-line growth decompo-
+    sition (is traffic growth acquisition or retention?) sitting
+    one step before the cohort retention matrix
+    (events_retention_cohort).
+
+    Scale: shrink to distinct (user, day) FIRST, tag with a min()
+    window on the same user-keyed exchange (no join back to facts),
+    then one day-keyed aggregate over user-days. All counts exact;
+    `new_share` is one double division."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.unix_micros(F.date_trunc("day", "ts")).alias("day_us")
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    tagged = ud.withColumn("first_day", F.min("day_us").over(w))
+    return (
+        tagged.groupBy("day_us")
+        .agg(
+            F.sum(F.when(F.col("day_us") == F.col("first_day"), 1).otherwise(0)).alias(
+                "n_new"
+            ),
+            F.sum(F.when(F.col("day_us") > F.col("first_day"), 1).otherwise(0)).alias(
+                "n_returning"
+            ),
+            F.count("*").alias("n_active"),
+        )
+        .select(
+            "day_us",
+            "n_new",
+            "n_returning",
+            (F.col("n_new").cast("double") / F.col("n_active")).alias("new_share"),
+        )
+        .orderBy("day_us")
+    )

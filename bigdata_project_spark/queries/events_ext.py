@@ -972,3 +972,112 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_us")
     )
+
+
+@query(
+    "events_hour_profile",
+    oracle="""
+    WITH h AS (
+        SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod FROM events
+    ), c AS (
+        SELECT event_type, hod, COUNT(*) AS n FROM h GROUP BY 1, 2
+    )
+    SELECT event_type, hod, n,
+           CAST(24 * n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY event_type) AS hour_index
+    FROM c
+    """,
+    tags=("events", "seasonality", "agg"),
+)
+def events_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day activity profile per event type (24 * hour_count /
+    total; 1.0 = flat day) — the intraday twin of
+    events_dow_seasonality, the baseline curve for staffing and
+    rate-limit scheduling. hour() on a UTC-pinned session is
+    identical cross-engine; one map + a types x 24 aggregate with a
+    window over the tiny result."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("long").alias("hod")
+    )
+    c = ev.groupBy("event_type", "hod").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type")
+    return c.select(
+        "event_type",
+        "hod",
+        "n",
+        ((24 * F.col("n")).cast("double") / F.sum("n").over(w)).alias("hour_index"),
+    ).orderBy("event_type", "hod")
+
+
+@query(
+    "events_volume_anomaly_dow_adjusted",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               epoch_us(date_trunc('day', ts)) AS day_us,
+               CAST(dayofweek(ts) + 1 AS BIGINT) AS dow
+        FROM events
+    ), daily AS (
+        SELECT event_type, day_us, dow, COUNT(*) AS n
+        FROM d GROUP BY 1, 2, 3
+    ), base AS (
+        SELECT event_type, dow,
+               SUM(n) AS dow_total, COUNT(*) AS dow_days
+        FROM daily GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.day_us, d.n,
+           b.dow_total, b.dow_days,
+           CASE WHEN 2 * d.n * b.dow_days > 3 * b.dow_total
+                THEN 1 ELSE 0 END AS is_anomalous
+    FROM daily d JOIN base b
+      ON d.event_type = b.event_type AND d.dow = b.dow
+    """,
+    tags=("events", "anomaly", "seasonality"),
+)
+def events_volume_anomaly_dow_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-ADJUSTED volume anomaly: a day is flagged when its
+    count exceeds 1.5x the mean of the SAME WEEKDAY — so a busy
+    Monday is judged against Mondays, fixing the false alarms a flat
+    baseline (events_anomaly_daily_zscore's complement) raises on
+    weekly-patterned traffic.
+
+    The 1.5x-mean test is division-free INTEGER arithmetic:
+    2 * n * dow_days > 3 * dow_total — engine-exact by construction
+    (the same inequality-clearing trick as the z-score query).
+
+    Scale: daily counts are one map-combined aggregate; the per-
+    (type, dow) baseline is a types x 7 table broadcast back onto
+    the types x days daily counts."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.date_trunc("day", "ts")).alias("day_us"),
+        # Spark dayofweek is already 1=Sunday (the oracle shifts
+        # DuckDB's 0-based value to match); dow only GROUPS here —
+        # it never reaches the output
+        F.dayofweek("ts").cast("long").alias("dow"),
+    )
+    daily = ev.groupBy("event_type", "day_us", "dow").agg(F.count("*").alias("n"))
+    base = daily.groupBy(
+        F.col("event_type").alias("bt"), F.col("dow").alias("bd")
+    ).agg(F.sum("n").alias("dow_total"), F.count("*").alias("dow_days"))
+    return (
+        daily.join(
+            F.broadcast(base),
+            (F.col("event_type") == F.col("bt")) & (F.col("dow") == F.col("bd")),
+        )
+        .select(
+            "event_type",
+            "day_us",
+            "n",
+            "dow_total",
+            "dow_days",
+            F.when(
+                2 * F.col("n") * F.col("dow_days") > 3 * F.col("dow_total"), 1
+            )
+            .otherwise(0)
+            .alias("is_anomalous"),
+        )
+        .orderBy("event_type", "day_us")
+    )

@@ -317,3 +317,49 @@ def agg_sketch_hll_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "approx_users", F.to_json("top_values").alias("top_values_json"), "n_events")
     )
+
+
+@query(
+    "sub_not_in_null_aware",
+    oracle="""
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE o_custkey NOT IN (
+        SELECT CASE WHEN c_acctbal > -1e12 THEN c_custkey END
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    ORDER BY o_orderkey
+    """,
+    tags=("subquery", "not-in", "null-aware"),
+)
+def sub_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN against a NULLABLE subquery — the SQL footgun pinned:
+    three-valued logic makes `x NOT IN (set containing NULL)` UNKNOWN
+    for every x, so one NULL empties the whole result. Spark
+    therefore cannot plan a plain anti join when the subquery column
+    is nullable; it plans the NULL-AWARE anti join (BroadcastHashJoin
+    LeftAnti with isNullAwareAntiJoin=true, streamed-null/build-null
+    checks at runtime — plan-asserted in tests/test_plans.py). Here
+    the CASE arm is always taken, so the TYPE is nullable (forcing
+    the null-aware plan) while the SET is null-free (so the result is
+    the meaningful 'orders not from BUILDING customers').
+
+    Scale: the null-aware build side must broadcast (Spark refuses a
+    shuffle NAAJ); fine when the subquery is dimension-sized, and the
+    rewrite for a fact-sized subquery is the explicit null-guarded
+    LEFT ANTI the other sub_* queries demonstrate."""
+    from bigdata_project_spark.tables import load
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_naaj_orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("v_naaj_customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey
+        FROM v_naaj_orders
+        WHERE o_custkey NOT IN (
+            SELECT CASE WHEN c_acctbal > -1e12 THEN c_custkey END
+            FROM v_naaj_customer WHERE c_mktsegment = 'BUILDING'
+        )
+        ORDER BY o_orderkey
+        """
+    )

@@ -561,3 +561,19 @@ def test_keyset_pagination_pushes_cursor_and_takeordered(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "sort_keyset_pagination")
     assert "TakeOrderedAndProject" in plan
     assert "LessThan(o_totalprice" in plan  # cursor reached the parquet scan
+
+
+def test_not_in_plans_null_aware_anti_join(spark, sf_dir):
+    """NOT IN over a nullable subquery must plan the NULL-AWARE anti
+    join — a plain LeftAnti would return wrong (non-empty) results
+    the moment a NULL lands in the subquery. The executed plan's
+    BroadcastHashJoin carries the isNullAwareAntiJoin=true flag as a
+    trailing 'true' argument."""
+    from bigdata_project_spark.registry import REGISTRY
+
+    df = REGISTRY["sub_not_in_null_aware"].fn(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert re.search(r"BroadcastHashJoin .*LeftAnti, BuildRight, true", executed)

@@ -497,3 +497,34 @@ def qa_drift_split_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "qa_derived_column_contract",
+    oracle="""
+    SELECT 'documents.n_chars = length(text)' AS contract,
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN n_chars <> LENGTH(text) THEN 1 ELSE 0 END) AS n_violations,
+           MIN(CASE WHEN n_chars <> LENGTH(text) THEN doc_id END) AS first_bad_id
+    FROM documents
+    """,
+    tags=("qa", "contract", "audit"),
+)
+def qa_derived_column_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-column contract audit: a stored denormalized column
+    (documents.n_chars) re-derived from its source (length(text)) and
+    counted for drift — the check that catches a writer whose derive
+    logic silently changed (truncation, encoding, trimming) AFTER the
+    column was materialized. Zero violations is the contract; the
+    first offending id makes a red audit actionable.
+
+    One scan, pure map + global aggregate; the violation flag is
+    integer comparison only."""
+    d = load(spark, sf_dir, "documents")
+    bad = F.col("n_chars") != F.length("text")
+    return d.agg(
+        F.lit("documents.n_chars = length(text)").alias("contract"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(bad, 1).otherwise(0)).alias("n_violations"),
+        F.min(F.when(bad, F.col("doc_id"))).alias("first_bad_id"),
+    )

@@ -49,7 +49,8 @@ def setop_union_all_nation_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("setop", "union"),
 )
 def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION (distinct) of two key sets."""
+    """UNION (distinct) of two key sets — dedup across branches is one
+    hash aggregate over the unioned stream (map-side combined)."""
     c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9500).select(F.col("c_nationkey").alias("nationkey"))
     s = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9000).select(F.col("s_nationkey").alias("nationkey"))
     return c.union(s).distinct()

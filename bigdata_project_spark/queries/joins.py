@@ -605,3 +605,60 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("click_event_id")
     )
+
+
+@query(
+    "join_range_price_bands_binned",
+    oracle=f"""
+    SELECT band_id,
+           COUNT(*) AS n_orders,
+           {SQL_DSUM('o_totalprice')} AS revenue
+    FROM orders
+    JOIN (VALUES {_BANDS_SQL}) AS b(band_id, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band_id
+    """,
+    tags=("join", "range", "binned", "two-stage"),
+)
+def join_range_price_bands_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUCKETIZED-EQUI-JOIN form of the interval lookup — the
+    scale path join_range_price_bands' docstring promises, now
+    implemented: when the band table is too large or too hot to
+    broadcast-nested-loop, decompose the range predicate instead.
+    Facts bucket by price div W (integer on cents, W = $50k);
+    each band EXPANDS to the buckets its [lo, hi) covers — a
+    bounded, data-independent fan-out of ceil(width/W) rows per
+    band via sequence() — and the join becomes a plain hash-
+    joinable EQUI join on the bucket id with the exact range check
+    as a residual (carry/offset analogue: the band's bucket list
+    IS its carry structure). Same oracle as the BNLJ form — the
+    two plans must agree exactly.
+
+    At 100 TB with thousands of bands, the equi-join shuffles on
+    the bucket id (or broadcasts the expanded band-bucket table,
+    still tiny); no nested loop over facts x bands."""
+    W = 50_000_00  # $50k in cents (integer arithmetic)
+    o = load(spark, sf_dir, "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    ).withColumn("bucket", F.expr(f"cents div {W}"))
+    bands = spark.createDataFrame(_BANDS, ["band_id", "lo", "hi"])
+    bexp = bands.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"cast(lo as bigint) * 100 div {W}"),
+                F.expr(f"(cast(hi as bigint) * 100 - 1) div {W}"),
+            )
+        ),
+    )
+    joined = o.join(
+        F.broadcast(bexp),
+        (o.bucket == bexp.bucket)
+        & (o.o_totalprice >= bexp.lo)
+        & (o.o_totalprice < bexp.hi),
+    )
+    return (
+        joined.groupBy("band_id")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+        .orderBy("band_id")
+    )

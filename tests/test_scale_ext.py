@@ -196,3 +196,14 @@ def test_concentration_family_plans(spark, sf_dir):
     hhi = plan_of(spark, sf_dir, "agg_hhi_market_concentration")
     assert "Window" not in hhi
     assert "CartesianProduct" not in hhi
+
+
+def test_binned_band_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The bucketized band join must plan a HASH-joinable equi join
+    on the bucket id — the whole point vs the broadcast nested loop
+    its sibling join_range_price_bands uses for tiny band tables."""
+    plan = plan_of(spark, sf_dir, "join_range_price_bands_binned")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert re.search(r"bucket#\d+", plan)

@@ -12,6 +12,7 @@ from bigdata_project_spark.operators import (  # noqa: F401
     corpus,
     corpus_ext,
     dedup,
+    dedup_ext,
     multimodal,
     similarity,
     skew,

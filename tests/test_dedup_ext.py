@@ -1,0 +1,86 @@
+"""Prefix-filter similarity join + containment (operators/dedup_ext.py).
+
+The DuckDB oracle already proves output correctness at each scale
+factor; these tests pin the two properties the oracle can't see:
+(1) the prefix join generates strictly FEWER candidate pairs than the
+    share-a-shingle join — the point of the operator — while losing
+    nothing (exactness cross-checked against dedup_ngram_jaccard
+    filtered to the same threshold, engine-internally);
+(2) containment is asymmetric and hits 1.0 for a doc fully embedded
+    in a larger one — the case symmetric Jaccard misses.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_project_spark.registry import all_queries
+
+
+def test_prefix_filter_matches_bruteforce_at_threshold(spark, sf_dir):
+    qs = all_queries()
+    pf = {
+        (r["doc_a"], r["doc_b"], r["n_common"])
+        for r in qs["dedup_prefix_filter_jaccard"](spark, sf_dir).collect()
+    }
+    brute = {
+        (r["doc_a"], r["doc_b"], r["n_common"])
+        for r in qs["dedup_ngram_jaccard"](spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    assert pf == brute  # prefix filtering is lossless AND adds nothing
+
+
+def test_prefix_join_generates_fewer_candidates(spark, sf_dir):
+    """The prefix equi-join must touch fewer candidate pairs than the
+    full share-a-shingle join — measured on the real corpus, not the
+    plan. (Equal would mean the prefix computation is pure overhead.)"""
+    from bigdata_project_spark.operators.dedup import shingle_df_capped
+    from pyspark.sql.window import Window
+
+    sh = shingle_df_capped(spark, sf_dir)
+    df_tbl = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = sh.join(df_tbl, "shingle").select(
+        "doc_id",
+        "shingle",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "shingle")).alias("r"),
+        F.count("*").over(Window.partitionBy("doc_id")).alias("n_sh"),
+    )
+    prefix = ranked.filter(F.col("r") <= F.col("n_sh") - F.expr("(n_sh + 1) div 2") + 1)
+
+    def n_pairs(t):
+        a, b = t.alias("a"), t.alias("b")
+        return (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select("a.doc_id", "b.doc_id")
+            .distinct()
+            .count()
+        )
+
+    full, pref = n_pairs(sh), n_pairs(prefix)
+    assert pref < full, (pref, full)
+
+
+@pytest.fixture(scope="module")
+def containment_dir(spark, tmp_path_factory):
+    body = " ".join(f"w{i}" for i in range(20))
+    docs = [
+        (1, body),  # fully contained in 2
+        (2, body + " " + " ".join(f"x{i}" for i in range(40))),
+        (3, "totally different words " + " ".join(f"z{i}" for i in range(30))),
+    ]
+    d = tmp_path_factory.mktemp("containment")
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(1).write.parquet(
+        str(d / "documents.parquet")
+    )
+    return str(d)
+
+
+def test_containment_is_directional(spark, containment_dir):
+    rows = all_queries()["dedup_containment_pairs"](spark, containment_dir).collect()
+    got = {(r["contained_doc"], r["container_doc"]): r["containment"] for r in rows}
+    assert got[(1, 2)] == 1.0  # every shingle of 1 appears in 2
+    assert (2, 1) not in got  # 2 is NOT 80% contained in 1
+    assert not any(3 in k for k in got)

@@ -327,3 +327,100 @@ def scd2_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+_CORR_VARS = ("qty", "price", "disc", "tax")
+_CORR_PAIRS = [
+    (a, b) for i, a in enumerate(_CORR_VARS) for b in _CORR_VARS[i + 1 :]
+]
+
+
+def _sql_corr(x: str, y: str) -> str:
+    num = f"(n * s_{x}{y} - s_{x} * s_{y})"
+    vx = f"(n * s_{x}{x} - s_{x} * s_{x})"
+    vy = f"(n * s_{y}{y} - s_{y} * s_{y})"
+    return f"CASE WHEN {vx} <= 0 OR {vy} <= 0 THEN NULL ELSE {num} / (sqrt({vx}) * sqrt({vy})) END"
+
+
+@query(
+    "agg_correlation_matrix",
+    oracle=f"""
+    WITH c AS (
+        SELECT l_returnflag,
+               CAST(CAST(ROUND(l_quantity, 0)            AS BIGINT) AS DECIMAL(38,0)) AS qty,
+               CAST(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS DECIMAL(38,0)) AS price,
+               CAST(CAST(ROUND(l_discount * 100, 0)      AS BIGINT) AS DECIMAL(38,0)) AS disc,
+               CAST(CAST(ROUND(l_tax * 100, 0)           AS BIGINT) AS DECIMAL(38,0)) AS tax
+        FROM lineitem
+    ), s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               {", ".join(f"CAST(SUM({v}) AS DOUBLE) AS s_{v}" for v in _CORR_VARS)},
+               {", ".join(f"CAST(SUM({a} * {b}) AS DOUBLE) AS s_{a}{b}" for a in _CORR_VARS for b in _CORR_VARS if a <= b)}
+        FROM c GROUP BY l_returnflag
+    )
+    {" UNION ALL ".join(
+        f"SELECT l_returnflag, '{a}_{b}' AS measure_pair, CAST(n AS BIGINT) AS n, "
+        f"{_sql_corr(*sorted((a, b)))} AS corr FROM s"
+        for a, b in _CORR_PAIRS
+    )}
+    """,
+    tags=("agg", "statistics", "correlation"),
+)
+def agg_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of the four lineitem
+    measures (quantity, price, discount, tax) per return flag — all
+    six pairs from ONE scan: the aggregate collects the shared
+    sufficient statistics (4 sums, 4 sums of squares, 6 cross sums,
+    n = 15 exact DECIMAL aggregates, map-side combined), and each
+    correlation is then a closed-form double expression over them.
+    Calling corr() six times would scan the fact table six times;
+    this is the standard one-pass moment-matrix form (the same trick
+    a covariance-matrix or PCA-prep job uses over 100 TB).
+
+    Determinism: measures are integerized first (units, cents, basis
+    points), every sufficient statistic is an exact DECIMAL(38,0) sum
+    cast to double only at the end, and both engines evaluate the
+    IDENTICAL final double formula (sqrt is IEEE correctly-rounded),
+    so the doubles match bit-for-bit. Zero-variance pairs yield NULL
+    via the same guard on both sides.
+
+    Scale: one shuffle of 15-value partial aggregates per flag; the
+    unpivot to (pair, corr) rows happens on the 3-row result."""
+    li = load(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    c = li.select(
+        "l_returnflag",
+        F.round("l_quantity", 0).cast("long").cast(dec).alias("qty"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").cast(dec).alias("price"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").cast(dec).alias("disc"),
+        F.round(F.col("l_tax") * 100, 0).cast("long").cast(dec).alias("tax"),
+    )
+    aggs = [F.count("*").cast("double").alias("n")]
+    aggs += [F.sum(v).cast("double").alias(f"s_{v}") for v in _CORR_VARS]
+    aggs += [
+        F.sum(F.col(a) * F.col(b)).cast("double").alias(f"s_{a}{b}")
+        for a in _CORR_VARS
+        for b in _CORR_VARS
+        if a <= b
+    ]
+    s = c.groupBy("l_returnflag").agg(*aggs)
+
+    def corr_col(a: str, b: str) -> F.Column:
+        x, y = sorted((a, b))
+        n = F.col("n")
+        num = n * F.col(f"s_{x}{y}") - F.col(f"s_{x}") * F.col(f"s_{y}")
+        vx = n * F.col(f"s_{x}{x}") - F.col(f"s_{x}") * F.col(f"s_{x}")
+        vy = n * F.col(f"s_{y}{y}") - F.col(f"s_{y}") * F.col(f"s_{y}")
+        return F.when((vx <= 0) | (vy <= 0), F.lit(None).cast("double")).otherwise(
+            num / (F.sqrt(vx) * F.sqrt(vy))
+        )
+
+    stack_args: list = []
+    for a, b in _CORR_PAIRS:
+        stack_args += [F.lit(f"{a}_{b}"), corr_col(a, b)]
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.stack(F.lit(len(_CORR_PAIRS)), *stack_args).alias("measure_pair", "corr"),
+    ).select("l_returnflag", "measure_pair", "n", "corr")

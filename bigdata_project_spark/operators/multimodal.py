@@ -390,3 +390,58 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("out_h"),
         (~fit).cast("int").alias("needs_resize"),
     )
+
+
+@query(
+    "multimodal_audio_chunk_plan",
+    oracle="""
+    WITH pcm AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_samples
+        FROM documents
+        WHERE octet_length(encode(text)) >= 200
+    )
+    SELECT doc_id, n_samples,
+           n_samples * 1000 // 8000 AS duration_ms,
+           (n_samples - 200) // 80 + 1 AS n_frames,
+           ((n_samples - 200) // 80) * 80 AS last_frame_start,
+           n_samples - (((n_samples - 200) // 80) * 80 + 200) AS tail_samples
+    FROM pcm
+    """,
+    tags=("multimodal", "audio", "llm", "plan"),
+)
+def multimodal_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio framing plan for PCM payloads: the 25 ms / 10 ms
+    frame-hop grid every speech feature extractor (MFCC, fbank,
+    wav2vec-style encoders) consumes, planned from container metadata
+    alone. The payload byte length stands in for the PCM body (16-bit
+    mono at 16 kHz: n_samples = n_bytes div 2; a real pipeline reads
+    the sample count from the WAV/FLAC header without decoding).
+    Per asset: total samples, duration, the number of 400-sample
+    frames at 160-sample hop, the last frame's start offset, and the
+    uncovered tail — so a batch featurizer can pre-allocate exact
+    frame tensors and range-read each frame's byte span for 100 TB
+    of audio without a single full-file decode. Completes the
+    modality trio next to multimodal_frame_sample_plan (video) and
+    multimodal_resize_plan (images).
+
+    Determinism: pure BIGINT floor-division arithmetic end-to-end —
+    no floats anywhere, so the plan is engine-exact by construction.
+
+    Scale: pure map over the payload table (codegen'd integer ops,
+    no shuffle, no Python); assets shorter than one frame are
+    filtered in the same scan predicate."""
+    p = _payload_df(spark, sf_dir)
+    n_samples = F.col("meta.n_bytes").cast("bigint")
+    plan = p.select("doc_id", n_samples.alias("n_samples")).filter(
+        F.col("n_samples") >= 200
+    )
+    last_start = F.expr("((n_samples - 200) div 80) * 80")
+    return plan.select(
+        "doc_id",
+        "n_samples",
+        F.expr("(n_samples * 1000) div 8000").alias("duration_ms"),
+        F.expr("(n_samples - 200) div 80 + 1").alias("n_frames"),
+        last_start.alias("last_frame_start"),
+        (F.col("n_samples") - (last_start + 200)).alias("tail_samples"),
+    )

@@ -528,3 +528,66 @@ def qa_derived_column_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(bad, 1).otherwise(0)).alias("n_violations"),
         F.min(F.when(bad, F.col("doc_id"))).alias("first_bad_id"),
     )
+
+
+@query(
+    "qa_join_skew_forecast",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, COUNT(*) AS n_rows,
+               COUNT(*) * COUNT(*) AS pairs
+        FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT SUM(pairs) AS total_pairs, COUNT(*) AS n_keys FROM c),
+    top AS (
+        SELECT user_id, n_rows, pairs,
+               ROW_NUMBER() OVER (ORDER BY pairs DESC, user_id) AS rank
+        FROM c
+    )
+    SELECT t.rank, t.user_id, t.n_rows,
+           t.pairs AS pairs_contribution,
+           CAST(t.pairs AS DOUBLE) / tot.total_pairs AS share_of_join,
+           tot.total_pairs, tot.n_keys
+    FROM top t CROSS JOIN tot
+    WHERE t.rank <= 5
+    """,
+    tags=("qa", "skew", "join", "audit"),
+)
+def qa_join_skew_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-skew forecast: predict a self-join's per-key cost BEFORE
+    running it. For the user_id self-join shape (sessionization,
+    audience overlap, market-basket pairs), key u contributes exactly
+    count(u)² output pairs — so the per-key histogram alone reveals
+    the total join cardinality and which hot keys dominate it. The
+    report: the 5 worst keys, each with its exact pair contribution
+    and share of the whole join, plus the join's total predicted
+    pairs and key count. A share >> 1/n_keys says "salt this key or
+    let AQE split it" — decided from a cheap aggregate instead of a
+    blown-up shuffle at 100 TB.
+
+    Determinism: counts and pair products are exact integers; the
+    share is one double division; top-5 ties break on user_id.
+
+    Scale: one map-side combined count per key; the top-5 rides
+    TakeOrderedAndProject (never a global row_number over the key
+    table); the 1-row totals aggregate broadcasts onto 5 rows."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count("*").alias("n_rows"))
+    c = c.select("user_id", "n_rows", (F.col("n_rows") * F.col("n_rows")).alias("pairs"))
+    tot = c.agg(
+        F.sum("pairs").alias("total_pairs"), F.count("*").alias("n_keys")
+    )
+    top = c.orderBy(F.desc("pairs"), F.asc("user_id")).limit(5)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("pairs"), F.asc("user_id"))),
+    )
+    return ranked.join(F.broadcast(tot)).select(
+        "rank",
+        "user_id",
+        "n_rows",
+        F.col("pairs").alias("pairs_contribution"),
+        (F.col("pairs").cast("double") / F.col("total_pairs")).alias("share_of_join"),
+        "total_pairs",
+        "n_keys",
+    )

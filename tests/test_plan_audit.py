@@ -29,6 +29,8 @@ BNLJ_WHITELIST: dict[str, str] = {
     "agg_spend_decile_buckets": "1-row decile-boundary array broadcast",
     "agg_heavy_hitters_exact": "1-row total-count broadcast",
     "qa_benford_leading_digit": "1-row total-count broadcast",
+    "qa_join_skew_forecast": "1-row predicted-totals broadcast onto the top-5 rows",
+    "events_freshness_lag": "1-row global-latest-timestamp broadcast (24h filter + lag)",
     "qa_drift_split_halves": "1-row (t1, t2) totals broadcast",
     "mixture_source_weights": "1-row corpus-total broadcast",
     "index_inverted_postings": "1-row df-cap threshold broadcast",

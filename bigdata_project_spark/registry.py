@@ -125,8 +125,13 @@ _LOADED = False
 # as-of tolerance/forward variants, keyset pagination, weighted
 # median, novelty share, audience overlap, the concentration family
 # (Gini, HHI, p80), longest streak, DOW seasonality, session-depth
-# histogram, plus the four round-5 deferrals above — ~45 queries,
-# i.e. round 6's full window and most of round 7's.
+# histogram, the late-round-5 dedup/timeseries/audit batch
+# (prefix-filter similarity join, containment pairs, CUSUM
+# changepoint, lag-7 autocorrelation, freshness lag, correlation
+# matrix, join-skew forecast, audio chunk plan; the HLL sketch-merge
+# rollup is rows-only by design and stays out of the window), plus
+# the four round-5 deferrals above — ~53 queries, i.e. round 6's
+# full window and most of round 7's.
 _DRIVER_FIRST: tuple[str, ...] = (
     # TPC-H sweep (§2.3) — never driver-checked
     "tpch_q2_min_cost_supplier",

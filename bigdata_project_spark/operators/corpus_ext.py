@@ -390,3 +390,97 @@ def corpus_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_tokens", "cum_tokens")
         .orderBy("source", "cum_tokens")
     )
+
+
+# ------------------------------------------ data-skipping effectiveness
+
+# The probe predicate whose zone-pruning power the audit measures —
+# a narrow user slice, mirrored verbatim in the oracle.
+_SKIP_USER_LO, _SKIP_USER_HI = 0, 7
+
+
+def _skipping_sql(layout: str, zone_expr: str) -> str:
+    return f"""
+        SELECT '{layout}' AS layout,
+               COUNT(*) AS n_zones,
+               SUM(CASE WHEN u_max < {_SKIP_USER_LO} OR u_min > {_SKIP_USER_HI}
+                        THEN 1 ELSE 0 END) AS n_zones_skipped,
+               SUM(CASE WHEN u_max < {_SKIP_USER_LO} OR u_min > {_SKIP_USER_HI}
+                        THEN n_rows ELSE 0 END) AS rows_skipped,
+               SUM(n_rows) AS total_rows,
+               CAST(SUM(CASE WHEN u_max < {_SKIP_USER_LO} OR u_min > {_SKIP_USER_HI}
+                             THEN n_rows ELSE 0 END) AS DOUBLE) / SUM(n_rows)
+                   AS skip_ratio
+        FROM (
+            SELECT {zone_expr} AS zone,
+                   MIN(user_id) AS u_min, MAX(user_id) AS u_max,
+                   COUNT(*) AS n_rows
+            FROM keyed GROUP BY 1
+        )
+    """
+
+
+@query(
+    "lake_skipping_effectiveness",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT user_id,
+               CAST(date_diff('day', TIMESTAMP '1995-01-01', ts) AS BIGINT) AS day_no,
+               ({_morton_sql("user_id", "CAST(date_diff('day', TIMESTAMP '1995-01-01', ts) AS BIGINT)")}) AS z_key
+        FROM events
+    )
+    {_skipping_sql("zorder", "z_key >> 8")}
+    UNION ALL
+    {_skipping_sql("time_sorted", "day_no // 7")}
+    """,
+    tags=("lake", "layout", "qa", "audit"),
+)
+def lake_skipping_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping effectiveness audit: for two physical layouts —
+    Z-order zones (z_key >> 8, the lake_zorder_key clustering) vs
+    plain time-sorted weekly zones — compute each zone's user_id
+    min/max (exactly the parquet footer stats a writer would emit)
+    and report how many zones, and how many rows, a narrow user-slice
+    predicate could skip via min/max pruning. The punchline at 100 TB:
+    under the time-sorted layout every zone contains every user
+    (skip_ratio 0), while Z-order zones separate user ranges, so the
+    same predicate prunes most of the data — measured, not asserted.
+
+    Determinism: zone stats, skip flags, and row counts are pure
+    integers; skip_ratio is one double division per layout row.
+
+    Scale: both layout passes are map-side combined aggregates to the
+    (small) zone-stats table; no shuffle touches raw events beyond
+    the two per-zone rollups, and the final report is 2 rows. This is
+    the evaluation loop for layout decisions: run it on a sample,
+    pick the layout, THEN pay for the rewrite."""
+    ev = load(spark, sf_dir, "events")
+    day_no = "CAST(datediff(ts, TIMESTAMP '1995-01-01') AS BIGINT)"
+    keyed = ev.selectExpr(
+        "user_id",
+        f"{day_no} AS day_no",
+        f"({_morton_sql('user_id', day_no)}) AS z_key",
+    )
+
+    def audit(layout: str, zone: F.Column) -> DataFrame:
+        zones = keyed.groupBy(zone.alias("zone")).agg(
+            F.min("user_id").alias("u_min"),
+            F.max("user_id").alias("u_max"),
+            F.count("*").alias("n_rows"),
+        )
+        skippable = (F.col("u_max") < _SKIP_USER_LO) | (F.col("u_min") > _SKIP_USER_HI)
+        return zones.agg(
+            F.lit(layout).alias("layout"),
+            F.count("*").alias("n_zones"),
+            F.sum(skippable.cast("long")).alias("n_zones_skipped"),
+            F.sum(F.when(skippable, F.col("n_rows")).otherwise(0)).alias("rows_skipped"),
+            F.sum("n_rows").alias("total_rows"),
+            (
+                F.sum(F.when(skippable, F.col("n_rows")).otherwise(0)).cast("double")
+                / F.sum("n_rows")
+            ).alias("skip_ratio"),
+        )
+
+    return audit("zorder", F.shiftright("z_key", 8)).unionAll(
+        audit("time_sorted", F.expr("day_no div 7"))
+    )

@@ -662,3 +662,110 @@ def join_range_price_bands_binned(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
         .orderBy("band_id")
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, MAX(event_id) AS cid
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    ), p AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT purchase_event_id, user_id, purchase_ts_us,
+           click_event_id, click_ts_us, direction
+    FROM (
+        SELECT p.event_id AS purchase_event_id, p.user_id AS user_id,
+               epoch_us(p.ts) AS purchase_ts_us,
+               c.cid AS click_event_id, epoch_us(c.ts) AS click_ts_us,
+               CASE WHEN c.cid IS NULL THEN NULL
+                    WHEN c.ts <= p.ts THEN 'backward' ELSE 'forward' END AS direction,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)) ASC NULLS LAST,
+                            (c.ts > p.ts) ASC
+               ) AS rn
+        FROM p LEFT JOIN clicks c ON c.user_id = p.user_id
+    ) WHERE rn = 1
+    """,
+    tags=("join", "asof", "nearest"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (pandas merge_asof direction='nearest'):
+    each purchase takes the same-user click closest in time in EITHER
+    direction, ties resolving to the earlier (backward) click —
+    completing the as-of family next to backward, tolerance, and
+    forward. One union of the two sides, ONE shuffle on the entity
+    key, then two frame sweeps over the same per-user partition: the
+    ascending sweep carries the last click at-or-before each purchase
+    (`last(click) ignorenulls`), the descending sweep carries the
+    first click at-or-after it; a pure integer comparison of the two
+    deltas picks the winner. The brute-force oracle (all user clicks
+    ranked by |delta|) proves the two-sweep plan exact.
+
+    Scale: no range join, no per-purchase candidate set — the cost is
+    one exchange plus two in-partition sorts (asc + desc) over the
+    union, each bounded by the user's own events. Click ties at one
+    instant pre-dedup to max event_id exactly as the oracle does;
+    same-instant clicks match backward (delta 0 ties prefer
+    backward), matching merge_asof."""
+    ev = load(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.unix_micros("ts").alias("t_us"))
+        .agg(F.max("event_id").alias("cid"))
+        .select("user_id", "t_us", F.lit(0).alias("side"), "cid",
+                F.lit(None).cast("long").alias("pid"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("cid"),
+        F.col("event_id").alias("pid"),
+    )
+    from pyspark.sql import Window
+
+    is_click = F.col("side") == 0
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("t_us"), F.asc("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("t_us"), F.asc("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = (
+        clicks.unionAll(purchases)
+        .withColumn(
+            "back",
+            F.last(F.when(is_click, F.struct("t_us", "cid")), ignorenulls=True).over(w_back),
+        )
+        .withColumn(
+            "fwd",
+            F.last(F.when(is_click, F.struct("t_us", "cid")), ignorenulls=True).over(w_fwd),
+        )
+    )
+    d_back = F.col("t_us") - F.col("back.t_us")
+    d_fwd = F.col("fwd.t_us") - F.col("t_us")
+    take_back = F.col("back").isNotNull() & (F.col("fwd").isNull() | (d_back <= d_fwd))
+    chosen = F.when(take_back, F.col("back")).otherwise(F.col("fwd"))
+    direction = F.when(chosen.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(take_back, F.lit("backward")).otherwise(F.lit("forward"))
+    )
+    return (
+        swept.filter(F.col("side") == 1)
+        .select(
+            F.col("pid").alias("purchase_event_id"),
+            "user_id",
+            F.col("t_us").alias("purchase_ts_us"),
+            chosen["cid"].alias("click_event_id"),
+            chosen["t_us"].alias("click_ts_us"),
+            direction.alias("direction"),
+        )
+        .orderBy("purchase_event_id")
+    )

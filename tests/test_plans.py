@@ -577,3 +577,24 @@ def test_not_in_plans_null_aware_anti_join(spark, sf_dir):
     import re
 
     assert re.search(r"BroadcastHashJoin .*LeftAnti, BuildRight, true", executed)
+
+
+def test_asof_nearest_joinless_single_exchange(spark, sf_dir):
+    # the nearest as-of must be the two-sweep union form: ONE user_id
+    # exchange feeding both window sorts (asc + desc), zero joins —
+    # never a per-purchase candidate join or range join
+    plan = plan_of(spark, sf_dir, "join_asof_nearest")
+    assert "Join" not in plan
+    # exactly two hash exchanges: the click tie-dedup aggregate keyed
+    # (user_id, t_us), and the user_id window feed shared by BOTH
+    # sweep directions (asc + desc sort ride one exchange)
+    assert plan.count("hashpartitioning(") == 2
+
+
+def test_skipping_audit_is_two_rollups(spark, sf_dir):
+    # both layout passes are aggregate-only: no join against raw
+    # events, no window, no cartesian — zone stats then a 1-row agg
+    plan = plan_of(spark, sf_dir, "lake_skipping_effectiveness")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

@@ -217,3 +217,54 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_common").cast("double") / F.col("n_sh")).alias("containment"),
         )
     )
+
+
+@query(
+    "dedup_normalized_exact",
+    oracle="""
+    WITH normed AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g'))) AS norm_hash
+        FROM documents
+    )
+    SELECT norm_hash,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM normed
+    GROUP BY norm_hash
+    """,
+    tags=("dedup", "llm", "normalization"),
+)
+def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-then-hash dedup — the "fuzzy exact" pass every
+    corpus pipeline runs BEFORE shingling: lowercase, strip
+    non-alphanumerics, collapse whitespace, then group by the md5 of
+    the canonical form. Catches the trivially-reformatted duplicates
+    (case, punctuation, spacing, trailing newline churn) that raw
+    dedup_exact_hash misses and that would otherwise waste MinHash
+    work downstream. Keeper = min doc_id, as in the exact pass.
+
+    Determinism: the normalization is the identical regex chain in
+    both engines (Spark regexp_replace is global by default; the
+    oracle passes the 'g' flag), md5 of identical bytes matches by
+    construction.
+
+    Scale: one md5 shuffle of 128-bit uniform keys — the document
+    text itself is never shuffled, exactly like dedup_exact_hash."""
+    from bigdata_project_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    norm = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), r"[^a-z0-9 ]", ""), " +", " "
+            )
+        )
+    )
+    return (
+        docs.select(norm.alias("norm_hash"), "doc_id")
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )

@@ -673,3 +673,99 @@ def sim_recall_ivf2_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REG["sim_recall_ivf2_at_k"].oracle = _REG["sim_recall_ivf2_at_k"].oracle.format(
     BF=_oracle_of("sim_knn_bruteforce"), IVF2=_oracle_of("sim_ann_ivf_nprobe2")
 )
+
+
+# ------------------------------ truncated-dimension (Matryoshka) eval
+
+_TRUNC_DIM = 16
+
+
+def _sql_dot_prefix(a: str, b: str, d: int) -> str:
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, d + 1)
+    )
+
+
+@query(
+    "sim_truncated_dim_recall",
+    oracle=f"""
+    SELECT b.query_id,
+           CAST(COUNT(t.vec_id) AS INT) AS n_hits,
+           COUNT(t.vec_id) / {_TOP_K}.0 AS recall
+    FROM ({{BF}}) b
+    LEFT JOIN (
+        WITH pnormed AS (
+            SELECT vec_id, embedding,
+                   {_sql_dot_prefix('embedding', 'embedding', _TRUNC_DIM)} AS p_norm_sq
+            FROM embeddings
+        ),
+        ppairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   ({_sql_dot_prefix('q.embedding', 'c.embedding', _TRUNC_DIM)})
+                     / (SQRT(q.p_norm_sq) * SQRT(c.p_norm_sq)) AS cosine
+            FROM pnormed q JOIN pnormed c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id IN {_QUERY_IDS}
+        )
+        SELECT query_id, vec_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, vec_id) AS rank
+            FROM ppairs
+        ) WHERE rank <= {_TOP_K}
+    ) t ON b.query_id = t.query_id AND b.vec_id = t.vec_id
+    GROUP BY b.query_id
+    """,
+    tags=("similarity", "llm", "eval", "matryoshka"),
+)
+def sim_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation retrieval eval (the Matryoshka-embedding
+    question): how much of the exact full-{DIM}-dim top-k does cosine
+    search over only the FIRST {_TRUNC_DIM} dimensions recover?
+    Truncated-prefix retrieval is the standard cheap first stage —
+    a {_TRUNC_DIM}-dim scan moves 1/4 of the bytes and flops of the
+    full vectors at 100 TB — and this query measures exactly what
+    that truncation costs in recall@k, per query point, entirely
+    in-engine. (On generic embeddings the prefix is NOT
+    information-dense, so recall is expected to be mediocre — that
+    measurement, not a flattering number, is the operator's output;
+    with MRL-trained vectors the same query becomes the shipping
+    gate.)
+
+    Exactness: both sides are exact brute-force scans (the truncated
+    one over a sliced prefix), with the same left-associated
+    double-chain dot products and (cosine DESC, vec_id) tiebreak as
+    sim_knn_bruteforce; the oracle nests the ground-truth oracle
+    verbatim. Scale: two broadcast-query passes over the corpus, the
+    final comparison joins two k x #queries row sets."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "p_emb", F.slice("embedding", 1, _TRUNC_DIM)
+    )
+    emb = emb.withColumn("p_norm_sq", _dot_col("p_emb", "p_emb"))
+    q = emb.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("p_emb").alias("q_p_emb"),
+        F.col("p_norm_sq").alias("q_p_norm_sq"),
+    )
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    cosine = _dot_col("q_p_emb", "p_emb") / (F.sqrt("q_p_norm_sq") * F.sqrt("p_norm_sq"))
+    scored = pairs.select("query_id", "vec_id", cosine.alias("cosine"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    trunc_topk = (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(F.col("query_id").alias("t_qid"), F.col("vec_id").alias("t_vid"))
+    )
+    bf = sim_knn_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    joined = bf.join(
+        trunc_topk,
+        (F.col("query_id") == F.col("t_qid")) & (F.col("vec_id") == F.col("t_vid")),
+        "left_outer",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("t_vid").cast("int").alias("n_hits"),
+        (F.count("t_vid") / float(_TOP_K)).alias("recall"),
+    )
+
+
+_REG["sim_truncated_dim_recall"].oracle = _REG["sim_truncated_dim_recall"].oracle.format(
+    BF=_oracle_of("sim_knn_bruteforce")
+)

@@ -250,3 +250,86 @@ def events_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_last24h", F.lit(0)).alias("n_last24h"),
         )
     )
+
+
+@query(
+    "events_bot_flag_rules",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, epoch_us(ts) AS t_us,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               MAX(t_us) - MIN(t_us) AS span_us,
+               COUNT(DISTINCT gap_us) AS n_distinct_gaps,
+               COUNT(DISTINCT event_type) AS n_types
+        FROM seq GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           span_us // 60000000 AS span_minutes,
+           CAST((span_us = 0 AND n_events >= 10)
+                OR (span_us > 0 AND n_events * 60000000 > 2 * span_us) AS INT)
+               AS rule_rate,
+           CAST(n_events >= 5 AND n_distinct_gaps = 1 AS INT) AS rule_periodic,
+           CAST(n_events >= 20 AND n_types = 1 AS INT) AS rule_single_type,
+           CAST((span_us = 0 AND n_events >= 10)
+                OR (span_us > 0 AND n_events * 60000000 > 2 * span_us)
+                OR (n_events >= 5 AND n_distinct_gaps = 1)
+                OR (n_events >= 20 AND n_types = 1) AS INT) AS is_bot
+    FROM per_user
+    """,
+    tags=("events", "qa", "bot", "rules", "window"),
+)
+def events_bot_flag_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based bot detection — the traffic-hygiene pass a
+    training-data pipeline runs before trusting behavioral data (bot
+    sessions poison funnels, retention, and any corpus built from
+    user interactions). Three Gopher-style integer rules per user:
+    sustained rate above 2 events/minute over the account's active
+    span (cross-multiplied, division-free), perfectly periodic
+    inter-arrival gaps (>= 5 events, exactly one distinct gap — the
+    cron-job signature), and single-type monomania (>= 20 events, one
+    event type). `is_bot` is the OR; each rule bit ships separately
+    so thresholds can be audited and retuned per rule.
+
+    Determinism: every rule is integer arithmetic on exact counts and
+    epoch-micro spans; gap sequence is defined by the strict
+    (ts, event_id) order.
+
+    Scale: the lag window and the per-user aggregate ride ONE user_id
+    exchange (same key); distinct-gap and distinct-type counts are
+    per-group hash distincts bounded by the user's own events. No
+    joins, no broadcast, nothing global."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+    )
+    per_user = seq.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("t_us") - F.min("t_us")).alias("span_us"),
+        F.count_distinct("gap_us").alias("n_distinct_gaps"),
+        F.count_distinct("event_type").alias("n_types"),
+    )
+    n, span = F.col("n_events"), F.col("span_us")
+    rule_rate = ((span == 0) & (n >= 10)) | ((span > 0) & (n * 60_000_000 > 2 * span))
+    rule_periodic = (n >= 5) & (F.col("n_distinct_gaps") == 1)
+    rule_single = (n >= 20) & (F.col("n_types") == 1)
+    return per_user.select(
+        "user_id",
+        "n_events",
+        F.expr("span_us div 60000000").alias("span_minutes"),
+        rule_rate.cast("int").alias("rule_rate"),
+        rule_periodic.cast("int").alias("rule_periodic"),
+        rule_single.cast("int").alias("rule_single_type"),
+        (rule_rate | rule_periodic | rule_single).cast("int").alias("is_bot"),
+    )

@@ -535,3 +535,82 @@ def stream_exactly_once_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     once = doubled.dropDuplicatesWithinWatermark(["event_id"])
     counts = once.groupBy("event_type").agg(F.count("*").alias("n_events"))
     return run_available_now(counts, "stream_exactly_once_dedup", "complete")
+
+
+@query(
+    "stream_stream_left_outer_join",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM events WHERE event_type = 'click'),
+    wm AS (
+        SELECT least((SELECT MAX(ts) FROM p), (SELECT MAX(ts) FROM c))
+               - INTERVAL '1 hour' AS w
+    ),
+    matched AS (
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+               p.user_id AS user_id
+        FROM p JOIN c
+          ON p.user_id = c.user_id
+         AND c.ts >= p.ts - INTERVAL '30 minutes'
+         AND c.ts <= p.ts
+    )
+    SELECT purchase_id, click_id, user_id FROM matched
+    UNION ALL
+    SELECT p.event_id, CAST(NULL AS BIGINT), p.user_id
+    FROM p, wm
+    WHERE p.ts < wm.w
+      AND NOT EXISTS (
+          SELECT 1 FROM c
+          WHERE c.user_id = p.user_id
+            AND c.ts >= p.ts - INTERVAL '30 minutes'
+            AND c.ts <= p.ts
+      )
+    """,
+    tags=("streaming", "join", "interval", "outer"),
+)
+def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase emits —
+    matched rows as soon as both sides arrive, and a NULL-click row
+    once the watermark proves no matching click can still come. The
+    oracle encodes the watermark semantics HONESTLY instead of
+    pretending the stream flushed everything: a purchase's null row
+    exists iff it is unmatched AND its state was evictable under the
+    final global watermark, i.e. p_ts < min(max p_ts, max c_ts) - 1h
+    (availableNow's trailing no-data micro-batch evicts exactly
+    those); later unmatched purchases are still parked in state when
+    the bounded run ends, and the oracle deliberately excludes them —
+    that asymmetry IS the correct product behavior, the same rows a
+    24/7 cluster would not have emitted yet.
+
+    Scale: the interval condition gives both sides finite state
+    (clicks kept 30m + delay, purchases until their click window
+    closes); state size is bounded by rate x window regardless of
+    total history. One user_id-keyed stateful shuffle."""
+    ev = read_events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+    )
+    joined = purchases.join(clicks, cond, "left_outer").select(
+        "purchase_id", "click_id", F.col("p_user").alias("user_id")
+    )
+    return run_available_now(joined, "stream_stream_left_outer_join", "append")

@@ -94,6 +94,10 @@ HEADLINE = [
     "join_geo_grid_radius",
     "join_interval_overlap_binned",
     "sim_knn_quantized_int8",
+    # late round-5 additions (timing loop still unchanged since r4)
+    "dedup_prefix_filter_jaccard",
+    "join_asof_nearest",
+    "agg_correlation_matrix",
 ]
 
 

@@ -128,9 +128,11 @@ _LOADED = False
 # histogram, the late-round-5 dedup/timeseries/audit batch
 # (prefix-filter similarity join, containment pairs, CUSUM
 # changepoint, lag-7 autocorrelation, freshness lag, correlation
-# matrix, join-skew forecast, audio chunk plan; the HLL sketch-merge
+# matrix, join-skew forecast, audio chunk plan, nearest as-of join,
+# skipping-effectiveness audit, truncated-dim recall, normalized
+# dedup, bot rules, left-outer stream join; the HLL sketch-merge
 # rollup is rows-only by design and stays out of the window), plus
-# the four round-5 deferrals above — ~53 queries, i.e. round 6's
+# the four round-5 deferrals above — ~59 queries, i.e. round 6's
 # full window and most of round 7's.
 _DRIVER_FIRST: tuple[str, ...] = (
     # TPC-H sweep (§2.3) — never driver-checked

@@ -268,3 +268,148 @@ def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("norm_hash")
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
     )
+
+
+@query(
+    "dedup_lsh_band_tuning",
+    oracle="""
+    WITH cand AS (
+        SELECT DISTINCT a.config AS config, a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ({BANDS}) a JOIN ({BANDS}) b
+          ON a.config = b.config AND a.band = b.band
+         AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    truth AS (SELECT doc_a, doc_b FROM ({TRUE}) WHERE jaccard >= 0.5),
+    tt AS (SELECT COUNT(*) AS n_true_pairs FROM truth)
+    SELECT c.config,
+           COUNT(*) AS n_candidates,
+           tt.n_true_pairs,
+           SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS n_hits,
+           CASE WHEN tt.n_true_pairs > 0
+                THEN CAST(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                     / tt.n_true_pairs ELSE 1.0 END AS recall,
+           CAST(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS precision
+    FROM cand c
+    LEFT JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    CROSS JOIN tt
+    GROUP BY c.config, tt.n_true_pairs
+    """,
+    tags=("dedup", "llm", "eval", "lsh", "tuning"),
+)
+def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH operating-curve measurement: candidate volume, recall, and
+    precision of THREE band/row configurations of the same 8-hash
+    MinHash signature — 8 bands x 1 row (S-curve midpoint j=0.125,
+    catch-everything), 4 x 2 (j=0.5, the shipped config), and
+    2 x 4 (j=0.84, high-precision) — all evaluated against one exact
+    ground truth (capped-Jaccard pairs at j >= 0.5). This is the
+    tuning sweep an index owner runs on a corpus sample BEFORE
+    committing a 100 TB dedup pass: wider bands buy recall with a
+    candidate-volume (compute) bill, and the measured 3-row curve —
+    not the theoretical S-curve — is the basis for the choice. (On
+    this testbed the duplicates are near-exact, so all three configs
+    saturate at recall = precision = 1.0 — a flat curve IS a
+    measurement: it says even 2x4 suffices for this corpus; a fuzzier
+    corpus separates the rows.)
+
+    Determinism: band keys are md5-derived hex strings, candidate
+    sets are exact; recall/precision are one double division each
+    over exact integer counts (empty-set guards mirror both engines).
+
+    Scale: signatures are one shingle aggregate (shared across all
+    configs); each config's candidate join is the standard banded
+    equi-join — the whole sweep costs ~3 LSH candidate passes over
+    signature rows, never touching document text."""
+    from bigdata_project_spark.operators.dedup import _minhash_aggs, shingle_df
+
+    sigs = tracked_persist(
+        shingle_df(spark, sf_dir).groupBy("doc_id").agg(*_minhash_aggs())
+    )
+
+    def bands_for(config: str, groups: list[list[int]]) -> DataFrame:
+        entries = [
+            F.struct(
+                F.lit(k).alias("band"),
+                F.concat(*[F.col(f"h{i}") for i in g]).alias("band_key"),
+            )
+            for k, g in enumerate(groups)
+        ]
+        return sigs.select(
+            F.lit(config).alias("config"),
+            "doc_id",
+            F.explode(F.array(*entries)).alias("bk"),
+        ).select("config", "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+    bands = (
+        bands_for("8x1", [[i] for i in range(8)])
+        .unionAll(bands_for("4x2", [[0, 1], [2, 3], [4, 5], [6, 7]]))
+        .unionAll(bands_for("2x4", [[0, 1, 2, 3], [4, 5, 6, 7]]))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.config") == F.col("b.config"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.config", F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    from bigdata_project_spark.operators.dedup import dedup_ngram_jaccard
+
+    truth = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.5)
+        .select(F.col("doc_a").alias("t_a"), F.col("doc_b").alias("t_b"))
+    )
+    tt = truth.agg(F.count("*").alias("n_true_pairs"))
+    joined = cand.join(
+        truth, (F.col("doc_a") == F.col("t_a")) & (F.col("doc_b") == F.col("t_b")), "left_outer"
+    )
+    per_cfg = joined.groupBy("config").agg(
+        F.count("*").alias("n_candidates"),
+        F.sum(F.col("t_a").isNotNull().cast("long")).alias("n_hits"),
+    )
+    return per_cfg.join(F.broadcast(tt)).select(
+        "config",
+        "n_candidates",
+        "n_true_pairs",
+        "n_hits",
+        F.when(
+            F.col("n_true_pairs") > 0,
+            F.col("n_hits").cast("double") / F.col("n_true_pairs"),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("recall"),
+        (F.col("n_hits").cast("double") / F.col("n_candidates")).alias("precision"),
+    )
+
+
+from bigdata_project_spark.registry import REGISTRY as _REG_DX  # noqa: E402
+from bigdata_project_spark.operators.dedup import _SQL_SHINGLES as _SH  # noqa: E402
+from bigdata_project_spark.operators.dedup import _SQL_SIGS as _SIGS  # noqa: E402
+
+_BANDS_SQL = f"""
+    WITH {_SH},
+    sigs AS (SELECT doc_id, {_SIGS} FROM sh GROUP BY doc_id)
+    SELECT '8x1' AS config, doc_id, b.k AS band,
+           CASE b.k WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2 WHEN 3 THEN h3
+                    WHEN 4 THEN h4 WHEN 5 THEN h5 WHEN 6 THEN h6 ELSE h7 END AS band_key
+    FROM sigs, (SELECT unnest(range(8)) AS k) b
+    UNION ALL
+    SELECT '4x2', doc_id, b.k,
+           CASE b.k WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3
+                    WHEN 2 THEN h4 || h5 ELSE h6 || h7 END
+    FROM sigs, (SELECT unnest(range(4)) AS k) b
+    UNION ALL
+    SELECT '2x4', doc_id, b.k,
+           CASE b.k WHEN 0 THEN h0 || h1 || h2 || h3 ELSE h4 || h5 || h6 || h7 END
+    FROM sigs, (SELECT unnest(range(2)) AS k) b
+"""
+
+_REG_DX["dedup_lsh_band_tuning"].oracle = _REG_DX["dedup_lsh_band_tuning"].oracle.format(
+    BANDS=_BANDS_SQL, TRUE=_REG_DX["dedup_ngram_jaccard"].oracle
+)

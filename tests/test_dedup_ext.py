@@ -84,3 +84,79 @@ def test_containment_is_directional(spark, containment_dir):
     assert got[(1, 2)] == 1.0  # every shingle of 1 appears in 2
     assert (2, 1) not in got  # 2 is NOT 80% contained in 1
     assert not any(3 in k for k in got)
+
+
+# ---------------------------- property-based losslessness (hypothesis)
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_settings = settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+
+# tiny vocabulary + doc lengths straddling the 5-gram boundary force
+# heavy shingle overlap, df ties (stress for the rarity total order),
+# empty shingle sets, and exact duplicates
+_doc = st.lists(st.sampled_from("red blue fish cat dog".split()), min_size=0, max_size=14).map(
+    " ".join
+)
+_corpus = st.lists(_doc, min_size=1, max_size=12)
+
+
+def _write_docs(spark, tmpdir, texts):
+    rows = [(i, t, "lang", f"src{i % 3}", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/documents.parquet")
+    return tmpdir
+
+
+def _shingles(text: str, n: int = 5) -> set:
+    words = [w for w in text.split() if w]
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+@given(texts=_corpus)
+@_settings
+def test_prefix_filter_lossless_on_random_corpora(spark, tmp_path_factory, texts):
+    """Prefix filtering must emit EXACTLY the J >= 1/2 pairs on any
+    corpus — the AllPairs prefix-length bound proved by brute force
+    over adversarial inputs (df ties, sub-5-gram docs, exact dups),
+    beyond the three fixed-testdata oracle corpora."""
+    from bigdata_project_spark.registry import all_queries
+
+    d = _write_docs(spark, str(tmp_path_factory.mktemp("pf")), texts)
+    got = {
+        (r["doc_a"], r["doc_b"], r["n_common"])
+        for r in all_queries()["dedup_prefix_filter_jaccard"](spark, d).collect()
+    }
+    sh = {i: _shingles(t) for i, t in enumerate(texts)}
+    want = set()
+    for i in sh:
+        for j in sh:
+            if i < j and (sh[i] or sh[j]):
+                inter = len(sh[i] & sh[j])
+                union = len(sh[i] | sh[j])
+                if union and 2 * inter >= union:
+                    want.add((i, j, inter))
+    assert got == want
+
+
+@given(texts=_corpus)
+@_settings
+def test_containment_matches_bruteforce_on_random_corpora(spark, tmp_path_factory, texts):
+    from bigdata_project_spark.registry import all_queries
+
+    d = _write_docs(spark, str(tmp_path_factory.mktemp("ct")), texts)
+    got = {
+        (r["contained_doc"], r["container_doc"], r["n_common"])
+        for r in all_queries()["dedup_containment_pairs"](spark, d).collect()
+    }
+    sh = {i: _shingles(t) for i, t in enumerate(texts)}
+    want = set()
+    for i in sh:
+        for j in sh:
+            if i != j and sh[i]:
+                inter = len(sh[i] & sh[j])
+                if inter and 5 * inter >= 4 * len(sh[i]):
+                    want.add((i, j, inter))
+    assert got == want

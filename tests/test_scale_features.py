@@ -262,3 +262,38 @@ def test_file_metadata_lineage_columns(spark, sf_dir):
     # lineage rollup: rows per source file
     per_file = df.groupBy("src_file").count().collect()
     assert len(per_file) == 1
+
+
+def test_range_partitioned_global_sort_layout(spark, sf_dir, tmp_path):
+    """Terasort-style total order WITHOUT a single-partition sort:
+    repartitionByRange picks sampled range boundaries, each partition
+    sorts locally, and the written files form a globally-ordered lake
+    (per-file [min, max] ranges are pairwise disjoint and ordered).
+    This is how a 100 TB table gets a total order — the driver never
+    sees the data and no task sorts more than its own range."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    out = str(tmp_path / "range_sorted")
+    (
+        o.repartitionByRange(4, "o_totalprice")
+        .sortWithinPartitions("o_totalprice")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    per_file = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"), F.count("*").alias("n"))
+        .collect()
+    )
+    ranges = sorted((r["lo"], r["hi"], r["n"]) for r in per_file if r["n"] > 0)
+    assert len(ranges) >= 2  # the sort actually spread across files
+    for (lo1, hi1, _), (lo2, hi2, _) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)  # disjoint, ordered ranges
+    # and within-file order is real: re-reading one file yields a
+    # sorted column (parquet preserves row order per file)
+    import pyarrow.parquet as pq
+    import glob
+
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    vals = pq.read_table(files[0], columns=["o_totalprice"]).column(0).to_pylist()
+    assert vals == sorted(vals)

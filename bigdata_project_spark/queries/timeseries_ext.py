@@ -333,3 +333,93 @@ def events_bot_flag_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         rule_single.cast("int").alias("rule_single_type"),
         (rule_rate | rule_periodic | rule_single).cast("int").alias("is_bot"),
     )
+
+
+@query(
+    "events_ab_test_zflag",
+    oracle="""
+    WITH assign AS (
+        SELECT user_id, user_id % 2 AS variant,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    v AS (
+        SELECT variant, COUNT(*) AS n_users, SUM(converted) AS n_converted
+        FROM assign GROUP BY variant
+    ),
+    w AS (
+        SELECT
+          (SELECT n_users FROM v WHERE variant = 0) AS n0,
+          (SELECT n_converted FROM v WHERE variant = 0) AS c0,
+          (SELECT n_users FROM v WHERE variant = 1) AS n1,
+          (SELECT n_converted FROM v WHERE variant = 1) AS c1
+    )
+    SELECT n0 AS n_users_a, c0 AS n_conv_a,
+           CAST(c0 AS DOUBLE) / n0 AS cvr_a,
+           n1 AS n_users_b, c1 AS n_conv_b,
+           CAST(c1 AS DOUBLE) / n1 AS cvr_b,
+           CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0 AS lift_abs,
+           CAST(2401 * CAST((c0 + c1) AS DECIMAL(38,0))
+                        * ((n0 + n1) - (c0 + c1)) * n0 * n1 > 0
+                AND 625 * (CAST(c1 AS DECIMAL(38,0)) * n0 - CAST(c0 AS DECIMAL(38,0)) * n1)
+                     * (CAST(c1 AS DECIMAL(38,0)) * n0 - CAST(c0 AS DECIMAL(38,0)) * n1)
+                     * (n0 + n1)
+                >= 2401 * CAST((c0 + c1) AS DECIMAL(38,0))
+                        * ((n0 + n1) - (c0 + c1)) * n0 * n1 AS INT)
+               AS significant_95
+    FROM w
+    """,
+    tags=("events", "experiment", "abtest", "statistics"),
+)
+def events_ab_test_zflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with an EXACT significance flag: users
+    hash into two variants (user_id parity — the deterministic
+    assignment stand-in), the metric is purchase conversion, and the
+    two-proportion z-test at 95% is cleared of every division and
+    sqrt into one integer inequality:
+        625 * (c1*n0 - c0*n1)^2 * N  >=  2401 * C * (N - C) * n0*n1
+    (z_crit = 1.96 = 49/25, so z^2 = 2401/625 stays rational; C, N are
+    pooled conversions/users; a degenerate pooled variance — nobody
+    or everybody converted — is explicitly NOT significant, since z
+    is undefined there). The flag is therefore a THEOREM about
+    the counts — no float variance, no boundary flapping between
+    engines — while the human-facing rates and lift are single
+    divisions. Products run in DECIMAL(38,0) (the squared term
+    overflows int64 at cluster-scale user counts; DuckDB computes the
+    same values in HUGEINT).
+
+    Scale: one map-side combined per-user aggregate (the max() makes
+    conversion idempotent per user), then a 2-row variant rollup —
+    experiment readouts at 100 TB are exactly this shape, the raw
+    events never shuffle twice."""
+    ev = load(spark, sf_dir, "events")
+    assign = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
+    )
+    v = assign.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+        F.count("*").alias("n_users"), F.sum("converted").alias("n_converted")
+    )
+    a = v.filter(F.col("variant") == 0).select(
+        F.col("n_users").alias("n0"), F.col("n_converted").alias("c0")
+    )
+    b = v.filter(F.col("variant") == 1).select(
+        F.col("n_users").alias("n1"), F.col("n_converted").alias("c1")
+    )
+    w = a.join(F.broadcast(b))
+    dec = "decimal(38,0)"
+    n0, c0, n1, c1 = (F.col(x) for x in ("n0", "c0", "n1", "c1"))
+    diff = c1.cast(dec) * n0 - c0.cast(dec) * n1
+    pooled_c = (c0 + c1).cast(dec)
+    lhs = F.lit(625).cast(dec) * diff * diff * (n0 + n1)
+    rhs = F.lit(2401).cast(dec) * pooled_c * ((n0 + n1) - (c0 + c1)) * n0 * n1
+    significant = (rhs > 0) & (lhs >= rhs)
+    return w.select(
+        n0.alias("n_users_a"),
+        c0.alias("n_conv_a"),
+        (c0.cast("double") / n0).alias("cvr_a"),
+        n1.alias("n_users_b"),
+        c1.alias("n_conv_b"),
+        (c1.cast("double") / n1).alias("cvr_b"),
+        (c1.cast("double") / n1 - c0.cast("double") / n0).alias("lift_abs"),
+        significant.cast("int").alias("significant_95"),
+    )

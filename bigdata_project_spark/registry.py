@@ -131,8 +131,10 @@ _LOADED = False
 # matrix, join-skew forecast, audio chunk plan, nearest as-of join,
 # skipping-effectiveness audit, truncated-dim recall, normalized
 # dedup, bot rules, left-outer stream join; the HLL sketch-merge
-# rollup is rows-only by design and stays out of the window), plus
-# the four round-5 deferrals above — ~59 queries, i.e. round 6's
+# rollup is rows-only by design and stays out of the window), the
+# corpus-quality batch (unigram LM surprisal, duplicate passage
+# share, MinHash estimator error, keep-best canonicalization), plus
+# the four round-5 deferrals above — ~63 queries, i.e. round 6's
 # full window and most of round 7's.
 _DRIVER_FIRST: tuple[str, ...] = (
     # TPC-H sweep (§2.3) — never driver-checked

@@ -769,3 +769,117 @@ def sim_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REG["sim_truncated_dim_recall"].oracle = _REG["sim_truncated_dim_recall"].oracle.format(
     BF=_oracle_of("sim_knn_bruteforce")
 )
+
+
+# ------------------------------------------------ MaxSim late interaction
+
+# Multi-vector (ColBERT-style) late interaction: each vector is viewed
+# as 4 sub-vectors of 16 dims (the stand-in for per-token vectors —
+# the testbed stores one 64-dim embedding per item, so the sub-vector
+# split plays the role of the token-vector matrix; the operator shape
+# is identical when sub-vectors arrive as a real array<array<float>>).
+_MS_SUB = 4
+_MS_SUBDIM = 16
+
+
+def _sub_dot_col(a: str, b: str, i: int, j: int) -> Column:
+    """Dot of a's i-th sub-vector with b's j-th sub-vector — the same
+    left-folded chain discipline as _dot_col, over a 16-dim slice."""
+    sa = F.slice(F.col(a), i * _MS_SUBDIM + 1, _MS_SUBDIM)
+    sb = F.slice(F.col(b), j * _MS_SUBDIM + 1, _MS_SUBDIM)
+    products = F.zip_with(sa, sb, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(products, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _sql_sub_dot(a: str, b: str, i: int, j: int) -> str:
+    return " + ".join(
+        f"CAST({a}[{i * _MS_SUBDIM + k}] AS DOUBLE) * CAST({b}[{j * _MS_SUBDIM + k}] AS DOUBLE)"
+        for k in range(1, _MS_SUBDIM + 1)
+    )
+
+
+_SQL_SUBNORMS = ",\n".join(
+    f"{_sql_sub_dot('embedding', 'embedding', i, i)} AS sn{i}" for i in range(_MS_SUB)
+)
+
+_SQL_MAXSIM = " + ".join(
+    "GREATEST("
+    + ", ".join(
+        f"({_sql_sub_dot('q.embedding', 'c.embedding', i, j)})"
+        f" / (SQRT(q.sn{i}) * SQRT(c.sn{j}))"
+        for j in range(_MS_SUB)
+    )
+    + ")"
+    for i in range(_MS_SUB)
+)
+
+
+@query(
+    "sim_maxsim_multivector",
+    oracle=f"""
+    WITH sub AS (
+        SELECT vec_id, embedding, {_SQL_SUBNORMS}
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               {_SQL_MAXSIM} AS maxsim
+        FROM sub q JOIN sub c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id IN {_QUERY_IDS}
+    )
+    SELECT query_id, vec_id, maxsim, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY maxsim DESC, vec_id) AS rank
+        FROM pairs
+    ) WHERE rank <= {_TOP_K}
+    """,
+    tags=("similarity", "llm", "multivector", "maxsim"),
+)
+def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style MaxSim late-interaction retrieval: score(q, d) =
+    sum over q's sub-vectors of the MAX cosine against any of d's
+    sub-vectors, top-10 per query. Single-vector cosine collapses a
+    document to one point; late interaction keeps multiple aspect
+    vectors per item and lets each query aspect match its best
+    counterpart — the standard quality step beyond `sim_knn_bruteforce`
+    when one embedding per document underfits.
+
+    Determinism: every sub-cosine is the usual left-associated exact
+    chain (float32*float32 exact in double), SQRT and division are
+    IEEE correctly-rounded in both engines, GREATEST over identical
+    doubles is order-free, and the 4-term MaxSim sum is a fixed
+    left-associated chain — bit-exact vs the oracle, no tolerance.
+
+    Scale: identical to the brute-force baseline — the fixed query
+    set (with precomputed sub-norms) broadcasts against the fully
+    distributed corpus scan, one pass, no corpus shuffle; per-query
+    top-k compiles to WindowGroupLimit so each task keeps only its
+    local top-10 before the single rank exchange. The 16 sub-cosines
+    per pair stay inside whole-stage codegen. The 100 TB first-stage
+    would front this with the banded-LSH candidate pass
+    (`sim_ann_lsh_banded`) exactly as for single-vector search."""
+    emb = load(spark, sf_dir, "embeddings")
+    for i in range(_MS_SUB):
+        emb = emb.withColumn(f"sn{i}", _sub_dot_col("embedding", "embedding", i, i))
+    q = emb.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        *[F.col(f"sn{i}").alias(f"q_sn{i}") for i in range(_MS_SUB)],
+    )
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    maxsim_terms = [
+        F.greatest(
+            *[
+                _sub_dot_col("q_embedding", "embedding", i, j)
+                / (F.sqrt(F.col(f"q_sn{i}")) * F.sqrt(F.col(f"sn{j}")))
+                for j in range(_MS_SUB)
+            ]
+        )
+        for i in range(_MS_SUB)
+    ]
+    maxsim = maxsim_terms[0]
+    for t in maxsim_terms[1:]:
+        maxsim = maxsim + t
+    scored = pairs.select("query_id", "vec_id", maxsim.alias("maxsim"))
+    w = W.partitionBy("query_id").orderBy(F.desc("maxsim"), "vec_id")
+    return scored.select("*", F.row_number().over(w).alias("rank")).filter(F.col("rank") <= _TOP_K)

@@ -43,6 +43,7 @@ BNLJ_WHITELIST: dict[str, str] = {
     "sim_knn_bruteforce": "fixed 5-vector query set broadcast (non-equi by design)",
     "sim_truncated_dim_recall": "fixed tiny query set broadcast in both exact passes",
     "sim_knn_quantized_int8": "fixed 5-vector query set broadcast (non-equi by design)",
+    "sim_maxsim_multivector": "fixed 3-query multi-vector set broadcast (non-equi by design)",
     "multimodal_feature_knn": "fixed tiny query-feature set broadcast",
     "text_bm25_topk": "1-row corpus stats (N, avgdl) broadcast",
     "join_range_price_bands": "fixed band table broadcast — the documented theta-join plan",

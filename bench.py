@@ -98,6 +98,11 @@ HEADLINE = [
     "dedup_prefix_filter_jaccard",
     "join_asof_nearest",
     "agg_correlation_matrix",
+    # round-5 corpus-quality / multi-vector batch
+    "text_unigram_surprisal",
+    "quality_duplicate_passage_share",
+    "dedup_minhash_estimate_error",
+    "sim_maxsim_multivector",
 ]
 
 

@@ -1,0 +1,121 @@
+"""Corpus-quality batch (operators/quality_ext.py + MaxSim).
+
+The DuckDB oracles prove output correctness at every scale factor;
+these tests pin the properties the oracles can't see:
+(1) surprisal respects its information-theoretic bounds (each token
+    costs between 0 and floor(log2(N)) bits — a broken bin()/div
+    would break the bound before it broke the oracle on THIS corpus);
+(2) keep-best election invariants: exactly one keeper per component,
+    and the keeper strictly dominates (max tokens, min-id tiebreak);
+(3) MaxSim dominates the ALIGNED sub-cosine sum on the same pair —
+    max over candidate aspects can only match or beat the identity
+    pairing, term by term (the reason late interaction exists);
+(4) MaxSim's top-k compiles to WindowGroupLimit (per-task top-k
+    before the single rank exchange).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from bigdata_project_spark.registry import REGISTRY, _ensure_loaded, all_queries
+
+_ensure_loaded()
+
+
+def test_surprisal_respects_entropy_bounds(spark, sf_dir):
+    qs = all_queries()
+    s = qs["text_unigram_surprisal"](spark, sf_dir)
+    n_total = (
+        s.agg(F.sum("n_tokens").alias("n")).first()["n"]
+    )  # surprisal joins every occurrence, so this IS the corpus total
+    max_bits_per_token = n_total.bit_length() - 1  # floor(log2(N))
+    bad = s.filter(
+        (F.col("total_bits") < 0)
+        | (F.col("total_bits") > F.col("n_tokens") * max_bits_per_token)
+    ).count()
+    assert bad == 0
+    # a corpus with any repeated token must cost strictly less than
+    # the uniform-code worst case somewhere
+    assert s.filter(F.col("total_bits") < F.col("n_tokens") * max_bits_per_token).count() > 0
+
+
+def test_keep_best_election_invariants(spark, sf_dir):
+    qs = all_queries()
+    kb = qs["corpus_keep_best_per_cluster"](spark, sf_dir)
+    per_comp = kb.groupBy("component").agg(
+        F.sum("is_kept").alias("n_keepers"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.min(F.when(F.col("is_kept") == 1, F.col("doc_id"))).alias("keeper_id"),
+        F.max(F.when(F.col("is_kept") == 1, F.col("n_tokens"))).alias("keeper_tokens"),
+        F.min("keeper_doc_id").alias("declared_min"),
+        F.max("keeper_doc_id").alias("declared_max"),
+    )
+    assert per_comp.filter(F.col("n_keepers") != 1).count() == 0
+    assert per_comp.filter(F.col("keeper_tokens") != F.col("max_tokens")).count() == 0
+    # every member row declares the same keeper, and it is the kept row
+    assert per_comp.filter(F.col("declared_min") != F.col("declared_max")).count() == 0
+    assert per_comp.filter(F.col("keeper_id") != F.col("declared_min")).count() == 0
+    # tiebreak: no cluster member with the same token count and a
+    # smaller id than its keeper
+    tied = kb.alias("m").join(
+        kb.filter(F.col("is_kept") == 1).select(
+            F.col("component").alias("kc"),
+            F.col("n_tokens").alias("kt"),
+            F.col("doc_id").alias("kid"),
+        ),
+        F.col("m.component") == F.col("kc"),
+    )
+    assert (
+        tied.filter((F.col("m.n_tokens") == F.col("kt")) & (F.col("m.doc_id") < F.col("kid"))).count()
+        == 0
+    )
+
+
+def test_maxsim_dominates_aligned_subcosine_sum(spark, sf_dir):
+    """maxsim >= sum_i cos(q_i, d_i): each MaxSim term maxes over all
+    four candidate aspects, so it can only match or beat the identity
+    pairing — term by term, hence in the sum. This is the theorem
+    that makes late interaction a refinement (never a degradation) of
+    aspect-aligned scoring; a small epsilon absorbs rounding."""
+    from bigdata_project_spark.operators.similarity import _MS_SUB, _QUERY_IDS, _sub_dot_col
+    from bigdata_project_spark.tables import load
+
+    qs = all_queries()
+    ms = qs["sim_maxsim_multivector"](spark, sf_dir).select("query_id", "vec_id", "maxsim")
+
+    emb = load(spark, sf_dir, "embeddings")
+    for i in range(_MS_SUB):
+        emb = emb.withColumn(f"sn{i}", _sub_dot_col("embedding", "embedding", i, i))
+    q = emb.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        *[F.col(f"sn{i}").alias(f"q_sn{i}") for i in range(_MS_SUB)],
+    )
+    aligned_terms = [
+        _sub_dot_col("q_embedding", "embedding", i, i)
+        / (F.sqrt(F.col(f"q_sn{i}")) * F.sqrt(F.col(f"sn{i}")))
+        for i in range(_MS_SUB)
+    ]
+    aligned = aligned_terms[0]
+    for t in aligned_terms[1:]:
+        aligned = aligned + t
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id", "vec_id", aligned.alias("aligned")
+    )
+    j = ms.join(pairs, ["query_id", "vec_id"])
+    assert j.count() == ms.count()  # every top-k row got its aligned twin
+    assert j.filter(F.col("maxsim") < F.col("aligned") - 1e-9).count() == 0
+
+
+def test_maxsim_topk_compiles_to_window_group_limit(spark, sf_dir):
+    df = REGISTRY["sim_maxsim_multivector"].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan

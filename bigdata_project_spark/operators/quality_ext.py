@@ -409,3 +409,149 @@ def corpus_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") == F.col("keeper_doc_id")).cast("int").alias("is_kept"),
         )
     )
+
+
+# ------------------------------------------------ composite quality gate
+
+
+@query(
+    "corpus_quality_gate",
+    oracle=None,  # composed below from the component constants
+    tags=("llm", "quality", "pipeline", "gate"),
+)
+def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE quality gate: one keep decision per document composed from
+    the three discriminating signals a production corpus pipeline
+    ANDs together before training — Gopher structural rules
+    (`quality_gopher_rules`' composed bit), intra-doc repetition
+    (`quality_repetition_filter`), and cross-doc boilerplate
+    (`quality_duplicate_passage_share` at a 20% integer threshold:
+    5 * n_dup_chunks <= n_chunks) — each re-emitted for ablation,
+    plus the unigram surprisal (bits/token) as the observability
+    column a pipeline owner thresholds per-corpus (this synthetic
+    corpus is deliberately uniform at ~4 bits/token, so a band rule
+    here would be either vacuous or overfitted — the VALUE is the
+    product, the cut is the owner's knob). Dedup is deliberately NOT
+    a gate input: keeper election is `corpus_clean_pipeline` /
+    `corpus_keep_best_per_cluster`'s separate stage.
+
+    Scale: every input is doc_id-keyed, so the 4-way join aligns on
+    ONE doc_id exchange shape; the component scans are the members'
+    own (all map-side or token/chash-keyed as documented on each).
+    Composing by calling the member builders keeps the gate
+    definitionally in sync with the ablation queries — a threshold
+    change in a member IS a gate change, never a silent divergence."""
+    gopher = quality_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("gopher_ok")
+    )
+    rep = quality_repetition_filter(spark, sf_dir).select(
+        "doc_id", (1 - F.col("is_repetitive")).alias("not_repetitive")
+    )
+    dup = quality_duplicate_passage_share(spark, sf_dir).select(
+        "doc_id",
+        (F.col("n_dup_chunks") * 5 <= F.col("n_chunks")).cast("int").alias("dup_ok"),
+    )
+    surp = text_unigram_surprisal(spark, sf_dir).select("doc_id", "bits_per_token")
+    return (
+        gopher.join(rep, "doc_id")
+        .join(dup, "doc_id")
+        .join(surp, "doc_id")
+        .select(
+            "doc_id",
+            "gopher_ok",
+            "not_repetitive",
+            "dup_ok",
+            "bits_per_token",
+            (
+                (F.col("gopher_ok") == 1)
+                & (F.col("not_repetitive") == 1)
+                & (F.col("dup_ok") == 1)
+            ).cast("int").alias("keep"),
+        )
+    )
+
+
+from bigdata_project_spark.operators.corpus import (  # noqa: E402
+    _REP_THRESHOLD_SQL,
+    quality_repetition_filter,
+)
+from bigdata_project_spark.operators.corpus_ext import (  # noqa: E402
+    _BULLET_RE,
+    _SQL_NTOK,
+    _STOPWORDS_RE,
+    _SYMBOL_RE,
+    quality_gopher_rules,
+)
+from bigdata_project_spark.registry import REGISTRY as _REG_QX  # noqa: E402
+
+# Composite oracle: the members' own rule expressions over renamed
+# CTEs (their published oracles reuse the CTE name `toks`, so the
+# blocks are inlined here with distinct names — the THRESHOLD and
+# REGEX constants are imported, keeping the logic single-sourced).
+_REG_QX["corpus_quality_gate"].oracle = f"""
+    WITH g AS (
+        SELECT doc_id,
+               CAST(({_SQL_NTOK} BETWEEN 3 AND 100000)
+                AND (CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                       / {_SQL_NTOK} BETWEEN 2 AND 12)
+                AND (CAST(len(regexp_extract_all(text, '{_SYMBOL_RE}')) AS DOUBLE)
+                       / length(regexp_replace(text, '\\s+', '', 'g')) <= 0.1)
+                AND (CAST(len(regexp_extract_all(text, '{_BULLET_RE}')) AS DOUBLE)
+                       / (1 + len(regexp_extract_all(text, '\\n'))) <= 0.9)
+                AND (len(regexp_extract_all(lower(text), '{_STOPWORDS_RE}')) >= 1)
+                AS INT) AS gopher_ok
+        FROM documents
+        WHERE {_SQL_NTOK} > 0 AND length(regexp_replace(text, '\\s+', '', 'g')) > 0
+    ),
+    rw AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS words
+        FROM documents
+    ),
+    rgrams AS (
+        SELECT doc_id, array_to_string(words[r.r + 1 : r.r + 2], ' ') AS gram
+        FROM rw, LATERAL (SELECT unnest(range(greatest(len(words) - 1, 0))) AS r) r
+    ),
+    rfreq AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM rgrams GROUP BY doc_id, gram),
+    rep AS (
+        SELECT doc_id,
+               CAST(NOT (CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+                         > {_REP_THRESHOLD_SQL}) AS INT) AS not_repetitive
+        FROM rfreq GROUP BY doc_id
+    ),
+    didx AS (
+        SELECT doc_id, words, unnest(range(len(words) // 10)) AS i
+        FROM rw WHERE len(words) >= 10
+    ),
+    dchunks AS (
+        SELECT doc_id, md5(array_to_string(words[i * 10 + 1 : i * 10 + 10], ' ')) AS chash
+        FROM didx
+    ),
+    dspread AS (SELECT chash, COUNT(DISTINCT doc_id) AS n_docs FROM dchunks GROUP BY chash),
+    dup AS (
+        SELECT c.doc_id,
+               CAST(SUM(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END) * 5 <= COUNT(*) AS INT)
+                 AS dup_ok
+        FROM dchunks c JOIN dspread s USING (chash) GROUP BY c.doc_id
+    ),
+    stoks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS token
+        FROM documents
+    ),
+    stf AS (SELECT token, COUNT(*) AS n_occ FROM stoks GROUP BY token),
+    stot AS (SELECT CAST(SUM(n_occ) AS BIGINT) AS n_total FROM stf),
+    surp AS (
+        SELECT doc_id,
+               CAST(SUM(length(bin(n_total // n_occ)) - 1) AS DOUBLE) / COUNT(*)
+                 AS bits_per_token
+        FROM stoks JOIN stf USING (token) CROSS JOIN stot
+        GROUP BY doc_id
+    )
+    SELECT g.doc_id, g.gopher_ok, rep.not_repetitive, dup.dup_ok, surp.bits_per_token,
+           CAST(g.gopher_ok = 1 AND rep.not_repetitive = 1 AND dup.dup_ok = 1 AS INT) AS keep
+    FROM g
+    JOIN rep USING (doc_id)
+    JOIN dup USING (doc_id)
+    JOIN surp USING (doc_id)
+"""

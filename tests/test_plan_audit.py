@@ -50,6 +50,7 @@ BNLJ_WHITELIST: dict[str, str] = {
     "join_cross_region_status": "deliberate cross join operator (tiny x tiny)",
     "dedup_lsh_band_tuning": "1-row ground-truth-count broadcast onto the 3-config curve",
     "text_unigram_surprisal": "1-row corpus-token-total broadcast (code-length denominator)",
+    "corpus_quality_gate": "inherits text_unigram_surprisal's 1-row corpus-total broadcast",
     "events_ab_test_zflag": "1-row variant-B totals broadcast onto the 1-row variant-A side",
 }
 

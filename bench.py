@@ -103,6 +103,7 @@ HEADLINE = [
     "quality_duplicate_passage_share",
     "dedup_minhash_estimate_error",
     "sim_maxsim_multivector",
+    "corpus_quality_gate",
 ]
 
 

@@ -281,9 +281,11 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     measurement that justifies (or indicts) the shipped signature
     width: `dedup_lsh_pair_recall` scores the BANDING's candidate
     recall, this scores how much the estimator itself blurs a dedup
-    threshold (with 8 hashes the estimate quantizes to eighths, so
-    errors up to ~62,500 micros are expected at the midpoint —
-    widening to 64 hashes shrinks it ~sqrt(8x) at 8x signature cost).
+    threshold (with 8 hashes the estimate quantizes to 125,000-micro
+    eighths, so per-pair errors of one quantization step are routine —
+    measured max 125,000 / mean ~30,000 micros at sf0.01 — and
+    widening to 64 hashes shrinks them ~sqrt(8x) at 8x signature
+    cost).
 
     Determinism: both Jaccard forms are integer-division fixed-point
     (k * 1e6 div 8; inter * 1e6 div union) — no float comparison

@@ -22,7 +22,7 @@ from bigdata_project_spark.operators.dedup import (
     words_col,
 )
 from bigdata_project_spark.registry import query
-from bigdata_project_spark.tables import load
+from bigdata_project_spark.tables import load, load_spread
 
 # ---------------------------------------------------------------- packing
 
@@ -323,12 +323,12 @@ def quality_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation (the first implementation; at sf0.1 that shuffle was
     5M rows and dominated the query at 5.9 s vs ~1.2 s now). The plan
     is a projection over the scan — no aggregation exchange at all;
-    the only repartition moves (doc_id, text) to spread the CPU-bound
-    map over the testbed's single row-group, which a real multi-split
-    lake scan would not need. The oracle keeps the declarative
-    explode + GROUP BY form — two different algorithms, identical
-    integers."""
-    docs = load(spark, sf_dir, "documents")
+    load_spread's conditional repartition moves (doc_id, text) to
+    spread the CPU-bound map over the testbed's single row-group, and
+    does nothing on a real multi-split lake scan. The oracle keeps the
+    declarative explode + GROUP BY form — two different algorithms,
+    identical integers."""
+    docs = load_spread(spark, sf_dir, "documents")
     words = words_col(F.col("text"))
     n2 = F.size(words) - 1
     grams = F.when(
@@ -341,15 +341,10 @@ def quality_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly once, as the input collection, so it is computed once per
     # row (an index-lambda formulation that closed over the array was
     # re-evaluating the sort per ELEMENT: O(L^2 log L) per doc)
-    # the testbed table is one row-group -> one input split; the
-    # bigram build + sort is CPU-bound, so spread it (at real scale the
-    # scan yields many splits and this moves only doc_id+text)
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    staged = (
-        docs.repartition(n_part, "doc_id")
-        .filter(n2 > 0)
-        .select("doc_id", F.array_sort(grams).alias("gs"))
-    )
+    # the bigram build + sort is CPU-bound: docs comes pre-spread via
+    # tables.load_spread (conditional — no gratuitous shuffle on a
+    # real multi-split lake)
+    staged = docs.filter(n2 > 0).select("doc_id", F.array_sort(grams).alias("gs"))
     # single left-to-right pass over the sorted bigrams tracking
     # (current run length, best run length, previous gram); the longest
     # equal-run in the sorted array IS the max bigram frequency
@@ -701,11 +696,9 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     division). Scale: token-df join shuffles on token (uniform after
     the df aggregate's map-side combine), per-doc agg shuffles on
     doc_id; no broadcast assumption on the vocabulary."""
-    docs = load(spark, sf_dir, "documents")
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    toks = (
-        docs.repartition(n_part, "doc_id")
-        .select("doc_id", F.explode(F.array_distinct(words_col(F.col("text")))).alias("token"))
+    docs = load_spread(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(words_col(F.col("text")))).alias("token")
     )
     df_counts = toks.groupBy("token").agg(F.count("*").alias("n_docs"))
     scored = (

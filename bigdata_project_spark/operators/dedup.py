@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from bigdata_project_spark.caching import tracked_persist
 from bigdata_project_spark.registry import query
-from bigdata_project_spark.tables import load
+from bigdata_project_spark.tables import load, load_spread
 
 SHINGLE_N = 5
 
@@ -77,19 +77,10 @@ def shingle_df(spark: SparkSession, sf_dir: str, n: int = SHINGLE_N) -> DataFram
     inside whole-stage codegen; explode fans out to (doc, shingle)
     rows for the bucket/candidate joins.
     """
-    # the testbed table is a single parquet file -> one input split;
-    # shingling is CPU-bound, so spread it across the executor cores.
-    # CONDITIONAL: on a real multi-split lake the scan already yields
-    # >= cores splits and the repartition would be a gratuitous full
-    # (doc_id, text) shuffle — so it only fires when the scan has
-    # fewer files than target partitions. inputFiles() is a driver-side
-    # metadata call (no job); it undercounts splits for huge files
-    # (maxPartitionBytes splits those further), which only makes the
-    # gate more conservative in the direction of keeping parallelism.
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = load(spark, sf_dir, "documents")
-    if len(docs.inputFiles()) < n_part:
-        docs = docs.repartition(n_part, "doc_id")
+    # shingling is CPU-bound: spread the single-split testbed scan
+    # across cores via the shared conditional gate (tables.load_spread
+    # — fires only when the scan has fewer splits than partitions)
+    docs = load_spread(spark, sf_dir, "documents")
     words = words_col(F.col("text"))
     n_sh = F.size(words) - (n - 1)
     shingles = F.when(
@@ -397,10 +388,9 @@ def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-size per-doc state vs. MinHash's per-shingle rows.
     Deterministic md5 voting; 16 hex chars out, nibble-wise.
     """
-    docs = load(spark, sf_dir, "documents")
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = load_spread(spark, sf_dir, "documents")
     toks = (
-        docs.repartition(n_part, "doc_id")
+        docs
         .select("doc_id", F.explode(F.array_distinct(words_col(F.col("text")))).alias("token"))
     )
     nibbles = toks.select(

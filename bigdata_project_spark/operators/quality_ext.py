@@ -51,7 +51,7 @@ from bigdata_project_spark.operators.dedup import (
 )
 from bigdata_project_spark.caching import tracked_persist
 from bigdata_project_spark.registry import query
-from bigdata_project_spark.tables import load
+from bigdata_project_spark.tables import load, load_spread
 
 # DuckDB CTE: (doc_id, token) with multiplicity — every whitespace
 # token occurrence, lowercased (the unigram-LM event space).
@@ -62,18 +62,6 @@ _SQL_TOKS_MULTI = """
         FROM documents
     )
 """
-
-
-def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents, repartitioned only when the scan has fewer splits
-    than cores (same conditional gate as shingle_df — on a real lake
-    the scan already yields enough splits and the repartition would be
-    a gratuitous full-text shuffle)."""
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = load(spark, sf_dir, "documents")
-    if len(docs.inputFiles()) < n_part:
-        docs = docs.repartition(n_part, "doc_id")
-    return docs
 
 
 @query(
@@ -114,8 +102,12 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     assumption on the vocabulary, which at 100 TB does not fit an
     executor — and the per-doc rollup shuffles on doc_id. The 1-row
     corpus total rides a broadcast join (BNLJ whitelisted)."""
-    toks = _docs_spread(spark, sf_dir).select(
-        "doc_id", F.explode(words_col(F.col("text"))).alias("token")
+    # persisted: toks feeds BOTH the tf aggregate and the scoring join
+    # — without it the scan + tokenize + explode runs twice
+    toks = tracked_persist(
+        load_spread(spark, sf_dir, "documents").select(
+            "doc_id", F.explode(words_col(F.col("text"))).alias("token")
+        )
     )
     tf = toks.groupBy("token").agg(F.count("*").alias("n_occ"))
     tot = tf.agg(F.sum("n_occ").alias("n_total"))
@@ -189,13 +181,15 @@ def quality_duplicate_passage_share(spark: SparkSession, sf_dir: str) -> DataFra
     one on doc_id for the rollup. Chunking itself is map-side array
     algebra inside codegen; docs shorter than one chunk are excluded
     by construction (mirrored WHERE in both engines)."""
-    docs = _docs_spread(spark, sf_dir)
+    docs = load_spread(spark, sf_dir, "documents")
     words = words_col(F.col("text"))
     chunk_hashes = F.transform(
         F.sequence(F.lit(0), F.floor(F.size(words) / F.lit(_CHUNK_TOKENS)).cast("int") - 1),
         lambda i: F.md5(F.concat_ws(" ", F.slice(words, i * _CHUNK_TOKENS + 1, _CHUNK_TOKENS))),
     )
-    chunks = (
+    # persisted: chunks feeds BOTH the spread aggregate and the
+    # join-back probe — without it the scan + slice + md5 runs twice
+    chunks = tracked_persist(
         docs.filter(F.size(words) >= _CHUNK_TOKENS)
         .select("doc_id", F.explode(chunk_hashes).alias("chash"))
     )
@@ -437,12 +431,23 @@ def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     a gate input: keeper election is `corpus_clean_pipeline` /
     `corpus_keep_best_per_cluster`'s separate stage.
 
+    EVERY document gets exactly one row — a gate that silently drops
+    rows is not a gate. The members legitimately restrict their
+    domains (Gopher needs >= 1 word, repetition >= 1 bigram, passage
+    share >= 1 full chunk), so the gate LEFT-joins them onto the
+    documents base with explicit vacuous defaults: a doc too short to
+    have a bigram is not_repetitive (nothing to repeat), one too
+    short for a chunk has dup_ok (no passages to duplicate), and a
+    doc outside Gopher's domain (zero words) FAILS gopher_ok — the
+    structural rules reject empty docs by definition.
+
     Scale: every input is doc_id-keyed, so the 4-way join aligns on
     ONE doc_id exchange shape; the component scans are the members'
     own (all map-side or token/chash-keyed as documented on each).
     Composing by calling the member builders keeps the gate
     definitionally in sync with the ablation queries — a threshold
     change in a member IS a gate change, never a silent divergence."""
+    base = load(spark, sf_dir, "documents").select("doc_id")
     gopher = quality_gopher_rules(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("gopher_ok")
     )
@@ -455,9 +460,17 @@ def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     surp = text_unigram_surprisal(spark, sf_dir).select("doc_id", "bits_per_token")
     return (
-        gopher.join(rep, "doc_id")
-        .join(dup, "doc_id")
-        .join(surp, "doc_id")
+        base.join(gopher, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .join(surp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("gopher_ok", F.lit(0)).alias("gopher_ok"),
+            F.coalesce("not_repetitive", F.lit(1)).alias("not_repetitive"),
+            F.coalesce("dup_ok", F.lit(1)).alias("dup_ok"),
+            "bits_per_token",  # NULL for a zero-token doc — honest
+        )
         .select(
             "doc_id",
             "gopher_ok",
@@ -550,10 +563,17 @@ _REG_QX["corpus_quality_gate"].oracle = f"""
         FROM stoks JOIN stf USING (token) CROSS JOIN stot
         GROUP BY doc_id
     )
-    SELECT g.doc_id, g.gopher_ok, rep.not_repetitive, dup.dup_ok, surp.bits_per_token,
-           CAST(g.gopher_ok = 1 AND rep.not_repetitive = 1 AND dup.dup_ok = 1 AS INT) AS keep
-    FROM g
-    JOIN rep USING (doc_id)
-    JOIN dup USING (doc_id)
-    JOIN surp USING (doc_id)
+    SELECT d.doc_id,
+           COALESCE(g.gopher_ok, 0) AS gopher_ok,
+           COALESCE(rep.not_repetitive, 1) AS not_repetitive,
+           COALESCE(dup.dup_ok, 1) AS dup_ok,
+           surp.bits_per_token,
+           CAST(COALESCE(g.gopher_ok, 0) = 1
+                AND COALESCE(rep.not_repetitive, 1) = 1
+                AND COALESCE(dup.dup_ok, 1) = 1 AS INT) AS keep
+    FROM documents d
+    LEFT JOIN g USING (doc_id)
+    LEFT JOIN rep USING (doc_id)
+    LEFT JOIN dup USING (doc_id)
+    LEFT JOIN surp USING (doc_id)
 """

@@ -802,11 +802,16 @@ _SQL_SUBNORMS = ",\n".join(
     f"{_sql_sub_dot('embedding', 'embedding', i, i)} AS sn{i}" for i in range(_MS_SUB)
 )
 
+# a zero sub-vector (a padding token vector in real multi-vector
+# data) has no direction — its cosine against anything is defined as
+# 0.0 in BOTH engines, instead of Spark's NULL / DuckDB's inf on the
+# raw divide, which would silently drop or diverge the pair
 _SQL_MAXSIM = " + ".join(
     "GREATEST("
     + ", ".join(
-        f"({_sql_sub_dot('q.embedding', 'c.embedding', i, j)})"
-        f" / (SQRT(q.sn{i}) * SQRT(c.sn{j}))"
+        f"CASE WHEN q.sn{i} > 0 AND c.sn{j} > 0 THEN"
+        f" ({_sql_sub_dot('q.embedding', 'c.embedding', i, j)})"
+        f" / (SQRT(q.sn{i}) * SQRT(c.sn{j})) ELSE 0.0 END"
         for j in range(_MS_SUB)
     )
     + ")"
@@ -849,6 +854,10 @@ def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE correctly-rounded in both engines, GREATEST over identical
     doubles is order-free, and the 4-term MaxSim sum is a fixed
     left-associated chain — bit-exact vs the oracle, no tolerance.
+    A zero sub-vector (a padding token vector in real multi-vector
+    data) has no direction: its cosine is DEFINED as 0.0 in both
+    engines, guarding the divide that would otherwise yield Spark
+    NULL vs DuckDB inf and silently drop or diverge the pair.
 
     Scale: identical to the brute-force baseline — the fixed query
     set (with precomputed sub-norms) broadcasts against the fully
@@ -870,8 +879,11 @@ def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
     maxsim_terms = [
         F.greatest(
             *[
-                _sub_dot_col("q_embedding", "embedding", i, j)
-                / (F.sqrt(F.col(f"q_sn{i}")) * F.sqrt(F.col(f"sn{j}")))
+                F.when(
+                    (F.col(f"q_sn{i}") > 0) & (F.col(f"sn{j}") > 0),
+                    _sub_dot_col("q_embedding", "embedding", i, j)
+                    / (F.sqrt(F.col(f"q_sn{i}")) * F.sqrt(F.col(f"sn{j}"))),
+                ).otherwise(F.lit(0.0))
                 for j in range(_MS_SUB)
             ]
         )

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from bigdata_project_spark.registry import query
-from bigdata_project_spark.tables import load
+from bigdata_project_spark.tables import load, load_spread
 
 # language -> marker-token regex (word-bounded). The testbed corpus is
 # synthetic word salad, so predictions are exercised for determinism,
@@ -267,10 +267,9 @@ def text_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementations, the rounded value doesn't."""
     from pyspark.sql.window import Window as W
 
-    docs = load(spark, sf_dir, "documents")
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = load_spread(spark, sf_dir, "documents")
     toks = (
-        docs.repartition(n_part, "doc_id")
+        docs
         .select("doc_id", F.explode(F.array_remove(F.split(F.lower("text"), r"\s+"), "")).alias("token"))
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))

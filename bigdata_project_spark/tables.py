@@ -62,3 +62,22 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testbed table as a temp view for spark.sql queries."""
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def load_spread(spark: SparkSession, sf_dir: str, name: str, key: str = "doc_id") -> DataFrame:
+    """load() + a CONDITIONAL spread for CPU-bound consumers: when the
+    scan yields fewer input splits than shuffle partitions (the
+    testbed's single-row-group files), repartition on `key` so the
+    downstream per-row work (shingling, tokenizing, chunk hashing)
+    uses every core. On a real multi-split lake the gate does not
+    fire and no gratuitous full shuffle is added. inputFiles() is a
+    driver-side metadata call (no job); it undercounts splits for
+    huge files (maxPartitionBytes splits those further), which only
+    errs toward keeping parallelism. Single source of the heuristic —
+    shingle_df, the corpus tokenizers, and the quality operators all
+    route through here, so a future tuning change lands everywhere."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    df = load(spark, sf_dir, name)
+    if len(df.inputFiles()) < n_part:
+        df = df.repartition(n_part, key)
+    return df

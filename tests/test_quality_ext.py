@@ -119,3 +119,50 @@ def test_maxsim_topk_compiles_to_window_group_limit(spark, sf_dir):
     plan = buf.getvalue()
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_gate_emits_one_row_per_document_even_for_short_docs(spark, sf_dir, tmp_path):
+    """The gate's contract is total: EVERY document gets exactly one
+    row. The members restrict their domains (repetition needs a
+    bigram, passage share needs a 10-token chunk, Gopher needs >= 1
+    word), so a corpus with short docs exercises the left-join
+    defaults: too-short-for-a-bigram => not_repetitive, too-short-
+    for-a-chunk => dup_ok, zero words => gopher_ok = 0 and keep = 0."""
+    import pyspark.sql.types as T
+
+    rows = [
+        (0, "the of and is a value part with more than three words here", "en", "src0"),
+        (1, "tiny doc", "en", "src0"),          # no 10-token chunk, has a bigram
+        (2, "word", "en", "src0"),              # no bigram at all
+        (3, "  ", "en", "src0"),           # whitespace-only: zero words
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    docs = spark.createDataFrame(
+        [(i, t, lang, src) for i, t, lang, src in rows], schema
+    ).withColumn("n_chars", F.length("text"))
+    corpus_dir = str(tmp_path / "shortcorpus")
+    docs.coalesce(1).write.parquet(f"{corpus_dir}/documents.parquet")
+
+    out = {
+        r["doc_id"]: r
+        for r in all_queries()["corpus_quality_gate"](spark, corpus_dir).collect()
+    }
+    assert sorted(out) == [0, 1, 2, 3]  # total: one row per document
+    # short docs default to vacuous passes on the signals they LACK;
+    # doc 1 has exactly one bigram (100% of its bigrams), so the
+    # repetition member genuinely flags it — the gate must REFLECT
+    # the member, not soften it
+    assert out[1]["dup_ok"] == 1 and out[1]["not_repetitive"] == 0
+    assert out[2]["dup_ok"] == 1 and out[2]["not_repetitive"] == 1
+    # zero-word doc FAILS the structural rules and carries no surprisal
+    assert out[3]["gopher_ok"] == 0 and out[3]["keep"] == 0
+    assert out[3]["bits_per_token"] is None
+    # the 12-word stopword-heavy doc passes everything
+    assert out[0]["keep"] == 1

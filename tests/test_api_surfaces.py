@@ -157,3 +157,38 @@ def test_merge_into_requires_v2_catalog(spark, sf_dir):
             )
     finally:
         spark.sql("DROP TABLE IF EXISTS m_probe_target")
+
+
+def test_sql_pipe_syntax_matches_classic(spark, sf_dir):
+    """Spark 4 SQL pipe syntax (|>): the linear FROM -> WHERE ->
+    AGGREGATE -> ORDER BY form of the flagship pricing summary must
+    produce exactly the classic GROUP BY query's rows. Pipe syntax is
+    an API surface, not a different engine path — both compile to the
+    same logical plan family, so the comparison is row-exact."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("v_li_pipe")
+    piped = spark.sql(
+        """
+        FROM v_li_pipe
+        |> WHERE l_shipdate <= DATE'1998-09-02'
+        |> AGGREGATE COUNT(*) AS count_order,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
+    classic = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS count_order,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM v_li_pipe
+        WHERE l_shipdate <= DATE'1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+    # pipe AGGREGATE puts grouping cols first as well; align column order
+    assert sorted(piped.columns) == sorted(classic.columns)
+    p = [tuple(r[c] for c in sorted(piped.columns)) for r in piped.collect()]
+    c = [tuple(r[c] for c in sorted(classic.columns)) for r in classic.collect()]
+    assert p == c and len(p) > 0

@@ -515,3 +515,97 @@ def agg_hll_sketch_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.join(direct, ["event_type", "week"]).select(
         "event_type", "week", "est_merged", "est_direct", "exact_distinct"
     )
+
+
+@query(
+    "agg_winsorized_mean",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderstatus, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+        FROM orders
+    ),
+    bounds AS (
+        SELECT o_orderstatus,
+               MIN(CASE WHEN rn = (n * 5) // 100 + 1 THEN o_totalprice END) AS lo_cut,
+               MIN(CASE WHEN rn = n - (n * 5) // 100 THEN o_totalprice END) AS hi_cut
+        FROM ranked
+        WHERE rn = (n * 5) // 100 + 1 OR rn = n - (n * 5) // 100
+        GROUP BY o_orderstatus
+    )
+    SELECT r.o_orderstatus,
+           MIN(r.n) AS n_orders,
+           MIN(b.lo_cut) AS lo_cut,
+           MIN(b.hi_cut) AS hi_cut,
+           CAST(SUM(CAST(round(
+                 CASE WHEN r.rn <= (r.n * 5) // 100 THEN b.lo_cut
+                      WHEN r.rn >  r.n - (r.n * 5) // 100 THEN b.hi_cut
+                      ELSE r.o_totalprice END * 100, 0) AS BIGINT))
+                AS DOUBLE) / MIN(r.n) / 100.0e0 AS winsorized_mean
+    FROM ranked r JOIN bounds b USING (o_orderstatus)
+    GROUP BY r.o_orderstatus
+    """,
+    tags=("agg", "percentile", "robust"),
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% winsorized mean of order value per status — the robust
+    location estimate analysts use when a handful of whale orders
+    (or refunds) dominate the plain mean: the lowest and highest
+    floor(0.05 n) values are CLAMPED to the adjacent order
+    statistics, then averaged. Complements `agg_mad_outliers`
+    (detection) with estimation-under-outliers.
+
+    Determinism: rank-and-pick, never interpolation — the cut ranks
+    g = (n*5) div 100 are integers, the cut values are existing rows
+    selected by rank (same discipline as agg_median_exact), and the
+    mean is an exact integer-cents sum with ONE final double divide.
+
+    Scale: ranking, the bounds pick, the bounds join-back, and the
+    final aggregate all ride ONE o_orderstatus exchange (window key =
+    join key = group key); rows carry (status, price, two ints). The
+    window-over-status sort is the cost — at 100 TB a percentile
+    SKETCH (approx_percentile) replaces the exact ranks and drops
+    the sort; this is the exact-answer form, kept deliberately for
+    the same reason as agg_median_exact."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("o_orderstatus")).alias("n"),
+    )
+    g = F.expr("(n * 5) div 100")
+    bounds = (
+        ranked.filter((F.col("rn") == g + 1) | (F.col("rn") == F.col("n") - g))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.min(F.when(F.col("rn") == g + 1, F.col("o_totalprice"))).alias("lo_cut"),
+            F.min(F.when(F.col("rn") == F.col("n") - g, F.col("o_totalprice"))).alias("hi_cut"),
+        )
+    )
+    clamped = (
+        ranked.join(bounds, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            "n",
+            "lo_cut",
+            "hi_cut",
+            F.when(F.col("rn") <= g, F.col("lo_cut"))
+            .when(F.col("rn") > F.col("n") - g, F.col("hi_cut"))
+            .otherwise(F.col("o_totalprice"))
+            .alias("wv"),
+        )
+    )
+    return clamped.groupBy("o_orderstatus").agg(
+        F.min("n").alias("n_orders"),
+        F.min("lo_cut").alias("lo_cut"),
+        F.min("hi_cut").alias("hi_cut"),
+        (
+            F.sum(F.round(F.col("wv") * 100, 0).cast("long").cast("decimal(38,0)")).cast("double")
+            / F.min("n")
+            / F.lit(100.0)
+        ).alias("winsorized_mean"),
+    )

@@ -104,6 +104,7 @@ HEADLINE = [
     "dedup_minhash_estimate_error",
     "sim_maxsim_multivector",
     "corpus_quality_gate",
+    "sim_ann_lsh_multiprobe",
 ]
 
 

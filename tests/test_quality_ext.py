@@ -166,3 +166,15 @@ def test_gate_emits_one_row_per_document_even_for_short_docs(spark, sf_dir, tmp_
     assert out[3]["bits_per_token"] is None
     # the 12-word stopword-heavy doc passes everything
     assert out[0]["keep"] == 1
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """recall_multi >= recall_single per query, as a theorem: the
+    multiprobe candidate set is a superset of the banded one, and a
+    true global top-5 neighbor present in any candidate set can only
+    be outranked by other global top-5 neighbors — so adding
+    candidates never evicts a hit from the top-5."""
+    rows = all_queries()["sim_recall_multiprobe"](spark, sf_dir).collect()
+    assert rows, "recall eval returned no query rows"
+    for r in rows:
+        assert r["n_hits_multi"] >= r["n_hits_single"], r

@@ -178,3 +178,36 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     assert rows, "recall eval returned no query rows"
     for r in rows:
         assert r["n_hits_multi"] >= r["n_hits_single"], r
+
+
+def test_winsorized_mean_bounds_and_degenerate_identity(spark, sf_dir):
+    """Two invariants the oracle can't distinguish from luck:
+    (1) the winsorized mean lies within [lo_cut, hi_cut] — clamping
+        bounds the estimate by construction;
+    (2) for a group with n < 20 the trim count g = (n*5) div 100 is
+        0, so the winsorized mean equals the PLAIN integer-cents mean
+        (the estimator degrades gracefully, it doesn't distort small
+        groups)."""
+    from bigdata_project_spark.tables import load
+
+    out = {r["o_orderstatus"]: r for r in all_queries()["agg_winsorized_mean"](spark, sf_dir).collect()}
+    assert out
+    for st, r in out.items():
+        assert r["lo_cut"] <= r["winsorized_mean"] <= r["hi_cut"], r
+    small = [st for st, r in out.items() if r["n_orders"] < 20]
+    if small:
+        o = load(spark, sf_dir, "orders")
+        plain = {
+            r["o_orderstatus"]: r["m"]
+            for r in o.groupBy("o_orderstatus")
+            .agg(
+                (
+                    F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("decimal(38,0)")).cast("double")
+                    / F.count("*")
+                    / F.lit(100.0)
+                ).alias("m")
+            )
+            .collect()
+        }
+        for st in small:
+            assert out[st]["winsorized_mean"] == plain[st], st

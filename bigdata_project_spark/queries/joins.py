@@ -769,3 +769,87 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_event_id")
     )
+
+
+@query(
+    "join_copurchase_lift",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    item AS (SELECT l_partkey, COUNT(*) AS n_orders FROM op GROUP BY l_partkey),
+    tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_total FROM op),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS n_together
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING COUNT(*) >= 2
+    )
+    SELECT p.part_a, p.part_b, p.n_together,
+           ia.n_orders AS n_orders_a, ib.n_orders AS n_orders_b,
+           t.n_total * p.n_together * 1000000 // (ia.n_orders * ib.n_orders)
+             AS lift_micros,
+           CAST(t.n_total * p.n_together AS DOUBLE) / (ia.n_orders * ib.n_orders)
+             AS lift,
+           CAST(t.n_total * p.n_together > ia.n_orders * ib.n_orders AS INT)
+             AS positive_assoc
+    FROM pairs p
+    JOIN item ia ON ia.l_partkey = p.part_a
+    JOIN item ib ON ib.l_partkey = p.part_b
+    CROSS JOIN tot t
+    """,
+    tags=("join", "affinity", "association", "pmi"),
+)
+def join_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase ASSOCIATION, not just co-occurrence: for every part
+    pair bought together in >= 2 orders (the Apriori support prune
+    that bounds the output), the exact lift
+    N * c(a,b) / (c(a) * c(b)) — the ratio of observed to
+    independence-expected co-occurrence, whose log is PMI.
+    `join_market_basket_pairs` ranks raw counts, which popular items
+    dominate; lift > 1 (positive_assoc, an INTEGER cross-multiplication
+    test — no float boundary) finds pairs bought together MORE than
+    their popularities predict, the signal recommenders and
+    substitutes/complements analyses actually use.
+
+    Determinism: lift_micros is integer fixed-point (numerator and
+    denominator are exact int64 counts; one integer division);
+    `lift` is a single IEEE division of two exact integers —
+    bit-identical across engines; positive_assoc never touches
+    floats at all.
+
+    Scale: the distinct (order, part) shrink happens FIRST (one
+    shuffle, map-side combine); the pair fan-out is bounded per order
+    by basket size; support >= 2 prunes the pair aggregate before the
+    two part-keyed count joins; the 1-row order total broadcasts
+    (whitelisted BNLJ). Same candidate shape as the basket query plus
+    two bounded equi-joins."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    item = li.groupBy("l_partkey").agg(F.count("*").alias("n_orders"))
+    tot = li.agg(F.count_distinct("l_orderkey").cast("long").alias("n_total"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))
+        .agg(F.count("*").cast("long").alias("n_together"))
+        .filter(F.col("n_together") >= 2)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_orders").alias("n_orders_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_orders").alias("n_orders_b"))
+    out = pairs.join(ia, "part_a").join(ib, "part_b").join(F.broadcast(tot))
+    num = F.col("n_total") * F.col("n_together")
+    den = F.col("n_orders_a") * F.col("n_orders_b")
+    return out.select(
+        "part_a",
+        "part_b",
+        "n_together",
+        "n_orders_a",
+        "n_orders_b",
+        F.expr("n_total * n_together * 1000000 div (n_orders_a * n_orders_b)").alias("lift_micros"),
+        (num.cast("double") / den).alias("lift"),
+        (num > den).cast("int").alias("positive_assoc"),
+    )

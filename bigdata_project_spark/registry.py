@@ -136,8 +136,9 @@ _LOADED = False
 # share, MinHash estimator error, keep-best canonicalization,
 # MaxSim late interaction, streaming top-k serving, the composite
 # corpus_quality_gate, the winsorized mean, multi-probe LSH + its
-# recall eval), plus the four round-5 deferrals above — ~69 queries,
-# i.e. round 6's full window and most of round 7's.
+# recall eval, the co-purchase lift), plus the four round-5
+# deferrals above — ~70 queries, i.e. round 6's full window and most
+# of round 7's.
 _DRIVER_FIRST: tuple[str, ...] = (
     # TPC-H sweep (§2.3) — never driver-checked
     "tpch_q2_min_cost_supplier",

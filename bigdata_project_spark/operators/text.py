@@ -505,7 +505,7 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT sh.doc_id,
            COUNT(*) AS n_shingles,
-           SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
            CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*) AS novelty_share
     FROM sh JOIN firsts f ON sh.s = f.s

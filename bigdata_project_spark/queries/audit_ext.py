@@ -198,8 +198,8 @@ def scalar_string_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     numbered AS (
         SELECT user_id, ts,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_no
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
         FROM flagged
     )
     SELECT user_id, session_no,
@@ -453,8 +453,8 @@ def qa_benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ), c AS (
         SELECT event_type,
-               SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_first,
-               SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_second
+               CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+               CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_second
         FROM b GROUP BY event_type
     )
     SELECT event_type, n_first, n_second,
@@ -504,7 +504,7 @@ def qa_drift_split_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 'documents.n_chars = length(text)' AS contract,
            COUNT(*) AS n_rows,
-           SUM(CASE WHEN n_chars <> LENGTH(text) THEN 1 ELSE 0 END) AS n_violations,
+           CAST(SUM(CASE WHEN n_chars <> LENGTH(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
            MIN(CASE WHEN n_chars <> LENGTH(text) THEN doc_id END) AS first_bad_id
     FROM documents
     """,
@@ -538,7 +538,7 @@ def qa_derived_column_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) * COUNT(*) AS pairs
         FROM events GROUP BY user_id
     ),
-    tot AS (SELECT SUM(pairs) AS total_pairs, COUNT(*) AS n_keys FROM c),
+    tot AS (SELECT CAST(SUM(pairs) AS BIGINT) AS total_pairs, COUNT(*) AS n_keys FROM c),
     top AS (
         SELECT user_id, n_rows, pairs,
                ROW_NUMBER() OVER (ORDER BY pairs DESC, user_id) AS rank

@@ -371,7 +371,7 @@ _KFOLDS = 5
     )
     SELECT fold, COUNT(*) AS n_docs,
            COUNT(DISTINCT lang) AS n_langs,
-           SUM(n_chars) AS sum_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
            MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
     FROM assigned GROUP BY fold
     """,
@@ -442,7 +442,7 @@ def split_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT day,
            COUNT(*) AS n_sessions,
-           SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
            ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
                  / COUNT(*), 6) AS bounce_rate
     FROM per_session GROUP BY day
@@ -513,7 +513,7 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.event_type,
            d.median_cents,
            m.mad_cents,
-           SUM(CASE WHEN d.adev > 3 * m.mad_cents THEN 1 ELSE 0 END) AS n_outliers,
+           CAST(SUM(CASE WHEN d.adev > 3 * m.mad_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
            COUNT(*) AS n
     FROM dev d JOIN mad m ON d.event_type = m.event_type
     GROUP BY d.event_type, d.median_cents, m.mad_cents
@@ -574,7 +574,7 @@ _DECILE_QS = [i / 10.0 for i in range(1, 10)]
     )
     SELECT len(list_filter(b.bs, x -> x < s.spend_cents)) AS decile,
            COUNT(*) AS n_customers,
-           SUM(s.spend_cents) AS sum_spend_cents,
+           CAST(SUM(s.spend_cents) AS BIGINT) AS sum_spend_cents,
            MIN(s.spend_cents) AS min_spend_cents,
            MAX(s.spend_cents) AS max_spend_cents
     FROM spend s CROSS JOIN bounds b
@@ -631,7 +631,7 @@ _WEEK_DAYS = 7
     WITH weekly AS (
         SELECT event_type,
                (epoch_us(ts) // {_DAY_US}) // {_WEEK_DAYS} AS week,
-               SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS rev_cents
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
         FROM events GROUP BY 1, 2
     )
     SELECT event_type, week, rev_cents,
@@ -697,7 +697,7 @@ def events_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY f.user_id, f.first_view_us
     )
     SELECT COUNT(*) AS n_viewers,
-           SUM(CASE WHEN first_purchase_us IS NOT NULL THEN 1 ELSE 0 END) AS n_converted,
+           CAST(SUM(CASE WHEN first_purchase_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
            median(first_purchase_us - first_view_us) AS median_latency_us,
            quantile_cont(first_purchase_us - first_view_us, 0.9) AS p90_latency_us
     FROM conv
@@ -761,15 +761,15 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT f.cohort_week,
                ((epoch_us(p.ts) // {_DAY_US}) // {_WEEK_DAYS}) - f.cohort_week
                    AS weeks_since,
-               SUM(CAST(ROUND(p.value * 100, 0) AS BIGINT)) AS rev_cents
+               CAST(SUM(CAST(ROUND(p.value * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
         FROM events p JOIN first_seen f ON p.user_id = f.user_id
         WHERE p.event_type = 'purchase'
         GROUP BY 1, 2
     )
     SELECT cohort_week, weeks_since, rev_cents,
-           SUM(rev_cents) OVER (PARTITION BY cohort_week ORDER BY weeks_since
+           CAST(SUM(rev_cents) OVER (PARTITION BY cohort_week ORDER BY weeks_since
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS cum_ltv_cents
+               AS BIGINT) AS cum_ltv_cents
     FROM rev
     """,
     tags=("events", "cohort", "ltv", "window"),
@@ -893,7 +893,7 @@ _WEEK_US = 7 * 86_400_000_000
                1000000 // COUNT(*) OVER (PARTITION BY pid) AS ppm
         FROM pairs
     )
-    SELECT user_id, SUM(ppm) AS total_ppm, COUNT(*) AS n_credited
+    SELECT user_id, CAST(SUM(ppm) AS BIGINT) AS total_ppm, COUNT(*) AS n_credited
     FROM credits GROUP BY user_id
     """,
     tags=("events", "attribution", "multi-touch"),

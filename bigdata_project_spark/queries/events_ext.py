@@ -156,9 +156,9 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            COUNT(*) AS n_days,
-           SUM(CASE WHEN n >= 3
+           CAST(SUM(CASE WHEN n >= 3
                     AND (n * x - s) * (n * x - s) * (n - 1) > 4 * n * (n * q - s * s)
-                    THEN 1 ELSE 0 END) AS n_anomalous
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous
     FROM trail
     GROUP BY user_id
     """,
@@ -217,8 +217,8 @@ def events_anomaly_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(day AS VARCHAR) AS day,
            new_users,
-           SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
-             AS cum_users
+           CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) AS cum_users
     FROM per_day
     """,
     tags=("events", "window", "growth"),
@@ -518,7 +518,7 @@ def events_user_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) AS concurrency
         FROM deltas
     ), peak AS (
-        SELECT event_type, MAX(concurrency) AS peak_concurrency
+        SELECT event_type, CAST(MAX(concurrency) AS BIGINT) AS peak_concurrency
         FROM run GROUP BY event_type
     )
     SELECT r.event_type,
@@ -926,8 +926,8 @@ def events_session_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFram
         FROM ud
     )
     SELECT day_us,
-           SUM(CASE WHEN day_us = first_day THEN 1 ELSE 0 END) AS n_new,
-           SUM(CASE WHEN day_us > first_day THEN 1 ELSE 0 END) AS n_returning,
+           CAST(SUM(CASE WHEN day_us = first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN day_us > first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
            CAST(SUM(CASE WHEN day_us = first_day THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*) AS new_share
     FROM tagged GROUP BY day_us
@@ -1024,7 +1024,7 @@ def events_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM d GROUP BY 1, 2, 3
     ), base AS (
         SELECT event_type, dow,
-               SUM(n) AS dow_total, COUNT(*) AS dow_days
+               CAST(SUM(n) AS BIGINT) AS dow_total, COUNT(*) AS dow_days
         FROM daily GROUP BY 1, 2
     )
     SELECT d.event_type, d.day_us, d.n,

@@ -47,8 +47,8 @@ from bigdata_project_spark.tables import load
     SELECT event_type,
            strftime(day, '%Y-%m-%d') AS cp_day,
            n_days,
-           total AS total_events,
-           abs_cusum_scaled,
+           CAST(total AS BIGINT) AS total_events,
+           CAST(abs_cusum_scaled AS BIGINT) AS abs_cusum_scaled,
            CAST(abs_cusum_scaled AS DOUBLE) / n_days AS cusum_peak
     FROM scored WHERE rn = 1
     """,
@@ -343,16 +343,13 @@ def events_bot_flag_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
         FROM events GROUP BY user_id
     ),
-    v AS (
-        SELECT variant, COUNT(*) AS n_users, SUM(converted) AS n_converted
-        FROM assign GROUP BY variant
-    ),
     w AS (
         SELECT
-          (SELECT n_users FROM v WHERE variant = 0) AS n0,
-          (SELECT n_converted FROM v WHERE variant = 0) AS c0,
-          (SELECT n_users FROM v WHERE variant = 1) AS n1,
-          (SELECT n_converted FROM v WHERE variant = 1) AS c1
+          CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+          CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS c0,
+          CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS c1
+        FROM assign
     )
     SELECT n0 AS n_users_a, c0 AS n_conv_a,
            CAST(c0 AS DOUBLE) / n0 AS cvr_a,
@@ -389,23 +386,26 @@ def events_ab_test_zflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     same values in HUGEINT).
 
     Scale: one map-side combined per-user aggregate (the max() makes
-    conversion idempotent per user), then a 2-row variant rollup —
-    experiment readouts at 100 TB are exactly this shape, the raw
-    events never shuffle twice."""
+    conversion idempotent per user), then ONE conditional global
+    aggregate (four sums in a single reduce — exactly one output row
+    even when a variant is empty) — experiment readouts at 100 TB are
+    exactly this shape, the raw events never shuffle twice."""
     ev = load(spark, sf_dir, "events")
     assign = ev.groupBy("user_id").agg(
         F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
     )
-    v = assign.groupBy((F.col("user_id") % 2).alias("variant")).agg(
-        F.count("*").alias("n_users"), F.sum("converted").alias("n_converted")
+    # one conditional aggregation over the per-user table (NOT two
+    # filtered 1-row frames cross-joined): if a variant has zero
+    # users, the cross-join form would emit 0 rows while the oracle
+    # emits one — the conditional-sum form emits exactly one row in
+    # both engines on every input, degenerate or not
+    variant = F.col("user_id") % 2
+    w = assign.agg(
+        F.sum(F.when(variant == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(variant == 0, F.col("converted")).otherwise(0)).alias("c0"),
+        F.sum(F.when(variant == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(variant == 1, F.col("converted")).otherwise(0)).alias("c1"),
     )
-    a = v.filter(F.col("variant") == 0).select(
-        F.col("n_users").alias("n0"), F.col("n_converted").alias("c0")
-    )
-    b = v.filter(F.col("variant") == 1).select(
-        F.col("n_users").alias("n1"), F.col("n_converted").alias("c1")
-    )
-    w = a.join(F.broadcast(b))
     dec = "decimal(38,0)"
     n0, c0, n1, c1 = (F.col(x) for x in ("n0", "c0", "n1", "c1"))
     diff = c1.cast(dec) * n0 - c0.cast(dec) * n1

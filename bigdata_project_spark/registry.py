@@ -95,109 +95,97 @@ def all_oracles() -> dict[str, str]:
 _LOADED = False
 
 # Externally-verified-first ordering. The driver's correctness harness
-# checks the first 50 registered queries each round. Rounds 1-4
-# hash-verified 142 distinct queries (CORRECTNESS_r01-r04.json, r4 =
-# 50/50 green). Round 5 front-loads 50 of the 54 oracled queries that
-# have never had a driver row: the full TPC-H sweep (tpch_more.py +
-# tpch_full.py — round 4's flagship addition, zero driver rows), the
-# round-4 events/analytics family (including `events_peak_concurrency`,
-# whose plan is now the two-stage sliced sweep), the QA/audit layer,
-# the ANN/LSH recall evaluations, the corpus-ext operators, the
-# multimodal plan queries, and the session-window / SCD2-diff /
-# incremental-rollup stragglers. Deliberately deferred to the round-6
-# top-up (the window holds exactly 50): `scalar_string_format`,
-# `window_forward_fill_ignore_nulls`, `agg_histogram_fixed`,
-# `agg_mode_exact` — all four come from families with the deepest
-# existing driver coverage (16 scalar families, the window family, and
-# the aggregate family are all green in r3/r4) and are the lowest-risk
-# residue. No-oracle queries are excluded — a rows-only row wastes a
-# window slot. Queries not named here keep registration order after.
+# checks the first 50 registered queries each round. Rounds 1-5
+# hash-verified 193 distinct queries (CORRECTNESS_r01-r05.json); 184
+# came back green and the 7 genuine round-5 reds were all the same
+# defect class — DuckDB HUGEINT (integer-SUM) or array-typed output
+# columns that the driver's pandas canonicalizer cannot hash, not
+# wrong values (the judge replayed every one green). Round 6 fixed
+# the full defect class fleet-wide (every integer SUM an oracle emits
+# is now CAST AS BIGINT; both array outputs are stringified on both
+# sides; tests/test_registry_hygiene.py now gates oracle OUTPUT types
+# so the class cannot reappear).
 #
-# Round-6 rotation queue (added in round 5 AFTER this window was
-# pinned, all judge-green at sf0.001/0.01/0.1 but no driver row yet):
-# the enrichment family (point-in-time join, attribution last-touch +
-# linear-ppm, sliding distinct, edit-distance, TWAP, k-fold, bounce,
-# MAD, deciles, WoW, time-to-convert, cohort LTV, DAU/WAU,
-# key-uniqueness), the scale-pattern family (heavy hitters, Pareto,
-# geo grid, interval overlap, quantized kNN, IVM delta), simhash
-# hamming pairs, token-budget fill, skew/Benford/drift audits, Markov
-# transitions, collation grouping, exactly-once stream dedup, the
-# as-of tolerance/forward variants, keyset pagination, weighted
-# median, novelty share, audience overlap, the concentration family
-# (Gini, HHI, p80), longest streak, DOW seasonality, session-depth
-# histogram, the late-round-5 dedup/timeseries/audit batch
-# (prefix-filter similarity join, containment pairs, CUSUM
-# changepoint, lag-7 autocorrelation, freshness lag, correlation
-# matrix, join-skew forecast, audio chunk plan, nearest as-of join,
-# skipping-effectiveness audit, truncated-dim recall, normalized
-# dedup, bot rules, left-outer stream join; the HLL sketch-merge
-# rollup is rows-only by design and stays out of the window), the
-# corpus-quality batch (unigram LM surprisal, duplicate passage
-# share, MinHash estimator error, keep-best canonicalization,
-# MaxSim late interaction, streaming top-k serving, the composite
-# corpus_quality_gate, the winsorized mean, multi-probe LSH + its
-# recall eval, the co-purchase lift), plus the four round-5
-# deferrals above — ~70 queries, i.e. round 6's full window and most
-# of round 7's.
+# The round-6 window (exactly 50): first the 7 repaired round-5 reds
+# — they must come back hash_match=true to close the regression —
+# then the 20 queued queries that carried the same HUGEINT defect
+# (now fixed, so the window is not burned on known reds), then 23
+# from the never-driver-checked backlog, enrichment + scale-pattern
+# families first (largest never-checked mass, per the round-5 plan).
+#
+# Round-7 rotation queue (~36 oracled queries, all judge-green at
+# sf0.01 in round 5, no driver row yet): the dedup/similarity batch
+# (prefix-filter Jaccard, containment pairs, normalized exact,
+# MinHash estimator error, edit distance is in this window but its
+# family peers are not, truncated-dim recall, MaxSim, multi-probe
+# LSH + its recall eval), the corpus-quality batch (unigram
+# surprisal, duplicate passage share, keep-best, composite gate),
+# the timeseries residue (lag-7 autocorrelation, freshness lag, bot
+# rules, Markov transitions, audience overlap, longest streak, DOW
+# seasonality, session depth, hour profile), audits (skew histogram,
+# Benford), aggregates (histogram, mode, winsorized mean,
+# correlation matrix), scalar_string_format, forward-fill,
+# range-binned join, co-purchase lift, audio chunk plan, and the
+# four streaming twins (daily distinct, exactly-once dedup,
+# left-outer join, top-k serving). No-oracle queries are excluded —
+# a rows-only row wastes a window slot. Queries not named here keep
+# registration order after.
 _DRIVER_FIRST: tuple[str, ...] = (
-    # TPC-H sweep (§2.3) — never driver-checked
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_type_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
+    # --- the 7 round-5 reds, repaired (oracle-canonicalization) ---
     "tpch_q12_late_priority",
-    "tpch_q13_order_count_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_bracket_revenue",
-    "tpch_q20_excess_shippers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_windfall_customers",
-    # round-4 events / analytics family (§2.4, §2.5) — never driver-checked
-    "events_rollup_cascade",
-    "events_top_paths",
     "events_anomaly_daily_zscore",
     "events_cumulative_users",
-    "events_rfm_segments",
-    "events_interarrival_stats",
-    "events_burst_detection",
-    "events_user_trend_slope",
     "events_peak_concurrency",
-    "agg_share_of_total",
-    "join_market_basket_pairs",
-    # QA / audit layer (§2.10) — never driver-checked
-    "qa_referential_integrity",
-    "qa_column_profile",
-    # ANN / LSH recall evaluations (§2.10) — never driver-checked
-    "dedup_lsh_pair_recall",
-    "sim_recall_at_k",
-    "sim_ann_ivf_nprobe2",
-    "sim_recall_ivf2_at_k",
-    # graph (§2.10) — never driver-checked
-    "graph_triangle_stats",
-    # corpus-ext operators (§2.10) — never driver-checked
-    "chunk_documents_overlap",
-    "vocab_top_terms",
-    "sample_quality_weighted",
-    "mixture_source_weights",
-    "quality_gopher_rules",
-    "index_inverted_postings",
-    "lake_zorder_key",
-    # text / multimodal (§2.10) — never driver-checked
-    "text_langid_confusion",
-    "multimodal_frame_sample_plan",
-    "multimodal_resize_plan",
-    # window / lakehouse / streaming stragglers — never driver-checked
     "window_session_numbering",
-    "scd2_snapshot_diff",
-    "stream_incremental_rollup",
+    "index_inverted_postings",
+    "multimodal_frame_sample_plan",
+    # --- the 20 queued queries that shared the HUGEINT defect, fixed ---
+    "dedup_simhash_hamming_pairs",
+    "corpus_token_budget_fill",
+    "lake_skipping_effectiveness",
+    "dedup_lsh_band_tuning",
+    "text_novelty_share",
+    "qa_drift_split_halves",
+    "qa_derived_column_contract",
+    "qa_join_skew_forecast",
+    "split_kfold_assignment",
+    "events_bounce_rate",
+    "agg_mad_outliers",
+    "agg_spend_decile_buckets",
+    "events_wow_growth",
+    "events_time_to_convert",
+    "events_cohort_ltv",
+    "events_attribution_linear_ppm",
+    "events_new_vs_returning",
+    "events_volume_anomaly_dow_adjusted",
+    "events_changepoint_cusum",
+    "events_ab_test_zflag",
+    # --- enrichment family — never driver-checked ---
+    "join_pointintime_enrich",
+    "events_attribution_last_touch",
+    "events_sliding_distinct_users",
+    "dedup_editdistance_blocked",
+    "events_twap",
+    "events_dau_wau_stickiness",
+    "qa_key_uniqueness",
+    # --- scale-pattern family — never driver-checked ---
+    "agg_heavy_hitters_exact",
+    "sort_pareto_frontier",
+    "join_geo_grid_radius",
+    "join_interval_overlap_binned",
+    "sim_knn_quantized_int8",
+    "ivm_join_view_delta",
+    "agg_weighted_median_exact",
+    "agg_gini_spend_concentration",
+    "agg_hhi_market_concentration",
+    "events_users_for_p80",
+    # --- joins / sorts / subquery residue — never driver-checked ---
+    "join_asof_tolerance_1h",
+    "join_asof_forward",
+    "join_asof_nearest",
+    "sort_keyset_pagination",
+    "sub_not_in_null_aware",
+    "scalar_collation_ci_grouping",
 )
 
 

@@ -46,6 +46,48 @@ def test_oracle_coverage_ratio():
     assert len(no_oracle) <= 5, f"too many rows-only queries: {no_oracle}"
 
 
+def test_every_oracle_output_is_driver_canonicalizable():
+    """The external harness canonicalizes result cells with pandas
+    (sort_values + value hash). Two DuckDB output types break that
+    pipeline even when the VALUES are correct:
+
+    - HUGEINT (what DuckDB returns for SUM over integers): pandas
+      round-trips it as float64 while Spark emits int64, so the hash
+      compares 1.0 vs 1 and mismatches on identical numbers. Every
+      integer SUM an oracle emits must be CAST(... AS BIGINT).
+    - nested types (LIST/STRUCT/MAP): list cells are unhashable in
+      the canonicalizer (`TypeError: unhashable type`). Arrays must
+      be array_to_string'd on both sides.
+
+    This ran as a fleet-wide driver regression in round 5 (25 HUGEINT
+    oracles + 2 array outputs, all value-correct); this gate turns a
+    regression into a local red by binding every oracle's OUTPUT
+    schema, not just its values."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.001/{t}.parquet'"
+        )
+    bad: list[str] = []
+    for n, s in REGISTRY.items():
+        if s.oracle is None:
+            continue
+        rel = con.sql(s.oracle)
+        for col, typ in zip(rel.columns, (str(t).upper() for t in rel.types)):
+            if (
+                "HUGEINT" in typ
+                or typ.endswith("[]")
+                or "STRUCT" in typ
+                or "MAP(" in typ
+                or "LIST" in typ
+            ):
+                bad.append(f"{n}.{col}: {typ}")
+    con.close()
+    assert not bad, f"driver-uncanonicalizable oracle output columns: {bad}"
+
+
 def test_scale_docstrings_on_scale_tagged_queries():
     """Queries tagged as two-stage/sweep scale patterns must explain
     the decomposition in their docstring — the judge grades the

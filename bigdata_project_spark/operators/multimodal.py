@@ -417,11 +417,13 @@ def multimodal_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio framing plan for PCM payloads: the 25 ms / 10 ms
     frame-hop grid every speech feature extractor (MFCC, fbank,
     wav2vec-style encoders) consumes, planned from container metadata
-    alone. The payload byte length stands in for the PCM body (16-bit
-    mono at 16 kHz: n_samples = n_bytes div 2; a real pipeline reads
-    the sample count from the WAV/FLAC header without decoding).
-    Per asset: total samples, duration, the number of 400-sample
-    frames at 160-sample hop, the last frame's start offset, and the
+    alone. The payload byte length stands in for the PCM body (8-bit
+    mono at 8 kHz: n_samples = n_bytes, so 25 ms = 200 samples and
+    10 ms = 80 samples; a real pipeline reads sample count and rate
+    from the WAV/FLAC header without decoding — at 16-bit/16 kHz the
+    same plan runs with n_bytes div 2 and a 400/160 grid).
+    Per asset: total samples, duration, the number of 200-sample
+    frames at 80-sample hop, the last frame's start offset, and the
     uncovered tail — so a batch featurizer can pre-allocate exact
     frame tensors and range-read each frame's byte span for 100 TB
     of audio without a single full-file decode. Completes the

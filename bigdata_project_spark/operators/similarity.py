@@ -701,8 +701,10 @@ def _sql_dot_prefix(a: str, b: str, d: int) -> str:
         ),
         ppairs AS (
             SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-                   ({_sql_dot_prefix('q.embedding', 'c.embedding', _TRUNC_DIM)})
-                     / (SQRT(q.p_norm_sq) * SQRT(c.p_norm_sq)) AS cosine
+                   CASE WHEN q.p_norm_sq > 0 AND c.p_norm_sq > 0 THEN
+                        ({_sql_dot_prefix('q.embedding', 'c.embedding', _TRUNC_DIM)})
+                          / (SQRT(q.p_norm_sq) * SQRT(c.p_norm_sq))
+                        ELSE 0.0 END AS cosine
             FROM pnormed q JOIN pnormed c ON c.vec_id <> q.vec_id
             WHERE q.vec_id IN {_QUERY_IDS}
         )
@@ -718,17 +720,18 @@ def _sql_dot_prefix(a: str, b: str, d: int) -> str:
 )
 def sim_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimension-truncation retrieval eval (the Matryoshka-embedding
-    question): how much of the exact full-{DIM}-dim top-k does cosine
-    search over only the FIRST {_TRUNC_DIM} dimensions recover?
+    question): how much of the exact full-64-dim top-k does cosine
+    search over only the FIRST 16 dimensions recover?
     Truncated-prefix retrieval is the standard cheap first stage —
-    a {_TRUNC_DIM}-dim scan moves 1/4 of the bytes and flops of the
+    a 16-dim scan moves 1/4 of the bytes and flops of the
     full vectors at 100 TB — and this query measures exactly what
     that truncation costs in recall@k, per query point, entirely
     in-engine. (On generic embeddings the prefix is NOT
     information-dense, so recall is expected to be mediocre — that
     measurement, not a flattering number, is the operator's output;
     with MRL-trained vectors the same query becomes the shipping
-    gate.)
+    gate.) A zero-norm prefix scores cosine 0.0 in both engines —
+    the same guarded definition sim_maxsim_multivector uses.
 
     Exactness: both sides are exact brute-force scans (the truncated
     one over a sliced prefix), with the same left-associated
@@ -746,7 +749,14 @@ def sim_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_norm_sq").alias("q_p_norm_sq"),
     )
     pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-    cosine = _dot_col("q_p_emb", "p_emb") / (F.sqrt("q_p_norm_sq") * F.sqrt("p_norm_sq"))
+    # zero-norm guard (cosine defined as 0.0): an all-zero 16-dim
+    # prefix is far more likely than an all-zero full vector, and an
+    # unguarded /0 diverges cross-engine (Spark NULL vs DuckDB inf) —
+    # same CASE form as the MaxSim sub-vector guard below
+    cosine = F.when(
+        (F.col("q_p_norm_sq") > 0) & (F.col("p_norm_sq") > 0),
+        _dot_col("q_p_emb", "p_emb") / (F.sqrt("q_p_norm_sq") * F.sqrt("p_norm_sq")),
+    ).otherwise(F.lit(0.0))
     scored = pairs.select("query_id", "vec_id", cosine.alias("cosine"))
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
     trunc_topk = (

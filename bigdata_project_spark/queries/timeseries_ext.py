@@ -352,10 +352,12 @@ def events_bot_flag_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM assign
     )
     SELECT n0 AS n_users_a, c0 AS n_conv_a,
-           CAST(c0 AS DOUBLE) / n0 AS cvr_a,
+           CASE WHEN n0 > 0 THEN CAST(c0 AS DOUBLE) / n0 END AS cvr_a,
            n1 AS n_users_b, c1 AS n_conv_b,
-           CAST(c1 AS DOUBLE) / n1 AS cvr_b,
-           CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0 AS lift_abs,
+           CASE WHEN n1 > 0 THEN CAST(c1 AS DOUBLE) / n1 END AS cvr_b,
+           CASE WHEN n0 > 0 AND n1 > 0
+                THEN CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0
+           END AS lift_abs,
            CAST(2401 * CAST((c0 + c1) AS DECIMAL(38,0))
                         * ((n0 + n1) - (c0 + c1)) * n0 * n1 > 0
                 AND 625 * (CAST(c1 AS DECIMAL(38,0)) * n0 - CAST(c0 AS DECIMAL(38,0)) * n1)
@@ -413,13 +415,17 @@ def events_ab_test_zflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     lhs = F.lit(625).cast(dec) * diff * diff * (n0 + n1)
     rhs = F.lit(2401).cast(dec) * pooled_c * ((n0 + n1) - (c0 + c1)) * n0 * n1
     significant = (rhs > 0) & (lhs >= rhs)
+    # empty-variant guard: ANSI mode makes x/0 an error, and the rate
+    # of an empty variant is undefined anyway — NULL in both engines
+    cvr_a = F.when(n0 > 0, c0.cast("double") / n0)
+    cvr_b = F.when(n1 > 0, c1.cast("double") / n1)
     return w.select(
         n0.alias("n_users_a"),
         c0.alias("n_conv_a"),
-        (c0.cast("double") / n0).alias("cvr_a"),
+        cvr_a.alias("cvr_a"),
         n1.alias("n_users_b"),
         c1.alias("n_conv_b"),
-        (c1.cast("double") / n1).alias("cvr_b"),
-        (c1.cast("double") / n1 - c0.cast("double") / n0).alias("lift_abs"),
+        cvr_b.alias("cvr_b"),
+        F.when((n0 > 0) & (n1 > 0), cvr_b - cvr_a).alias("lift_abs"),
         significant.cast("int").alias("significant_95"),
     )

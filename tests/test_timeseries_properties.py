@@ -81,3 +81,47 @@ def test_cusum_matches_python_bruteforce(spark, tmp_path_factory, tables):
                 best = (day, s)
         want[etype] = (best[0].isoformat(), D, T, best[1])
     assert got == want
+
+
+def test_ab_test_zflag_single_variant_still_one_row(spark, tmp_path_factory):
+    """Degenerate experiment input: every user hashes to variant B
+    (all user_ids odd), so variant A is EMPTY. The readout must still
+    emit exactly one row — and the same row the DuckDB oracle emits.
+    The earlier two-filtered-frames + cross-join formulation returned
+    0 rows here while the oracle returned one row of NULL-rate stats;
+    the conditional-aggregation form keeps both engines at one row on
+    every input."""
+    import duckdb
+
+    from bigdata_project_spark.registry import REGISTRY, _ensure_loaded
+    from tests.oracle import compare
+
+    _ensure_loaded()
+    d = str(tmp_path_factory.mktemp("abtest"))
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (i, base + datetime.timedelta(minutes=i), 2 * i + 1,
+         "purchase" if i % 3 == 0 else "view", 1.0, "{}")
+        for i in range(12)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    spec = REGISTRY["events_ab_test_zflag"]
+    df = spec.fn(spark, d)
+    got = df.collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["n_users_a"], r["n_conv_a"]) == (0, 0)
+    assert r["n_users_b"] == 12
+    # pooled variance includes an empty variant -> z undefined -> NOT significant
+    assert r["significant_95"] == 0
+
+    con = duckdb.connect()
+    # Spark writes a directory of part files; glob them for DuckDB
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'")
+    res = compare("events_ab_test_zflag_degenerate", df, con, spec.oracle)
+    con.close()
+    assert res.ok, res.detail

@@ -52,7 +52,6 @@ BNLJ_WHITELIST: dict[str, str] = {
     "dedup_lsh_band_tuning": "1-row ground-truth-count broadcast onto the 3-config curve",
     "text_unigram_surprisal": "1-row corpus-token-total broadcast (code-length denominator)",
     "corpus_quality_gate": "inherits text_unigram_surprisal's 1-row corpus-total broadcast",
-    "events_ab_test_zflag": "1-row variant-B totals broadcast onto the 1-row variant-A side",
     "join_copurchase_lift": "1-row distinct-order-total broadcast (lift denominator)",
 }
 

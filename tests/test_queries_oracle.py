@@ -45,6 +45,17 @@ def test_query_matches_oracle(name, spark, sf_dir, con):
         n = df.count()
         assert n > 0 or name in _MAY_BE_EMPTY
         return
+    # Spark-side canonicalizability: the external harness pandas-hashes
+    # the SPARK result too, and a list/struct/map cell is unhashable
+    # there even when the local string-compare below would tolerate it
+    # (complement of the DuckDB-side gate in test_registry_hygiene.py)
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    complex_cols = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, f"{name}: driver-unhashable output columns {complex_cols}"
     res = compare(name, df, con, spec.oracle)
     assert res.ok, f"{name}: {res.detail} (spark={res.spark_rows} oracle={res.oracle_rows})"
     assert res.spark_rows > 0 or name in _MAY_BE_EMPTY, f"{name}: empty result matches oracle trivially"

@@ -134,10 +134,17 @@ def bench_sf(spark, sf_dir: str) -> dict:
     # steady-state (OS page cache and parquet footers hot too —
     # intentional: that is the comparable regime across scale points
     # and rounds, and the service shape a long-lived cluster runs in).
+    # median of 3 timed runs (round-6 methodology change): a single
+    # timed run is exposed to host-contention spikes on a shared VM —
+    # round 5 recorded a 2.7x "regression" on one query that an
+    # isolated rerun showed was never real (SCALE.md root-cause note).
+    # The per-run timing regime is UNCHANGED (same warm-up, same noop
+    # sink, same cache release); the median only suppresses run-level
+    # noise, so round-over-round ratios remain plan effects.
     timings = {}
     for name in HEADLINE:
         run(name)  # untimed warm-up: compile + footer cache
-        timings[name] = round(run(name), 4)
+        timings[name] = round(sorted(run(name) for _ in range(3))[1], 4)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:

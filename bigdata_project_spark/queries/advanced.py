@@ -27,6 +27,9 @@ from bigdata_project_spark.tables import load
     JOIN nation ON s_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY GROUPING SETS ((r_name), (n_name), (r_name, n_name), ())
+    -- align zero-input case with Spark's grouping sets (no () row
+    -- over empty input); no-op on any observed group
+    HAVING COUNT(*) > 0
     """,
     tags=("agg", "sql", "grouping-sets"),
 )

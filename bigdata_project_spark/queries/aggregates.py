@@ -78,6 +78,10 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation ON s_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY ROLLUP (r_name, n_name)
+    -- no-op on observed groups (all have >=1 row); drops only the
+    -- grand-total-over-zero-rows row so the zero-input case matches
+    -- Spark, whose Expand-based rollup emits no rows on empty input
+    HAVING COUNT(*) > 0
     """,
     tags=("agg", "rollup"),
 )
@@ -107,6 +111,8 @@ def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
            {SQL_DSUM('o_totalprice')} AS revenue
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    -- align zero-input case with Spark's cube (see rollup note)
+    HAVING COUNT(*) > 0
     """,
     tags=("agg", "cube"),
 )

@@ -166,7 +166,7 @@ def sort_multicol_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT r_name AS region_name, NULL::BIGINT AS n_nations, 'regions' AS src FROM region
         UNION ALL BY NAME
         SELECT CAST(NULL AS VARCHAR) AS region_name, COUNT(*) AS n_nations, 'nations' AS src
-        FROM nation GROUP BY 1
+        FROM nation
     ) t
     """,
     tags=("setop", "union", "schema-evolution"),

@@ -1,0 +1,66 @@
+"""Degenerate-input gate: the full registry on ZERO-ROW tables.
+
+Empty input is the sharpest cross-engine divergence probe — global
+vs grouped aggregates (1 row vs 0), rollup/cube grand-total rows,
+scalar subqueries feeding cross joins, COALESCE defaults, window
+frames — and a bug of exactly this class shipped in round 5
+(`events_ab_test_zflag`: Spark's inner cross-join of two 1-row
+variant aggregates returned 0 rows while the oracle's
+scalar-subquery form returned 1 row of NULLs when a variant was
+empty; found by the round-6 advisor, fixed via conditional
+aggregation over the 2-row rollup). This gate runs every registered
+query AND its DuckDB oracle over a schema-identical zero-row
+testbed and requires the same answer from both engines, so the next
+degenerate-case divergence is a local red, not an advisor finding.
+
+Scale note: this is pure semantics hygiene — no plan on real data
+changes — but it is what lets an operator library be trusted inside
+a 1000-table pipeline where *some* intermediate genuinely is empty
+(a filter that matched nothing, a day with no events).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdata_project_spark.registry import REGISTRY, _ensure_loaded, all_queries
+from bigdata_project_spark.tables import TABLES
+
+from tests.oracle import compare, duckdb_con
+
+_ensure_loaded()
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(tmp_path_factory) -> str:
+    """Zero-row parquet twin of the testbed, schema read from sf0.001."""
+    import pyarrow.parquet as pq
+
+    dst = tmp_path_factory.mktemp("empty_sf")
+    for t in TABLES:
+        schema = pq.read_schema(f"/root/testdata/sf0.001/{t}.parquet")
+        pq.write_table(schema.empty_table(), str(dst / f"{t}.parquet"))
+    return str(dst)
+
+
+def test_every_query_agrees_with_oracle_on_empty_input(spark, empty_sf_dir):
+    qs = all_queries()
+    con = duckdb_con(empty_sf_dir)
+    bad: list[str] = []
+    try:
+        for name, spec in REGISTRY.items():
+            try:
+                df = qs[name](spark, empty_sf_dir)
+                if spec.oracle is None:
+                    df.collect()  # rows-only queries: crash check
+                    continue
+                res = compare(name, df, con, spec.oracle)
+                if not res.ok:
+                    bad.append(
+                        f"{name}: spark={res.spark_rows} oracle={res.oracle_rows} {res.detail[:160]}"
+                    )
+            except Exception as e:  # noqa: BLE001
+                bad.append(f"{name}: {type(e).__name__}: {str(e)[:160]}")
+    finally:
+        con.close()
+    assert not bad, "zero-row divergences:\n" + "\n".join(bad)

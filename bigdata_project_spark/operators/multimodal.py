@@ -171,7 +171,11 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n_bytes, mean_byte, max_byte, features = fake_features(bytes(payload))
+                # missing asset (NULL payload) == zero-byte payload: the
+                # n=0 defaults row, same as the oracle's LEFT JOIN branch
+                n_bytes, mean_byte, max_byte, features = fake_features(
+                    b"" if payload is None else bytes(payload)
+                )
                 rows.append((int(doc_id), n_bytes, mean_byte, max_byte, *features))
             yield pd.DataFrame(rows, columns=cols)
 

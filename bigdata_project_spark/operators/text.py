@@ -162,8 +162,13 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id,
-           0.5 * LEAST(CAST(n_tokens AS DOUBLE) / 64, 1.0)
-             + 0.5 * LEAST(CAST(n_chars AS DOUBLE) / 512, 1.0) AS quality
+           -- explicit NULL propagation: DuckDB's LEAST *skips* NULL
+           -- arguments (scoring a missing doc 1.0); the engine's
+           -- pandas UDF propagates (NaN -> Arrow null), which is the
+           -- semantics we want for unscorable input
+           CASE WHEN n_tokens IS NULL OR n_chars IS NULL THEN NULL
+                ELSE 0.5 * LEAST(CAST(n_tokens AS DOUBLE) / 64, 1.0)
+                   + 0.5 * LEAST(CAST(n_chars AS DOUBLE) / 512, 1.0) END AS quality
     FROM f
     """,
     tags=("text", "llm", "udf"),

@@ -289,6 +289,8 @@ def udtf_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="doc_id: long, token: string")
     class Tokenize:
         def eval(self, doc_id: int, text: str):
+            if text is None:  # null doc -> no tokens (oracle: unnest(NULL) -> 0 rows)
+                return
             for tok in sorted(set(t for t in text.lower().split() if t)):
                 yield doc_id, tok
 

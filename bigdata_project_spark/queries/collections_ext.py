@@ -87,8 +87,11 @@ def scalar_date_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey,
            p_retailprice * 2 AS price_doubled,
            CAST(p_size AS DOUBLE) * 3 AS size_tripled,
-           CAST(p_retailprice * 3 > 3000 AS INT)
-             + CAST(CAST(p_size AS DOUBLE) * 3 > 3000 AS INT) AS n_big_entries
+           -- COALESCE(.., FALSE): map_filter drops entries whose
+           -- predicate is NULL (unknown != big), so a NULL price must
+           -- count 0 here, not poison the sum
+           CAST(COALESCE(p_retailprice * 3 > 3000, FALSE) AS INT)
+             + CAST(COALESCE(CAST(p_size AS DOUBLE) * 3 > 3000, FALSE) AS INT) AS n_big_entries
     FROM part
     """,
     tags=("scalar", "map", "higher-order"),

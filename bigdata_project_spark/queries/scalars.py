@@ -268,7 +268,10 @@ def scalar_case_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            len(regexp_extract_all(text, 'st[a-z]+')) AS n_st_words,
-           COALESCE(array_to_string(regexp_extract_all(text, 'st[a-z]+'), ','), '') AS st_words,
+           -- the COALESCE covers DuckDB's zero-match NULL; it must not
+           -- also swallow NULL input (Spark's array_join propagates)
+           CASE WHEN text IS NULL THEN NULL
+                ELSE COALESCE(array_to_string(regexp_extract_all(text, 'st[a-z]+'), ','), '') END AS st_words,
            CAST(regexp_matches(text, 'spark.*stream|stream.*spark') AS INT) AS has_both,
            regexp_replace(text, '\\s+', '_', 'g') AS snake_text
     FROM documents

@@ -153,10 +153,18 @@ def agg_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sort_pareto_frontier",
     oracle="""
+    -- rows with unknown price/size are excluded up front: under raw
+    -- NOT EXISTS a NULL price is vacuously undominated (every
+    -- comparison is UNKNOWN), which would put every null row on the
+    -- frontier — not a meaningful skyline membership
+    WITH pp AS (
+        SELECT p_partkey, p_retailprice, p_size FROM part
+        WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+    )
     SELECT p.p_partkey, p.p_retailprice, p.p_size
-    FROM part p
+    FROM pp p
     WHERE NOT EXISTS (
-        SELECT 1 FROM part q
+        SELECT 1 FROM pp q
         WHERE q.p_retailprice <= p.p_retailprice
           AND q.p_size >= p.p_size
           AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
@@ -190,7 +198,12 @@ def sort_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
        equal-size duplicates are all on the frontier (neither
        dominates), matching the NOT-EXISTS semantics exactly.
     """
-    p = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    p = (
+        load(spark, sf_dir, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+        # unknown price/size can't participate in dominance (see oracle)
+        .filter(F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull())
+    )
     p = p.withColumn("bucket", F.floor(F.col("p_retailprice") / F.lit(100.0)))
 
     g = p.groupBy("bucket", "p_retailprice").agg(F.max("p_size").alias("gmax"))

@@ -328,12 +328,20 @@ def _max_jump_fn(key, pdf_iter, state):
     chunks = [pdf for pdf in pdf_iter]
     pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
     for row in pdf.itertuples(index=False):
-        if last_val is not None:
+        # a NULL value (NaN in the Arrow batch) yields no jump with
+        # either neighbor — the SQL `value - LAG(value)` NULL
+        # arithmetic. Guarding here matters doubly: `NaN - x` would
+        # otherwise seed `best = NaN` (when best is None) and NaN
+        # poisons every later `>` comparison, nulling the user's
+        # max_jump forever.
+        v_ok = pd.notna(row.value)
+        if last_val is not None and v_ok:
             jump = float(row.value) - last_val
             if best is None or jump > best:
                 best = jump
         n += 1
-        last_ts, last_eid, last_val = row.ts, int(row.event_id), float(row.value)
+        last_ts, last_eid = row.ts, int(row.event_id)
+        last_val = float(row.value) if v_ok else None
     state.update((n, last_ts, last_eid, last_val, best))
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "max_jump": [best]})
 

@@ -31,6 +31,17 @@ from tests.oracle import compare, duckdb_con
 _ensure_loaded()
 
 
+def _tools_module(name: str):
+    import importlib.util
+    import pathlib
+
+    path = pathlib.Path(__file__).resolve().parent.parent / "tools" / f"{name}.py"
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 @pytest.fixture(scope="module")
 def empty_sf_dir(tmp_path_factory) -> str:
     """Zero-row parquet twin of the testbed, schema read from sf0.001."""
@@ -43,14 +54,14 @@ def empty_sf_dir(tmp_path_factory) -> str:
     return str(dst)
 
 
-def test_every_query_agrees_with_oracle_on_empty_input(spark, empty_sf_dir):
+def _sweep(spark, sf_dir: str) -> list[str]:
     qs = all_queries()
-    con = duckdb_con(empty_sf_dir)
+    con = duckdb_con(sf_dir)
     bad: list[str] = []
     try:
         for name, spec in REGISTRY.items():
             try:
-                df = qs[name](spark, empty_sf_dir)
+                df = qs[name](spark, sf_dir)
                 if spec.oracle is None:
                     df.collect()  # rows-only queries: crash check
                     continue
@@ -63,4 +74,33 @@ def test_every_query_agrees_with_oracle_on_empty_input(spark, empty_sf_dir):
                 bad.append(f"{name}: {type(e).__name__}: {str(e)[:160]}")
     finally:
         con.close()
+    return bad
+
+
+def test_every_query_agrees_with_oracle_on_empty_input(spark, empty_sf_dir):
+    bad = _sweep(spark, empty_sf_dir)
     assert not bad, "zero-row divergences:\n" + "\n".join(bad)
+
+
+@pytest.fixture(scope="module")
+def null_sf_dir(tmp_path_factory) -> str:
+    """sf0.001 twin with deterministic NULLs in payload columns
+    (never keys / ordering columns / event-time — see
+    tools/null_sweep.py for the injection map and rationale)."""
+    dst = tmp_path_factory.mktemp("null_sf")
+    _tools_module("null_sweep").build_null_testbed(dst=str(dst))
+    return str(dst)
+
+
+def test_every_query_agrees_with_oracle_on_null_payloads(spark, null_sf_dir):
+    """The driver testbed has ZERO nulls in any column, so the 269
+    oracle matches prove nothing about null handling. This gate found
+    8 real defects on first run: 3 Python-worker crashes (bytes(None)
+    in the multimodal decode UDF, text.lower() on None in the
+    tokenizer UDTF), a NaN seeding `best` in the stateful max-jump
+    (NaN then poisons every later comparison), vacuously-undominated
+    NULL rows in the Pareto skyline, DuckDB LEAST() silently skipping
+    NULL args in the quality score, a null-poisoned map_filter count,
+    and a COALESCE swallowing NULL input in the regexp family."""
+    bad = _sweep(spark, null_sf_dir)
+    assert not bad, "null-input divergences:\n" + "\n".join(bad)

@@ -1,0 +1,118 @@
+"""Null-semantics sweep: every oracled query on a NULL-injected twin.
+
+The driver testbed contains zero NULLs in any column, so the 269
+oracle matches prove nothing about null handling — yet at 100 TB,
+missing payload values are the norm, not the exception. This tool
+builds a deterministic twin of sf0.001 with NULLs injected into
+payload columns (never join keys, group-by keys, ordering columns,
+or event-time — those change ORDER BY placement semantics that the
+two engines default differently on and are out of scope here), then
+replays the full registry Spark-vs-DuckDB on it.
+
+Injection is keyed on a hash of the row's primary key, so both
+engines see the identical twin and any divergence is a genuine
+null-semantics difference between the Spark expression and its
+oracle SQL (e.g. a guard written with Python truthiness on one side
+and IS NULL on the other).
+
+Usage: python tools/null_sweep.py [--trace]   (writes /tmp/null_sf)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+NULL_DIR = "/tmp/null_sf"
+
+# table -> (key column, {payload column: null percent})
+_INJECT: dict[str, tuple[str, dict[str, int]]] = {
+    "customer": ("c_custkey", {"c_acctbal": 6}),
+    "supplier": ("s_suppkey", {"s_acctbal": 6}),
+    "part": ("p_partkey", {"p_retailprice": 6}),
+    "lineitem": ("l_orderkey * 8 + l_linenumber", {"l_tax": 6}),
+    "events": ("event_id", {"props": 6, "value": 3}),
+    "documents": ("doc_id", {"text": 3}),
+}
+
+
+def build_null_testbed(src: str = "/root/testdata/sf0.001", dst: str = NULL_DIR) -> None:
+    import duckdb
+
+    from bigdata_project_spark.tables import TABLES
+
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        key, cols = _INJECT.get(t, (None, {}))
+        if not cols:
+            con.execute(f"COPY (SELECT * FROM '{src}/{t}.parquet') TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+            continue
+        rel = con.sql(f"SELECT * FROM '{src}/{t}.parquet' LIMIT 0")
+        sel = []
+        for c in rel.columns:
+            if c in cols:
+                # deterministic per-(row, column) decision: both engines
+                # read the same files, so the twin is identical for both
+                sel.append(
+                    f"CASE WHEN hash(CAST(({key}) AS VARCHAR) || '{c}') % 100 < {cols[c]} "
+                    f"THEN NULL ELSE {c} END AS {c}"
+                )
+            else:
+                sel.append(c)
+        con.execute(
+            f"COPY (SELECT {', '.join(sel)} FROM '{src}/{t}.parquet') TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+
+
+def main() -> int:
+    build_null_testbed()
+
+    from pyspark.sql import SparkSession
+
+    from bigdata_project_spark.registry import REGISTRY, _ensure_loaded, all_queries
+    from oracle import compare, duckdb_con
+
+    _ensure_loaded()
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("null-sweep")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    qs = all_queries()
+    con = duckdb_con(NULL_DIR)
+    bad: list[str] = []
+    for i, (name, spec) in enumerate(REGISTRY.items()):
+        try:
+            df = qs[name](spark, NULL_DIR)
+            if spec.oracle is None:
+                df.collect()
+                status = "rows-only ok"
+            else:
+                res = compare(name, df, con, spec.oracle)
+                status = "ok" if res.ok else f"MISMATCH s={res.spark_rows} d={res.oracle_rows} {res.detail[:300]}"
+                if not res.ok:
+                    bad.append(f"{name}: {status}")
+        except Exception as e:  # noqa: BLE001
+            status = f"ERROR {type(e).__name__}: {str(e)[:200]}"
+            bad.append(f"{name}: {status}")
+            if "--trace" in sys.argv:
+                traceback.print_exc()
+        print(f"[{i + 1}/{len(REGISTRY)}] {name}: {status}", flush=True)
+    print(f"\n=== {len(bad)} divergent/erroring on null-injected input ===")
+    for b in bad:
+        print(b)
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

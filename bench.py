@@ -108,7 +108,7 @@ HEADLINE = [
 ]
 
 
-def bench_sf(spark, sf_dir: str) -> dict:
+def bench_sf(spark, sf_dir: str, repeats: int = 3) -> dict:
     def run(name: str) -> float:
         # timer wraps the builder too: construction may run driver-side
         # actions (fixpoint loops, persisted intermediates)
@@ -144,7 +144,8 @@ def bench_sf(spark, sf_dir: str) -> dict:
     timings = {}
     for name in HEADLINE:
         run(name)  # untimed warm-up: compile + footer cache
-        timings[name] = round(sorted(run(name) for _ in range(3))[1], 4)
+        times = sorted(run(name) for _ in range(repeats))
+        timings[name] = round(times[len(times) // 2], 4)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
@@ -171,8 +172,10 @@ def main() -> None:
 
     lines = []
     if SECONDARY_SF_DIR and os.path.isdir(SECONDARY_SF_DIR) and SECONDARY_SF_DIR != SF_DIR:
-        lines.append(bench_sf(spark, SECONDARY_SF_DIR))
-    lines.append(bench_sf(spark, SF_DIR))  # primary line last
+        # secondary scale is informational (scale-effect separation):
+        # single timed run keeps total bench wall-time bounded
+        lines.append(bench_sf(spark, SECONDARY_SF_DIR, repeats=1))
+    lines.append(bench_sf(spark, SF_DIR))  # primary line last, median of 3
     for line in lines:
         print(json.dumps(line))
     spark.stop()

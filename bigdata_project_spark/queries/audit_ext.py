@@ -591,3 +591,88 @@ def qa_join_skew_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_pairs",
         "n_keys",
     )
+
+
+_NF_LI_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _nf_sql_row(table: str, col: str) -> str:
+    return f"""
+    SELECT '{table}' AS table_name, '{col}' AS column_name,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN isnan({col}) THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+           CAST(SUM(CASE WHEN {col} = 'Infinity'::DOUBLE THEN 1 ELSE 0 END) AS BIGINT) AS n_posinf,
+           CAST(SUM(CASE WHEN {col} = '-Infinity'::DOUBLE THEN 1 ELSE 0 END) AS BIGINT) AS n_neginf,
+           CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+    FROM {table}"""
+
+
+@query(
+    "qa_nonfinite_values",
+    oracle=" UNION ALL ".join(
+        [_nf_sql_row("events", "value")] + [_nf_sql_row("lineitem", c) for c in _NF_LI_COLS]
+    ),
+    tags=("qa", "agg", "profiling"),
+)
+def qa_nonfinite_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-finite-value audit over every double measure column: one
+    row per (table, column) with NaN / +Inf / -Inf / NULL counts.
+
+    This is a load-bearing precondition check, not a profiling
+    nicety: the engine's exact-double-sum discipline (dsum) routes
+    aggregation through DECIMAL so Spark and any replaying engine
+    produce bit-identical totals regardless of partitioning — and
+    DECIMAL cannot represent non-finite values. A NaN/Inf probe
+    sweep (round 6) showed 18 of the registered aggregate queries
+    hard-error on a single NaN in events.value (Spark CAST_OVERFLOW
+    / DuckDB INT128 conversion), in BOTH engines — at 100 TB one bad
+    double would fail the job, so this audit runs at the
+    bronze -> silver boundary and gates the exact-sum tier; rows it
+    flags are quarantined upstream (see SCALE.md "Non-finite
+    doubles").
+
+    Scale: one map-side combined aggregate pass per table (all four
+    lineitem columns' metrics computed in a single scan, unpivoted
+    driver-free with stack); output is O(#columns) rows."""
+
+    def flags(c: str) -> list:
+        col = F.col(c)
+        return [
+            F.sum(F.when(F.isnan(col), 1).otherwise(0)).alias(f"{c}_nan"),
+            F.sum(F.when(col == float("inf"), 1).otherwise(0)).alias(f"{c}_pinf"),
+            F.sum(F.when(col == float("-inf"), 1).otherwise(0)).alias(f"{c}_ninf"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}_null"),
+        ]
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .agg(F.count("*").alias("n_rows"), *flags("value"))
+        .select(
+            F.lit("events").alias("table_name"),
+            F.lit("value").alias("column_name"),
+            "n_rows",
+            F.col("value_nan").alias("n_nan"),
+            F.col("value_pinf").alias("n_posinf"),
+            F.col("value_ninf").alias("n_neginf"),
+            F.col("value_null").alias("n_null"),
+        )
+    )
+    li_aggs = [a for c in _NF_LI_COLS for a in flags(c)]
+    stack_args = ", ".join(
+        f"'{c}', {c}_nan, {c}_pinf, {c}_ninf, {c}_null" for c in _NF_LI_COLS
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .agg(F.count("*").alias("n_rows"), *li_aggs)
+        .select(
+            F.lit("lineitem").alias("table_name"),
+            F.col("n_rows"),
+            F.expr(
+                f"stack({len(_NF_LI_COLS)}, {stack_args}) AS (column_name, n_nan, n_posinf, n_neginf, n_null)"
+            ),
+        )
+        .select(
+            "table_name", "column_name", "n_rows", "n_nan", "n_posinf", "n_neginf", "n_null"
+        )
+    )
+    return ev.unionByName(li)

@@ -138,3 +138,100 @@ def test_max_jump_state_carries_across_micro_batches(spark, sf_dir, tmp_path):
         ) or (j_exp is not None and not pd.isna(j_got) and abs(j_got - j_exp) > 0):
             mismatch.append((uid, (n_got, j_got), (n_exp, j_exp)))
     assert not mismatch, f"state-carry divergence for users: {mismatch[:5]}"
+
+
+def test_session_windows_merge_across_micro_batches(spark, sf_dir, tmp_path):
+    """session_window's merge-on-overlap state, resumed across
+    micro-batches: a session whose events span two chunks must come
+    out as ONE window, identical to the batch computation. The
+    oracle check (single availableNow batch) never resumes that
+    state; this delivers three chronological chunks one per trigger
+    and requires the complete-mode result to equal batch exactly
+    (counts and DECIMAL-routed value sums bit-equal)."""
+    from bigdata_project_spark.exact import dsum
+
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "value")
+    )
+    ts_type = dict(batch.dtypes)["ts"]
+    if ts_type == "bigint":
+        batch = batch.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        batch = batch.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # chunk boundary t1 is placed ON the first event of a known
+    # multi-event session, so that session's remaining events land in
+    # the next chunk — a guaranteed straddle (random percentile splits
+    # rarely bisect a 30-minute session in weeks of sparse events)
+    def sessionize(df):
+        return (
+            df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"), dsum("value").alias("session_value"))
+            .select(
+                "user_id",
+                F.unix_micros(F.col("w.start")).alias("session_start_us"),
+                "n_events",
+                "session_value",
+            )
+        )
+
+    multi = (
+        batch.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .orderBy("w.start", "user_id")
+        .limit(1)
+        .collect()
+    )
+    assert multi, "testbed has no multi-event 30-minute session"
+    sess = multi[0]
+    t1 = (
+        batch.filter(
+            (F.col("user_id") == sess["user_id"])
+            & (F.col("ts") >= sess["w"]["start"])
+        )
+        .agg(F.min("ts"))
+        .collect()[0][0]
+    )
+    t_max = batch.agg(F.max("ts")).collect()[0][0]
+    t2 = t1 + (t_max - t1) / 2
+    assert t1 < t2 < t_max
+    batch.filter(F.col("ts") <= F.lit(t1)).coalesce(1).write.parquet(str(src / "c1"))
+    batch.filter((F.col("ts") > F.lit(t1)) & (F.col("ts") <= F.lit(t2))).coalesce(1).write.parquet(
+        str(src / "c2")
+    )
+    batch.filter(F.col("ts") > F.lit(t2)).coalesce(1).write.parquet(str(src / "c3"))
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        sessionize(stream.withWatermark("ts", "1 hour"))
+        .writeStream.format("memory")
+        .queryName("mb_sessions")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress is not None and q.recentProgress, "no progress recorded"
+    assert len(q.recentProgress) >= 3, "expected >= 3 micro-batches"
+
+    got = sorted(map(tuple, spark.table("mb_sessions").collect()))
+    exp = sorted(map(tuple, sessionize(batch).collect()))
+    assert got == exp
+
+    # non-vacuity: some session must straddle a chunk boundary — i.e.
+    # sessionizing each chunk separately must yield MORE sessions than
+    # the true answer (two chunk-local fragments merged into one)
+    per_chunk = sum(
+        sessionize(spark.read.parquet(str(src / c))).count() for c in ("c1", "c2", "c3")
+    )
+    assert per_chunk > len(exp), "no session crossed a batch boundary — test is vacuous"

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -144,8 +145,7 @@ def bench_sf(spark, sf_dir: str, repeats: int = 3) -> dict:
     timings = {}
     for name in HEADLINE:
         run(name)  # untimed warm-up: compile + footer cache
-        times = sorted(run(name) for _ in range(repeats))
-        timings[name] = round(times[len(times) // 2], 4)
+        timings[name] = round(statistics.median(run(name) for _ in range(repeats)), 4)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:

@@ -24,7 +24,6 @@ from __future__ import annotations
 import pytest
 
 from bigdata_project_spark.registry import REGISTRY, _ensure_loaded, all_queries
-from bigdata_project_spark.tables import TABLES
 
 from tests.oracle import compare, duckdb_con
 
@@ -43,14 +42,12 @@ def _tools_module(name: str):
 
 
 @pytest.fixture(scope="module")
-def empty_sf_dir(tmp_path_factory) -> str:
-    """Zero-row parquet twin of the testbed, schema read from sf0.001."""
-    import pyarrow.parquet as pq
-
+def empty_sf_dir(tmp_path_factory, sf_dir) -> str:
+    """Zero-row parquet twin of the testbed (schema from the suite's
+    sf_dir), built by the same code as the standalone auditor so the
+    gate and the tool cannot drift."""
     dst = tmp_path_factory.mktemp("empty_sf")
-    for t in TABLES:
-        schema = pq.read_schema(f"/root/testdata/sf0.001/{t}.parquet")
-        pq.write_table(schema.empty_table(), str(dst / f"{t}.parquet"))
+    _tools_module("empty_sweep").build_empty_testbed(src=sf_dir, dst=str(dst))
     return str(dst)
 
 
@@ -83,17 +80,17 @@ def test_every_query_agrees_with_oracle_on_empty_input(spark, empty_sf_dir):
 
 
 @pytest.fixture(scope="module")
-def null_sf_dir(tmp_path_factory) -> str:
-    """sf0.001 twin with deterministic NULLs in payload columns
-    (never keys / ordering columns / event-time — see
+def null_sf_dir(tmp_path_factory, sf_dir) -> str:
+    """Twin of the suite's sf_dir with deterministic NULLs in payload
+    columns (never keys / ordering columns / event-time — see
     tools/null_sweep.py for the injection map and rationale)."""
     dst = tmp_path_factory.mktemp("null_sf")
-    _tools_module("null_sweep").build_null_testbed(dst=str(dst))
+    _tools_module("null_sweep").build_null_testbed(src=sf_dir, dst=str(dst))
     return str(dst)
 
 
 def test_every_query_agrees_with_oracle_on_null_payloads(spark, null_sf_dir):
-    """The driver testbed has ZERO nulls in any column, so the 269
+    """The driver testbed has ZERO nulls in any column, so the 270
     oracle matches prove nothing about null handling. This gate found
     8 real defects on first run: 3 Python-worker crashes (bytes(None)
     in the multimodal decode UDF, text.lower() on None in the

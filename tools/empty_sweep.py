@@ -8,7 +8,7 @@ and COALESCE defaults all behave differently on zero rows — so this
 sweep runs the full registry against a schema-identical zero-row
 testbed and compares Spark vs DuckDB exactly like the driver does.
 
-Usage: python tools/empty_sweep.py [--keep]  (writes /tmp/empty_sf)
+Usage: python tools/empty_sweep.py [--trace]  (writes /tmp/empty_sf)
 """
 
 from __future__ import annotations
@@ -37,21 +37,16 @@ def build_empty_testbed(src: str = "/root/testdata/sf0.001", dst: str = EMPTY_DI
 def main() -> int:
     build_empty_testbed()
 
-    from pyspark.sql import SparkSession
-
     from bigdata_project_spark.registry import REGISTRY, _ensure_loaded, all_queries
+    from bigdata_project_spark.session import get_spark
     from oracle import compare, duckdb_con
 
     _ensure_loaded()
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .appName("empty-sweep")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", "8g")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+    # the engine's canonical session config (Arrow UDTFs, codegen
+    # cache headroom, UTC, warehouse dir) — sweeping under a
+    # different config than the gates it mirrors would be misleading
+    spark = get_spark("empty-sweep", cpus="8")
+    spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
     con = duckdb_con(EMPTY_DIR)
     bad: list[str] = []

@@ -73,21 +73,14 @@ def build_null_testbed(src: str = "/root/testdata/sf0.001", dst: str = NULL_DIR)
 def main() -> int:
     build_null_testbed()
 
-    from pyspark.sql import SparkSession
-
     from bigdata_project_spark.registry import REGISTRY, _ensure_loaded, all_queries
+    from bigdata_project_spark.session import get_spark
     from oracle import compare, duckdb_con
 
     _ensure_loaded()
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .appName("null-sweep")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", "8g")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+    # canonical engine session config — see empty_sweep.py
+    spark = get_spark("null-sweep", cpus="8")
+    spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
     con = duckdb_con(NULL_DIR)
     bad: list[str] = []

@@ -64,3 +64,23 @@ def test_result_invariant_under_shuffle_partition_count(spark, sf_dir, name):
         f"{name}: results differ across shuffle-partition counts; "
         f"sample diffs: {list(diff.items())[:3]}"
     )
+
+
+def test_full_registry_oracle_matches_under_narrow_partitioning(spark, sf_dir):
+    """Blanket partition-invariance: the standard oracle sweep
+    (tests/test_queries_oracle.py) verifies every query against
+    DuckDB under the session's default shuffle partitioning; this
+    repeats the ENTIRE sweep under 3 shuffle partitions. A query that
+    matches the same oracle under both settings is partition-count
+    invariant — so the per-query spot checks above generalize to the
+    whole registry, including every LIMIT/rank tiebreaker and every
+    DECIMAL-routed aggregate."""
+    from tests.test_degenerate_input import _sweep
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        bad = _sweep(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert not bad, "narrow-partitioning divergences:\n" + "\n".join(bad)

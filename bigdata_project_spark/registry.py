@@ -95,97 +95,81 @@ def all_oracles() -> dict[str, str]:
 _LOADED = False
 
 # Externally-verified-first ordering. The driver's correctness harness
-# checks the first 50 registered queries each round. Rounds 1-5
-# hash-verified 193 distinct queries (CORRECTNESS_r01-r05.json); 184
-# came back green and the 7 genuine round-5 reds were all the same
-# defect class — DuckDB HUGEINT (integer-SUM) or array-typed output
-# columns that the driver's pandas canonicalizer cannot hash, not
-# wrong values (the judge replayed every one green). Round 6 fixed
-# the full defect class fleet-wide (every integer SUM an oracle emits
-# is now CAST AS BIGINT; both array outputs are stringified on both
-# sides; tests/test_registry_hygiene.py now gates oracle OUTPUT types
-# so the class cannot reappear).
+# checks the first 50 registered queries each round. Cumulative through
+# round 6 (CORRECTNESS_r01-r06.json): 236 distinct queries driver-
+# checked, 234 ever-green; the round-6 window came back 50/50 green.
+# Oracle outputs are canonicalization-gated (integer SUMs CAST AS
+# BIGINT, arrays stringified; tests/test_registry_hygiene.py) so the
+# round-5 HUGEINT defect class cannot reappear.
 #
-# The round-6 window (exactly 50): first the 7 repaired round-5 reds
-# — they must come back hash_match=true to close the regression —
-# then the 20 queued queries that carried the same HUGEINT defect
-# (now fixed, so the window is not burned on known reds), then 23
-# from the never-driver-checked backlog, enrichment + scale-pattern
-# families first (largest never-checked mass, per the round-5 plan).
+# Round-7 window (exactly 50): the complete never-driver-checked
+# backlog — all 37 oracled queries without a driver row, judge-
+# verified green vs DuckDB at sf0.01 in rounds 5 and 6 — followed by
+# 13 re-confirmation slots for the queries whose most recent driver
+# row is oldest (round 2, the aggregate family), guarding against
+# silent regression since then. No-oracle (rows-only) queries are
+# excluded: their correctness gate is the +/-5%-of-exact property
+# tests in tests/, not a driver hash (see COVERAGE.md).
 #
-# Round-7 rotation queue (~36 oracled queries, all judge-green at
-# sf0.01 in round 5, no driver row yet): the dedup/similarity batch
-# (prefix-filter Jaccard, containment pairs, normalized exact,
-# MinHash estimator error, edit distance is in this window but its
-# family peers are not, truncated-dim recall, MaxSim, multi-probe
-# LSH + its recall eval), the corpus-quality batch (unigram
-# surprisal, duplicate passage share, keep-best, composite gate),
-# the timeseries residue (lag-7 autocorrelation, freshness lag, bot
-# rules, Markov transitions, audience overlap, longest streak, DOW
-# seasonality, session depth, hour profile), audits (skew histogram,
-# Benford), aggregates (histogram, mode, winsorized mean,
-# correlation matrix), scalar_string_format, forward-fill,
-# range-binned join, co-purchase lift, audio chunk plan, and the
-# four streaming twins (daily distinct, exactly-once dedup,
-# left-outer join, top-k serving). No-oracle queries are excluded —
-# a rows-only row wastes a window slot. Queries not named here keep
-# registration order after.
+# Round-8 final cohort: EMPTY. Once this window lands green, every
+# one of the 270 oracled queries in the registry has a driver-green
+# row in some round (the book is closed). Round 8 should rotate the
+# window to the next-oldest last-checked queries (rounds 2-3
+# vintage, registration order) as a pure regression sweep — there is
+# no remaining never-checked debt to retire.
 _DRIVER_FIRST: tuple[str, ...] = (
-    # --- the 7 round-5 reds, repaired (oracle-canonicalization) ---
-    "tpch_q12_late_priority",
-    "events_anomaly_daily_zscore",
-    "events_cumulative_users",
-    "events_peak_concurrency",
-    "window_session_numbering",
-    "index_inverted_postings",
-    "multimodal_frame_sample_plan",
-    # --- the 20 queued queries that shared the HUGEINT defect, fixed ---
-    "dedup_simhash_hamming_pairs",
-    "corpus_token_budget_fill",
-    "lake_skipping_effectiveness",
-    "dedup_lsh_band_tuning",
-    "text_novelty_share",
-    "qa_drift_split_halves",
-    "qa_derived_column_contract",
-    "qa_join_skew_forecast",
-    "split_kfold_assignment",
-    "events_bounce_rate",
-    "agg_mad_outliers",
-    "agg_spend_decile_buckets",
-    "events_wow_growth",
-    "events_time_to_convert",
-    "events_cohort_ltv",
-    "events_attribution_linear_ppm",
-    "events_new_vs_returning",
-    "events_volume_anomaly_dow_adjusted",
-    "events_changepoint_cusum",
-    "events_ab_test_zflag",
-    # --- enrichment family — never driver-checked ---
-    "join_pointintime_enrich",
-    "events_attribution_last_touch",
-    "events_sliding_distinct_users",
-    "dedup_editdistance_blocked",
-    "events_twap",
-    "events_dau_wau_stickiness",
-    "qa_key_uniqueness",
-    # --- scale-pattern family — never driver-checked ---
-    "agg_heavy_hitters_exact",
-    "sort_pareto_frontier",
-    "join_geo_grid_radius",
-    "join_interval_overlap_binned",
-    "sim_knn_quantized_int8",
-    "ivm_join_view_delta",
-    "agg_weighted_median_exact",
-    "agg_gini_spend_concentration",
-    "agg_hhi_market_concentration",
-    "events_users_for_p80",
-    # --- joins / sorts / subquery residue — never driver-checked ---
-    "join_asof_tolerance_1h",
-    "join_asof_forward",
-    "join_asof_nearest",
-    "sort_keyset_pagination",
-    "sub_not_in_null_aware",
-    "scalar_collation_ci_grouping",
+    # --- the 37 never-driver-checked oracled queries (full backlog) ---
+    "dedup_prefix_filter_jaccard",
+    "dedup_containment_pairs",
+    "dedup_normalized_exact",
+    "multimodal_audio_chunk_plan",
+    "text_unigram_surprisal",
+    "quality_duplicate_passage_share",
+    "dedup_minhash_estimate_error",
+    "corpus_keep_best_per_cluster",
+    "corpus_quality_gate",
+    "sim_truncated_dim_recall",
+    "sim_maxsim_multivector",
+    "sim_ann_lsh_multiprobe",
+    "sim_recall_multiprobe",
+    "agg_histogram_fixed",
+    "scalar_string_format",
+    "qa_skew_histogram",
+    "qa_benford_leading_digit",
+    "qa_nonfinite_values",
+    "agg_correlation_matrix",
+    "agg_mode_exact",
+    "agg_winsorized_mean",
+    "events_markov_transitions",
+    "events_audience_overlap",
+    "events_longest_streak",
+    "events_dow_seasonality",
+    "events_session_depth_histogram",
+    "events_hour_profile",
+    "join_range_price_bands_binned",
+    "join_copurchase_lift",
+    "events_autocorr_lag7",
+    "events_freshness_lag",
+    "events_bot_flag_rules",
+    "window_forward_fill_ignore_nulls",
+    "stream_daily_distinct_users",
+    "stream_exactly_once_dedup",
+    "stream_stream_left_outer_join",
+    "stream_topk_types_daily",
+    # --- 13 re-confirmation slots: oldest driver rows (round 2) ---
+    "agg_collect_sorted",
+    "agg_conditional",
+    "agg_cube_status_priority",
+    "agg_distinct_per_segment",
+    "agg_median_exact",
+    "agg_minmaxby",
+    "agg_percentile_native",
+    "agg_pricing_summary",
+    "agg_regression_price_on_qty",
+    "agg_rollup_region_nation",
+    "agg_stats_moments",
+    "agg_two_stage_salted_flags",
+    "agg_user_event_entropy",
 )
 
 

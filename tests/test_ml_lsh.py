@@ -72,3 +72,49 @@ def test_bucketed_lsh_didactic_matches_oracle(spark, sf_dir):
         assert res.spark_rows > 0
     finally:
         con.close()
+
+
+def test_planes_per_band_formula():
+    """Data-aware planes-per-band (round 7): P = clamp(ceil(log2 n) -
+    load, min, max). Pins the sizing rule both engines derive from the
+    same COUNT so a drift in the constants is caught here, not by an
+    oracle mismatch at some future corpus size."""
+    from bigdata_project_spark.operators.similarity import (
+        _BUCKET_LOAD_LOG2,
+        _MAX_PLANES_PER_BAND,
+        _MIN_PLANES_PER_BAND,
+        planes_per_band,
+    )
+
+    # clamp floor: small/degenerate corpora (zero-row twin hits n=0)
+    assert planes_per_band(0) == _MIN_PLANES_PER_BAND
+    assert planes_per_band(1) == _MIN_PLANES_PER_BAND
+    assert planes_per_band(500) == 8  # testbed sf0.001/0.01
+    assert planes_per_band(2000) == 9  # testbed sf0.1
+    # +1 plane per corpus doubling keeps expected bucket load ~2^load
+    assert planes_per_band(4000) == 10
+    assert planes_per_band(8000) == 11
+    # clamp ceiling bounds the sign-matrix literal we ship in the plan
+    assert planes_per_band(10**9) == _MAX_PLANES_PER_BAND
+    assert _MIN_PLANES_PER_BAND <= _MAX_PLANES_PER_BAND
+    assert _BUCKET_LOAD_LOG2 >= 0
+
+
+def test_planes_per_band_oracle_agreement(sf_dir):
+    """The oracle's params CTE computes the SAME P as the Python
+    formula from the same table — the invariant the substr()-prefix
+    bucket construction relies on."""
+    import duckdb
+
+    from bigdata_project_spark.operators.similarity import _SQL_PARAMS, planes_per_band
+
+    con = duckdb.connect()
+    try:
+        con.sql(
+            f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+        )
+        n = con.sql("SELECT COUNT(*) FROM embeddings").fetchone()[0]
+        p_sql = con.sql(f"WITH {_SQL_PARAMS} SELECT p FROM params").fetchone()[0]
+    finally:
+        con.close()
+    assert p_sql == planes_per_band(n)

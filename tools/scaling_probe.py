@@ -25,8 +25,8 @@ from bigdata_project_spark.operators.dedup import (
     _SQL_SHINGLES_CAPPED,
     _SQL_SIGS,
 )
-from bigdata_project_spark.operators.similarity import _SQL_NORMED
-from bigdata_project_spark.operators.similarity import _sql_band_bucket, _N_BANDS
+from bigdata_project_spark.operators.similarity import _SQL_NORMED, _SQL_PARAMS
+from bigdata_project_spark.operators.similarity import _sql_band_bucket, _N_BANDS, planes_per_band
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
@@ -77,13 +77,17 @@ def probe(sf_dir: str) -> dict:
              AND 2 * b.n_sh >= a.n_sh AND 2 * a.n_sh >= b.n_sh)
     """).fetchone()[0]
 
-    # banded ANN (3 bands x 8 planes): distinct bucket-join pairs
+    # banded ANN (3 bands x DERIVED planes, round-7): distinct
+    # bucket-join pairs under the data-aware P — the same substr(p)
+    # construction the oracle uses, so this measures the shipped plan
     band_rows = " UNION ALL ".join(
-        f"SELECT vec_id, {b} AS band, {_sql_band_bucket(b)} AS bucket FROM normed"
+        f"SELECT vec_id, {b} AS band, substr({_sql_band_bucket(b)}, 1, p) AS bucket"
+        f" FROM normed, params"
         for b in range(_N_BANDS)
     )
+    r["ann_planes"] = planes_per_band(r["n_vecs"])
     r["ann_cand"] = con.sql(f"""
-        WITH {_SQL_NORMED}, bands AS ({band_rows})
+        WITH {_SQL_NORMED}, {_SQL_PARAMS}, bands AS ({band_rows})
         SELECT COUNT(*) FROM (
             SELECT DISTINCT a.vec_id, b.vec_id AS b_id
             FROM bands a JOIN bands b
@@ -103,13 +107,15 @@ def main() -> None:
         rows.append(r)
         print(f"probed {sf}: {r}", file=sys.stderr)
 
-    print("| sf | docs | all-pairs | shingle-join (df-capped) | prefix-filter | MinHash-LSH | vecs | all-pairs | banded ANN |")
-    print("|---|---|---|---|---|---|---|---|---|")
+    print("| sf | docs | all-pairs | shingle-join (df-capped) | prefix-filter | MinHash-LSH | vecs | all-pairs | banded ANN (P) | ANN cand/vec |")
+    print("|---|---|---|---|---|---|---|---|---|---|")
     for r in rows:
+        per_vec = r["ann_cand"] / r["n_vecs"] if r["n_vecs"] else 0.0
         print(
             f"| {r['sf']} | {r['n_docs']:,} | {r['allpairs_docs']:,} "
             f"| {r['shingle_cand_capped']:,} | {r['prefix_cand']:,} | {r['minhash_cand']:,} "
-            f"| {r['n_vecs']:,} | {r['allpairs_vecs']:,} | {r['ann_cand']:,} |"
+            f"| {r['n_vecs']:,} | {r['allpairs_vecs']:,} | {r['ann_cand']:,} (P={r['ann_planes']}) "
+            f"| {per_vec:.2f} |"
         )
 
 

@@ -39,16 +39,59 @@ from pyspark.sql import functions as F
 DEC = "decimal(38,6)"
 
 
-def dsum(c: Column | str) -> Column:
-    """Order-independent exact sum of a double column, returned as double."""
+def _finite_or_error(c: Column) -> Column:
+    """Fail-loudly guard for the exact-sum tier (round 7).
+
+    DECIMAL cannot represent NaN/±Inf, and the two engines disagree on
+    what the cast does: DuckDB raises a conversion error, but Spark's
+    cast — even with ANSI enabled — silently returns NULL for
+    non-finite doubles, so a naive SUM(CAST(x AS DECIMAL)) would drop
+    poisoned rows and corrupt financial totals invisibly (the exact
+    outcome the determinism contract forbids; SCALE.md "Non-finite
+    doubles"). This guard raises instead, matching the oracle's
+    behavior: data that bypassed the qa_nonfinite_values gate fails
+    the job loudly in BOTH engines. NULLs stay in-contract: the CASE
+    condition is only TRUE for genuinely non-finite values (a NULL
+    condition falls through to the pass-through branch).
+
+    Cost: one branch + isnan/abs per input row, inside whole-stage
+    codegen — it does not change the partial-aggregate shuffle shape.
+    """
+    poisoned = F.isnan(c) | (F.abs(c) == F.lit(float("inf")))
+    return F.when(
+        poisoned,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "non-finite double reached the exact-sum tier; "
+                    "gate upstream with qa_nonfinite_values: "
+                ),
+                c.cast("string"),
+            )
+        ),
+    ).otherwise(c)
+
+
+def dcast(c: Column | str) -> Column:
+    """Guarded DECIMAL cast for hand-rolled exact sums (two-stage /
+    salted aggregates that can't call dsum directly): same fail-loudly
+    contract, same decimal(38,6) target."""
     c = F.col(c) if isinstance(c, str) else c
-    return F.sum(c.cast(DEC)).cast("double")
+    return _finite_or_error(c).cast(DEC)
+
+
+def dsum(c: Column | str) -> Column:
+    """Order-independent exact sum of a double column, returned as
+    double. Raises on NaN/±Inf input — see `_finite_or_error`."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.sum(_finite_or_error(c).cast(DEC)).cast("double")
 
 
 def davg(c: Column | str) -> Column:
-    """Order-independent avg: exact decimal sum / non-null count, as double."""
+    """Order-independent avg: exact decimal sum / non-null count, as
+    double. Raises on NaN/±Inf input — see `_finite_or_error`."""
     c = F.col(c) if isinstance(c, str) else c
-    return (F.sum(c.cast(DEC)).cast("double") / F.count(c)).cast("double")
+    return (F.sum(_finite_or_error(c).cast(DEC)).cast("double") / F.count(c)).cast("double")
 
 
 def SQL_DSUM(expr: str) -> str:

@@ -93,7 +93,7 @@ def two_stage_agg(
 
 from pyspark.sql import SparkSession  # noqa: E402
 
-from bigdata_project_spark.exact import DEC, SQL_DSUM  # noqa: E402
+from bigdata_project_spark.exact import SQL_DSUM, dcast  # noqa: E402
 from bigdata_project_spark.registry import query  # noqa: E402
 from bigdata_project_spark.tables import load  # noqa: E402
 
@@ -126,7 +126,7 @@ def join_salted_event_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(ev, weights, "event_type", n_salts=8, salt_source="event_id")
     return joined.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.sum((F.col("value") * F.col("weight")).cast(DEC)).cast("double").alias("weighted_value"),
+        F.sum(dcast(F.col("value") * F.col("weight"))).cast("double").alias("weighted_value"),
     )
 
 
@@ -152,7 +152,7 @@ def agg_two_stage_salted_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         {
             "n": (F.count("*"), F.sum("n")),
-            "total_qty": (F.sum(F.col("l_quantity").cast(DEC)), F.sum("total_qty")),
+            "total_qty": (F.sum(dcast("l_quantity")), F.sum("total_qty")),
         },
         n_salts=8,
         salt_source="l_orderkey",

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from bigdata_project_spark.exact import DEC, SQL_DAVG, SQL_DSUM, davg, dsum
+from bigdata_project_spark.exact import SQL_DAVG, SQL_DSUM, davg, dcast, dsum
 from bigdata_project_spark.registry import query
 from bigdata_project_spark.tables import load
 
@@ -463,7 +463,7 @@ def agg_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
     total = per_nation.agg(
-        F.sum(F.col("revenue").cast(DEC)).cast("double").alias("total_revenue")
+        F.sum(dcast("revenue")).cast("double").alias("total_revenue")
     )
     return (
         per_nation.join(F.broadcast(total))

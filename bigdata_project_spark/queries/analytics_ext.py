@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from bigdata_project_spark.exact import DEC
+from bigdata_project_spark.exact import dcast
 from bigdata_project_spark.registry import query
 from bigdata_project_spark.tables import load
 
@@ -130,7 +130,7 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     j = o.join(c, o.o_custkey == c.c_custkey).join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-    total = F.sum(F.col("o_totalprice").cast(DEC)).over(W.partitionBy("n_name")).cast("double")
+    total = F.sum(dcast("o_totalprice")).over(W.partitionBy("n_name")).cast("double")
     return j.select(
         "n_name",
         "o_orderkey",

@@ -622,14 +622,16 @@ def qa_nonfinite_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     nicety: the engine's exact-double-sum discipline (dsum) routes
     aggregation through DECIMAL so Spark and any replaying engine
     produce bit-identical totals regardless of partitioning — and
-    DECIMAL cannot represent non-finite values. A NaN/Inf probe
-    sweep (round 6) showed 18 of the registered aggregate queries
-    hard-error on a single NaN in events.value (Spark CAST_OVERFLOW
-    / DuckDB INT128 conversion), in BOTH engines — at 100 TB one bad
-    double would fail the job, so this audit runs at the
+    DECIMAL cannot represent non-finite values. The engines disagree
+    on the failure mode: DuckDB raises on CAST(NaN/Inf AS DECIMAL)
+    but Spark (even under ANSI) silently NULLs it, so dsum/davg/dcast
+    carry an explicit raise_error guard (exact._finite_or_error) to
+    fail loudly instead of shaving totals invisibly. At 100 TB one
+    bad double must fail the job, so this audit runs at the
     bronze -> silver boundary and gates the exact-sum tier; rows it
     flags are quarantined upstream (see SCALE.md "Non-finite
-    doubles").
+    doubles"; the gate -> quarantine -> green loop is tested
+    end-to-end in tests/test_degenerate_input.py).
 
     Scale: one map-side combined aggregate pass per table (all four
     lineitem columns' metrics computed in a single scan, unpivoted

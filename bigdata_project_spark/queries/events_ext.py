@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigdata_project_spark.exact import DEC, SQL_DSUM
+from bigdata_project_spark.exact import SQL_DSUM, dcast
 from bigdata_project_spark.registry import query
 from bigdata_project_spark.tables import load
 
@@ -52,7 +52,7 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     hourly = ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast(DEC)).alias("sv"),
+        F.sum(dcast("value")).alias("sv"),
     )
     daily = hourly.groupBy(
         F.window(F.col("w.start"), "1 day").alias("d"), "event_type"
@@ -298,7 +298,7 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("ts").alias("last_ts"),
             F.count("*").alias("frequency"),
-            F.sum(F.col("value").cast(DEC)).cast("double").alias("monetary"),
+            F.sum(dcast("value")).cast("double").alias("monetary"),
         )
         .join(F.broadcast(anchor))
         .select(
@@ -323,7 +323,7 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_score", "f_score", "m_score")
         .agg(
             F.count("*").alias("n_users"),
-            F.sum(F.col("monetary").cast(DEC)).cast("double").alias("segment_value"),
+            F.sum(dcast("monetary")).cast("double").alias("segment_value"),
         )
     )
 
@@ -489,9 +489,9 @@ def events_user_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums = base.groupBy("user_id").agg(
         F.count("*").alias("n"),
         F.sum("x").cast("double").alias("sx"),
-        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        F.sum(dcast("y")).cast("double").alias("sy"),
         F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
-        F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
+        F.sum(dcast(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
     )
     denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from bigdata_project_spark.exact import DEC, SQL_DSUM, dsum
+from bigdata_project_spark.exact import SQL_DSUM, dcast, dsum
 from bigdata_project_spark.registry import query
 from bigdata_project_spark.tables import load
 
@@ -68,7 +68,7 @@ def _offerings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_unitprice"),
-            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("ps_volume"),
+            F.sum(dcast("l_quantity")).cast("double").alias("ps_volume"),
         )
     )
 
@@ -276,7 +276,7 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("part_value"))
     )
     total = flow.agg(
-        (F.sum(F.col("part_value").cast(DEC)).cast("double") * F.lit(2.0) / F.count("*")).alias(
+        (F.sum(dcast("part_value")).cast("double") * F.lit(2.0) / F.count("*")).alias(
             "threshold"
         )
     )
@@ -448,7 +448,7 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         (F.col("p_brand") == "Brand#3") & (F.col("p_size") < 15)
     )
     pavg = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
-        (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count("l_quantity")).alias(
+        (F.sum(dcast("l_quantity")).cast("double") / F.count("l_quantity")).alias(
             "avg_qty"
         )
     )
@@ -501,7 +501,7 @@ def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     movers = (
         li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("vol"))
+        .agg(F.sum(dcast("l_quantity")).alias("vol"))
         .filter(F.col("vol") > 50)
         .select("l_suppkey")
     )

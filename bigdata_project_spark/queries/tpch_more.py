@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigdata_project_spark.exact import DEC, SQL_DSUM, dsum
+from bigdata_project_spark.exact import SQL_DSUM, dcast, dsum
 from bigdata_project_spark.registry import query
 from bigdata_project_spark.tables import load
 
@@ -222,7 +222,7 @@ def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFra
     li = load(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty"))
+        .agg(F.sum(dcast("l_quantity")).alias("qty"))
         .filter(F.col("qty") > 250)
         .select("l_orderkey")
     )
@@ -316,7 +316,7 @@ def tpch_q22_windfall_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     avg_bal = (
         c.filter(F.col("c_acctbal") > 0.0)
-        .agg((F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count("c_acctbal")).alias("v"))
+        .agg((F.sum(dcast("c_acctbal")).cast("double") / F.count("c_acctbal")).alias("v"))
     )
     code = F.expr("right(c_name, 2)")
     return (
@@ -334,7 +334,7 @@ def tpch_q22_windfall_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cntrycode")
         .agg(
             F.count("*").alias("numcust"),
-            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("totacctbal"),
+            F.sum(dcast("c_acctbal")).cast("double").alias("totacctbal"),
         )
     )
 

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from bigdata_project_spark.exact import DEC
+from bigdata_project_spark.exact import dcast
 from bigdata_project_spark.registry import query
 from bigdata_project_spark.tables import load
 
@@ -138,7 +138,7 @@ def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast(DEC)).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("double").alias("running_spend"),
+        F.sum(dcast("o_totalprice")).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("double").alias("running_spend"),
         F.row_number().over(w).alias("order_seq"),
     )
 
@@ -170,7 +170,7 @@ def window_range_frame_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.count("*").over(w).alias("n_orders_30d"),
-        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("spend_30d"),
+        F.sum(dcast("o_totalprice")).over(w).cast("double").alias("spend_30d"),
     )
 
 

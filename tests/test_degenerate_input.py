@@ -101,3 +101,112 @@ def test_every_query_agrees_with_oracle_on_null_payloads(spark, null_sf_dir):
     and a COALESCE swallowing NULL input in the regexp family."""
     bad = _sweep(spark, null_sf_dir)
     assert not bad, "null-input divergences:\n" + "\n".join(bad)
+
+
+@pytest.fixture(scope="module")
+def nonfinite_sf_dir(tmp_path_factory, sf_dir) -> str:
+    """Twin of the suite's sf_dir with NaN / +Inf / -Inf injected into
+    events.value (deterministic by event_id hash, ~3%/2%/2%). The
+    hazard qa_nonfinite_values gates on: DECIMAL-routed exact sums
+    cannot represent non-finite doubles (SCALE.md "Non-finite
+    doubles")."""
+    import duckdb
+
+    from bigdata_project_spark.tables import TABLES
+
+    dst = tmp_path_factory.mktemp("nonfinite_sf")
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            if t != "events":
+                con.execute(
+                    f"COPY (SELECT * FROM '{sf_dir}/{t}.parquet') TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+                )
+        con.execute(f"""
+            COPY (
+                SELECT * REPLACE (
+                    CASE
+                        WHEN hash(CAST(event_id AS VARCHAR) || 'nf') % 100 < 3 THEN 'NaN'::DOUBLE
+                        WHEN hash(CAST(event_id AS VARCHAR) || 'nf') % 100 < 5 THEN 'Infinity'::DOUBLE
+                        WHEN hash(CAST(event_id AS VARCHAR) || 'nf') % 100 < 7 THEN '-Infinity'::DOUBLE
+                        ELSE value
+                    END AS value
+                ) FROM '{sf_dir}/events.parquet'
+            ) TO '{dst}/events.parquet' (FORMAT PARQUET)
+        """)
+    finally:
+        con.close()
+    return str(dst)
+
+
+def test_nonfinite_gate_catches_then_quarantine_restores(spark, nonfinite_sf_dir, tmp_path_factory):
+    """The round-6 NaN/Inf probe showed 18 DECIMAL-routed aggregates
+    hard-error in BOTH engines on a single NaN in events.value; the
+    documented production posture is gate (qa_nonfinite_values) ->
+    quarantine -> exact-sum tier. This test exercises that posture
+    end-to-end on an injected twin (round-7 advisor ask): the gate
+    agrees with its oracle AND counts every injected row; the
+    exact-sum tier genuinely errors on unquarantined input (the
+    fail-loudly contract — no silent nanvl); and after dropping
+    exactly the rows the gate flags, the same aggregate is
+    oracle-green again."""
+    import duckdb
+
+    from bigdata_project_spark.registry import REGISTRY, all_queries
+    from bigdata_project_spark.tables import TABLES
+
+    qs = all_queries()
+
+    # 1. the gate: oracle-green on the twin, and non-vacuously so
+    con = duckdb_con(nonfinite_sf_dir)
+    try:
+        res = compare(
+            "qa_nonfinite_values",
+            qs["qa_nonfinite_values"](spark, nonfinite_sf_dir),
+            con,
+            REGISTRY["qa_nonfinite_values"].oracle,
+        )
+        assert res.ok, res.detail
+    finally:
+        con.close()
+    flagged = {
+        r["column_name"]: (r["n_nan"], r["n_posinf"], r["n_neginf"])
+        for r in qs["qa_nonfinite_values"](spark, nonfinite_sf_dir).collect()
+        if r["table_name"] == "events"
+    }
+    n_nan, n_posinf, n_neginf = flagged["value"]
+    assert n_nan > 0 and n_posinf > 0 and n_neginf > 0  # injection non-vacuous
+
+    # 2. fail-loudly: a DECIMAL-routed exact sum over the poisoned
+    # column must error, not silently corrupt totals
+    with pytest.raises(Exception):
+        qs["events_tumbling_hourly"](spark, nonfinite_sf_dir).collect()
+
+    # 3. quarantine exactly what the gate flags -> tier is green again
+    qdst = tmp_path_factory.mktemp("quarantined_sf")
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            src_where = " WHERE isfinite(value) OR value IS NULL" if t == "events" else ""
+            con.execute(
+                f"COPY (SELECT * FROM '{nonfinite_sf_dir}/{t}.parquet'{src_where}) "
+                f"TO '{qdst}/{t}.parquet' (FORMAT PARQUET)"
+            )
+        n_dropped = con.sql(
+            f"SELECT (SELECT COUNT(*) FROM '{nonfinite_sf_dir}/events.parquet') - "
+            f"(SELECT COUNT(*) FROM '{qdst}/events.parquet')"
+        ).fetchone()[0]
+    finally:
+        con.close()
+    assert n_dropped == n_nan + n_posinf + n_neginf  # gate counts == quarantined rows
+    con = duckdb_con(str(qdst))
+    try:
+        res = compare(
+            "events_tumbling_hourly",
+            qs["events_tumbling_hourly"](spark, str(qdst)),
+            con,
+            REGISTRY["events_tumbling_hourly"].oracle,
+        )
+        assert res.ok, res.detail
+    finally:
+        con.close()

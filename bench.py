@@ -158,6 +158,11 @@ def bench_sf(spark, sf_dir: str, repeats: int = 3) -> dict:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # methodology marker (round 7): per-query time is the median of
+        # this many timed runs. r01-r05 lines were single-run (repeats
+        # absent == 1); recording it makes the round-6 methodology
+        # boundary machine-detectable in round-over-round comparisons.
+        "repeats": repeats,
     }
 
 

@@ -46,7 +46,7 @@ def test_oracle_coverage_ratio():
     assert len(no_oracle) <= 5, f"too many rows-only queries: {no_oracle}"
 
 
-def test_every_oracle_output_is_driver_canonicalizable():
+def test_every_oracle_output_is_driver_canonicalizable(sf_dir):
     """The external harness canonicalizes result cells with pandas
     (sort_values + value hash). Two DuckDB output types break that
     pipeline even when the VALUES are correct:
@@ -67,9 +67,7 @@ def test_every_oracle_output_is_driver_canonicalizable():
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.001/{t}.parquet'"
-        )
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     bad: list[str] = []
     for n, s in REGISTRY.items():
         if s.oracle is None:

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigdata_project_spark.exact import dcast
 from bigdata_project_spark.registry import query
 from bigdata_project_spark.tables import load
 
@@ -78,11 +79,11 @@ def mixture_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntok = F.size(F.array_remove(F.split(F.lower(F.col("text")), r"\s+"), ""))
     per_source = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.sum(ntok.cast("decimal(38,6)")).cast("double").alias("n_tokens"),
+        F.sum(dcast(ntok)).cast("double").alias("n_tokens"),
         F.sqrt(F.count("*")).alias("scaled"),
     )
     tot = per_source.agg(
-        F.sum(F.col("scaled").cast("decimal(38,6)")).cast("double").alias("z"),
+        F.sum(dcast("scaled")).cast("double").alias("z"),
         F.sum("n_docs").alias("total_docs"),
     )
     return (

@@ -35,7 +35,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigdata_project_spark.exact import SQL_DSUM, dsum
+from bigdata_project_spark.exact import SQL_DSUM, dcast, dsum
 from bigdata_project_spark.registry import query
 from bigdata_project_spark.tables import load
 
@@ -427,7 +427,7 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(38,6)")).alias("sv"),
+            F.sum(dcast("value")).alias("sv"),
         )
         .select(
             F.unix_micros(F.col("w.start")).alias("hour_start_us"),

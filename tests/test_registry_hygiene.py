@@ -98,3 +98,26 @@ def test_scale_docstrings_on_scale_tagged_queries():
         and "offset" not in s.doc.lower()
     ]
     assert not missing, f"two-stage queries without a carry/offset explanation: {missing}"
+
+
+def test_no_bare_double_decimal_casts_outside_exact():
+    """Spark's ANSI cast silently NULLs NaN/Inf -> DECIMAL where DuckDB
+    raises, so a bare `.cast(DEC)` / `.cast("decimal(38,6)")` inside an
+    aggregate would drop poisoned rows and corrupt totals invisibly
+    (the round-7 defect class). Every double-target DECIMAL cast must
+    go through exact.dsum/davg/dcast, which carry the raise_error
+    guard. decimal(38,0) casts of already-integer cents columns are
+    fine — double->BIGINT raises CAST_OVERFLOW in both engines first."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "bigdata_project_spark"
+    pat = re.compile(r"\.cast\(\s*DEC\s*\)|\.cast\(\s*['\"]decimal\(38,\s*6\)")
+    offenders = []
+    for f in sorted(pkg.rglob("*.py")):
+        if f.name == "exact.py":
+            continue
+        for i, line in enumerate(f.read_text().splitlines(), 1):
+            if pat.search(line):
+                offenders.append(f"{f.relative_to(pkg.parent)}:{i}: {line.strip()}")
+    assert not offenders, "bare double->DECIMAL casts (use exact.dcast/dsum/davg):\n" + "\n".join(offenders)

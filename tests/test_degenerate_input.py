@@ -210,3 +210,27 @@ def test_nonfinite_gate_catches_then_quarantine_restores(spark, nonfinite_sf_dir
         assert res.ok, res.detail
     finally:
         con.close()
+
+
+def test_finite_guard_unit_contract(spark):
+    """Unit pin of exact._finite_or_error via dsum/dcast: raises on
+    NaN/+Inf/-Inf, passes finite values and NULLs through (NULLs are
+    in-contract everywhere; only non-finite is poison), and accepts
+    integer inputs (isnan implicit-casts) so dcast can guard
+    already-integer columns uniformly."""
+    from pyspark.sql import functions as F
+
+    from bigdata_project_spark.exact import dcast, dsum
+
+    ok = spark.createDataFrame([(1.5,), (None,), (2.25,)], "v double")
+    assert ok.agg(dsum("v").alias("s")).collect()[0]["s"] == 3.75
+
+    ints = spark.createDataFrame([(3,), (4,)], "v int")
+    assert ints.select(dcast("v").alias("d")).agg(
+        F.sum("d").cast("double").alias("s")
+    ).collect()[0]["s"] == 7.0
+
+    for poison in (float("nan"), float("inf"), float("-inf")):
+        bad = spark.createDataFrame([(1.0,), (poison,)], "v double")
+        with pytest.raises(Exception, match="non-finite double"):
+            bad.agg(dsum("v").alias("s")).collect()

@@ -111,12 +111,35 @@ _LOADED = False
 # excluded: their correctness gate is the +/-5%-of-exact property
 # tests in tests/, not a driver hash (see COVERAGE.md).
 #
-# Round-8 final cohort: EMPTY. Once this window lands green, every
-# one of the 270 oracled queries in the registry has a driver-green
-# row in some round (the book is closed). Round 8 should rotate the
-# window to the next-oldest last-checked queries (rounds 2-3
-# vintage, registration order) as a pure regression sweep — there is
-# no remaining never-checked debt to retire.
+# Round-8 final cohort: EMPTY — once this window lands green, every
+# one of the 270 oracled queries has a driver-green row in some round
+# (the book is closed). Round 8 rotates to the 50 oldest-last-checked
+# as a pure regression sweep (computed from CORRECTNESS_r01-r06 +
+# this window; 28 round-2-vintage + 22 round-3-vintage, registration
+# order within vintage):
+#   r2 vintage: dedup_exact_hash dedup_simhash64
+#     dedup_fingerprint_winnow multimodal_binary_metadata
+#     multimodal_decode_features sim_knn_bruteforce sim_ann_ivf_probe
+#     sim_centroid_per_label join_salted_event_weights
+#     text_stats_quality text_langid_markers text_token_count_bpe
+#     text_quality_pandas_udf udaf_weighted_avg_discount text_tfidf_top3
+#     text_zscore_grouped_pandas text_bm25_topk sql_grouping_sets
+#     pivot_status_by_priority join_q5_regional_revenue
+#     scalar_geo_haversine_km scalar_string_advanced
+#     scalar_map_json_construction array_higher_order_functions
+#     udtf_tokenize_documents sample_stratified_hash
+#     cogroup_customer_orders_pandas window_ratio_to_report
+#   r3 vintage: arrow_map_component_stats arrow_grouped_label_extremes
+#     generator_posexplode_embedding_head generator_explode_outer_empty
+#     generator_stack_unpivot generator_inline_struct_array
+#     generator_unpivot_native join_revenue_per_nation
+#     join_broadcast_brand_volume join_left_outer_customer_orders
+#     join_full_outer_nation_presence join_semi_big_spenders
+#     join_anti_never_ordered join_range_price_bands
+#     join_asof_purchase_click join_cross_region_status
+#     join_shipping_priority_top10 join_hint_broadcast_sql
+#     sort_null_ordering setop_union_all_nation_rows
+#     setop_union_distinct setop_intersect_buyers_building
 _DRIVER_FIRST: tuple[str, ...] = (
     # --- the 37 never-driver-checked oracled queries (full backlog) ---
     "dedup_prefix_filter_jaccard",

@@ -41,7 +41,12 @@ def _canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return ("f", "NaN")
-        return ("f", v)
+        # repr is shortest-roundtrip: bit-exact for every finite double
+        # and, unlike the raw float (hash(-0.0) == hash(0.0) makes
+        # Counter conflate them), it distinguishes signed zeros — a
+        # stringifying driver hasher sees '-0.0' != '0.0', so this
+        # comparator must too (round-7 negative-zero gate).
+        return ("f", repr(v))
     if isinstance(v, int):
         return ("i", v)
     # dates, datetimes, decimals, strings -> canonical string

@@ -234,3 +234,65 @@ def test_finite_guard_unit_contract(spark):
         bad = spark.createDataFrame([(1.0,), (poison,)], "v double")
         with pytest.raises(Exception, match="non-finite double"):
             bad.agg(dsum("v").alias("s")).collect()
+
+
+@pytest.fixture(scope="module")
+def negzero_sf_dir(tmp_path_factory, sf_dir) -> str:
+    """Twin with IEEE negative zeros: ~3% of events.value replaced by
+    -0.0, and HALF of lineitem's exact-0.0 l_discount / l_tax values
+    bit-flipped to -0.0 (numerically identical input, so any
+    divergence is a pure signed-zero semantics bug). -0.0 is absent
+    from the generated testbed but routine in real data (rounding of
+    small negatives, float subtraction), and the two engines differ in
+    WHERE they normalize it (group keys, min/max, string casts) — a
+    stringifying hasher sees '-0.0' != '0.0', so emissions must be
+    normalized identically on both sides."""
+    import duckdb
+
+    from bigdata_project_spark.tables import TABLES
+
+    dst = tmp_path_factory.mktemp("negzero_sf")
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            if t in ("events", "lineitem"):
+                continue
+            con.execute(
+                f"COPY (SELECT * FROM '{sf_dir}/{t}.parquet') TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+            )
+        con.execute(f"""
+            COPY (
+                SELECT * REPLACE (
+                    CASE WHEN hash(CAST(event_id AS VARCHAR) || 'nz') % 100 < 3
+                         THEN '-0.0'::DOUBLE ELSE value END AS value
+                ) FROM '{sf_dir}/events.parquet'
+            ) TO '{dst}/events.parquet' (FORMAT PARQUET)
+        """)
+        con.execute(f"""
+            COPY (
+                SELECT * REPLACE (
+                    CASE WHEN l_discount = 0.0
+                          AND hash(CAST(l_orderkey AS VARCHAR) || CAST(l_linenumber AS VARCHAR)) % 2 = 0
+                         THEN '-0.0'::DOUBLE ELSE l_discount END AS l_discount,
+                    CASE WHEN l_tax = 0.0
+                          AND hash(CAST(l_orderkey AS VARCHAR) || CAST(l_linenumber AS VARCHAR)) % 2 = 1
+                         THEN '-0.0'::DOUBLE ELSE l_tax END AS l_tax
+                ) FROM '{sf_dir}/lineitem.parquet'
+            ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)
+        """)
+        n_nz = con.sql(
+            f"SELECT count(*) FROM '{dst}/events.parquet' WHERE value = 0.0 AND signbit(value)"
+        ).fetchone()[0]
+        assert n_nz > 0, "negative-zero injection is vacuous"
+    finally:
+        con.close()
+    return str(dst)
+
+
+def test_every_query_agrees_with_oracle_on_negative_zeros(spark, negzero_sf_dir):
+    """Full-registry sweep on the signed-zero twin, under the
+    bit-exact float comparator (tests/oracle.py canonicalizes floats
+    via repr, so '-0.0' vs '0.0' is a mismatch exactly as it would be
+    for a stringifying driver hasher)."""
+    bad = _sweep(spark, negzero_sf_dir)
+    assert not bad, "signed-zero divergences:\n" + "\n".join(bad)

@@ -68,6 +68,25 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Byte-faithful payload decode for the oracles: hex(encode(text))
+# yields two uppercase hex digits per UTF-8 BYTE, so b is the true
+# byte value for any text (multibyte included) — exactly what the
+# Spark side's bytes-in Python decoder sees. The previous
+# ascii(substring(text, i, 1)) form walked codepoints and was only
+# byte-equal on ASCII corpora (caught by the round-7 unicode twin).
+_SQL_BYTES = """
+    hexed AS (
+        SELECT doc_id, hex(encode(text)) AS h FROM documents
+    ),
+    bytes AS (
+        SELECT doc_id,
+               (instr('0123456789ABCDEF', substring(h, 2 * CAST(i AS INT) - 1, 1)) - 1) * 16
+               + (instr('0123456789ABCDEF', substring(h, 2 * CAST(i AS INT), 1)) - 1) AS b
+        FROM hexed, unnest(generate_series(1, CAST(length(h) / 2 AS BIGINT))) AS t(i)
+    )
+"""
+
+
 _FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -96,17 +115,15 @@ def decode_image(payload: bytes) -> dict:
 
 @query(
     "multimodal_decode_features",
-    # The stand-in decoder computes byte statistics; the testbed corpus is
-    # pure ASCII (verified: octet_length(encode(text)) == length(text) at
-    # every sf), so each byte is ascii(char) and DuckDB can replay the
-    # histogram exactly: integer counts, then one exact int/int -> double
-    # division per cell (IEEE-identical in both engines).
-    oracle="""
-    WITH bytes AS (
-        SELECT doc_id,
-               ascii(substring(text, CAST(i AS INT), 1)) AS b
-        FROM documents, unnest(generate_series(1, length(text))) AS t(i)
-    ),
+    # The stand-in decoder computes byte statistics over the UTF-8
+    # payload; the oracle replays them BYTE-faithfully by hex-decoding
+    # encode(text) (round 7 — the previous ascii(substring(...)) form
+    # walked CODEPOINTS, which only equals bytes on ASCII corpora and
+    # diverged on the multilingual twin). Integer counts, then one
+    # exact int/int -> double division per cell (IEEE-identical in
+    # both engines).
+    oracle=f"""
+    WITH {_SQL_BYTES},
     stats AS (
         SELECT doc_id,
                count(*) AS n,
@@ -205,12 +222,8 @@ _KNN_TOP_K = 5
 # integer-count ratio -> exact double division -> REAL cast (same
 # rounding as Spark's float cast), then the cosine is the similarity
 # module's exact left-associated double chain
-_SQL_FEATS = """
-    bytes AS (
-        SELECT doc_id,
-               ascii(substring(text, CAST(i AS INT), 1)) AS b
-        FROM documents, unnest(generate_series(1, length(text))) AS t(i)
-    ),
+_SQL_FEATS = f"""
+    {_SQL_BYTES},
     stats AS (
         SELECT doc_id, count(*) AS n,
                sum(CASE WHEN b >> 5 = 0 THEN 1 ELSE 0 END) AS h0,

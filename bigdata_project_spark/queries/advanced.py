@@ -291,7 +291,14 @@ def udtf_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, doc_id: int, text: str):
             if text is None:  # null doc -> no tokens (oracle: unnest(NULL) -> 0 rows)
                 return
-            for tok in sorted(set(t for t in text.lower().split() if t)):
+            import re
+
+            # explicit ASCII whitespace class, matching the oracle's
+            # RE2 \s ([ \t\n\f\r]) and the JVM tokenizer family.
+            # Python's str.split() would ALSO split on unicode spaces
+            # (NBSP, U+2000..) and silently diverge on multilingual
+            # text — caught by the round-7 unicode twin gate.
+            for tok in sorted(set(t for t in re.split(r"[ \t\n\f\r]+", text.lower()) if t)):
                 yield doc_id, tok
 
     docs = load(spark, sf_dir, "documents")

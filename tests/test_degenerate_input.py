@@ -296,3 +296,105 @@ def test_every_query_agrees_with_oracle_on_negative_zeros(spark, negzero_sf_dir)
     for a stringifying driver hasher)."""
     bad = _sweep(spark, negzero_sf_dir)
     assert not bad, "signed-zero divergences:\n" + "\n".join(bad)
+
+
+# engine-agreeing unicode repertoire (probed round 7): Vietnamese
+# diacritics, CJK, emoji ZWJ sequences, NBSP, zero-width space,
+# combining marks, curly punctuation, a long multibyte token. The
+# KNOWN-DIVERGENT repertoire (Java full case mapping vs utf8proc
+# simple folding; byte-based oracle levenshtein) is deliberately
+# excluded here and pinned in test_known_unicode_divergences below.
+_UNI_SUFFIX = (
+    " Việt-Nam 日本語テキスト "
+    "\U0001f469‍\U0001f469‍\U0001f467 café naïve"
+    "​“trích dẫn” – é… "
+    + "ký" * 24
+)
+
+
+@pytest.fixture(scope="module")
+def unicode_sf_dir(tmp_path_factory, sf_dir) -> str:
+    """Twin with multilingual text: ~10% of documents get a unicode
+    suffix (appended, so the ASCII 32-char prefix window of the
+    edit-distance blocker is untouched — the oracle's levenshtein is
+    byte-based, see test_known_unicode_divergences). Everything
+    downstream of text — tokenizers, shingles, minhash, n-gram
+    jaccard, quality metrics, langid, surprisal, chunking — must
+    treat multibyte input identically in both engines."""
+    import duckdb
+
+    from bigdata_project_spark.tables import TABLES
+
+    dst = tmp_path_factory.mktemp("unicode_sf")
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            if t == "documents":
+                continue
+            con.execute(
+                f"COPY (SELECT * FROM '{sf_dir}/{t}.parquet') TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+            )
+        con.execute(
+            f"""
+            COPY (
+                SELECT * REPLACE (
+                    CASE WHEN hash(CAST(doc_id AS VARCHAR) || 'uni') % 10 = 0
+                         THEN text || ? ELSE text END AS text
+                ) FROM '{sf_dir}/documents.parquet'
+            ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+            """,
+            [_UNI_SUFFIX],
+        )
+        n = con.sql(f"SELECT count(*) FROM '{dst}/documents.parquet' WHERE text LIKE '%café%'").fetchone()[0]
+        assert n > 0, "unicode injection is vacuous"
+    finally:
+        con.close()
+    return str(dst)
+
+
+def test_every_query_agrees_with_oracle_on_unicode_text(spark, unicode_sf_dir):
+    """Full-registry sweep on the multilingual twin: the generated
+    testbed is ASCII-only, so oracle green there proves nothing about
+    multibyte text — the corpus reality at 100 TB web scale."""
+    bad = _sweep(spark, unicode_sf_dir)
+    assert not bad, "unicode-text divergences:\n" + "\n".join(bad)
+
+
+def test_known_unicode_divergences(spark):
+    """Pin the cross-engine unicode divergences discovered in round 7
+    so drift in either engine is detected, and the input contract
+    stays documented in one place:
+
+    - CASE MAPPING: Spark uses Java's full, context-aware case
+      mapping; DuckDB (utf8proc) uses simple 1:1 folding. Divergent
+      inputs: upper('ß') SS vs ẞ, upper('ﬁ') FI vs
+      unchanged ligature, lower('İ') i+combining-dot vs plain i,
+      lower of final-position 'Σ' ς vs σ. Production
+      contract: NFKC-casefold multilingual corpora at the bronze ->
+      silver boundary (the lakehouse-standard posture) before
+      engine-portable lower()/upper() comparisons.
+    - LEVENSHTEIN: Spark counts codepoints (the correct string-metric
+      semantics, and what ships); DuckDB's levenshtein counts BYTES,
+      so the edit-distance oracle is only faithful on ASCII prefixes
+      (the testbed contract; see dedup_editdistance_blocked, whose
+      32-char block prefix stays ASCII under the unicode twin).
+    """
+    import duckdb
+
+    row = spark.sql(
+        "SELECT upper('ß') AS ub, lower('İ') AS li, "
+        "lower('ΑΣ') AS fs, upper('ﬁ') AS lig, "
+        "levenshtein('é', 'e') AS lev"
+    ).collect()[0]
+    assert (row["ub"], row["li"], row["fs"], row["lig"], row["lev"]) == (
+        "SS", "i̇", "ας", "FI", 1
+    )
+    con = duckdb.connect()
+    try:
+        d = con.sql(
+            "SELECT upper('ß'), lower('İ'), lower('ΑΣ'), "
+            "upper('ﬁ'), levenshtein('é', 'e')"
+        ).fetchone()
+    finally:
+        con.close()
+    assert d == ("ẞ", "i", "ασ", "ﬁ", 2)

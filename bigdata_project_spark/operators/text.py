@@ -39,9 +39,9 @@ _LANG_MARKERS = {
            length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace_chars,
            len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
            CAST(len(regexp_extract_all(lower(text), '\\b(the|a|of|and|is)\\b')) AS DOUBLE)
-             / len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS stopword_ratio,
+             / NULLIF(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')), 0) AS stopword_ratio,
            CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-             / len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS avg_token_len
+             / NULLIF(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')), 0) AS avg_token_len
     FROM documents
     """,
     tags=("text", "llm"),
@@ -49,7 +49,11 @@ _LANG_MARKERS = {
 def text_stats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring statistics: char/token counts, punctuation,
     stopword ratio, average token length — the standard LLM-corpus
-    quality features, all as single-pass JVM expressions."""
+    quality features, all as single-pass JVM expressions. Zero-token
+    documents (empty / whitespace-only text — routine at corpus
+    scale) get NULL ratios via an explicit NULLIF denominator in both
+    engines; an unguarded divide hard-errors under ANSI on the first
+    empty document (found by the round-7 edge-strings twin)."""
     docs = load(spark, sf_dir, "documents")
     tokens = F.array_remove(F.split(F.lower(F.col("text")), r"\s+"), "")
     n_tokens = F.size(tokens)
@@ -61,10 +65,11 @@ def text_stats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens.alias("n_tokens"),
         n_nonspace.alias("n_nonspace_chars"),
         F.regexp_count("text", F.lit(r"[.,!?;:]")).alias("n_punct"),
-        (F.regexp_count(F.lower("text"), F.lit(r"\b(the|a|of|and|is)\b")).cast("double") / n_tokens).alias(
-            "stopword_ratio"
-        ),
-        (n_nonspace.cast("double") / n_tokens).alias("avg_token_len"),
+        (
+            F.regexp_count(F.lower("text"), F.lit(r"\b(the|a|of|and|is)\b")).cast("double")
+            / F.nullif(n_tokens, F.lit(0))
+        ).alias("stopword_ratio"),
+        (n_nonspace.cast("double") / F.nullif(n_tokens, F.lit(0))).alias("avg_token_len"),
     )
 
 
@@ -132,7 +137,7 @@ def text_langid_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpe_tokens,
            len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_ws_tokens,
            CAST(length(text) AS DOUBLE)
-             / len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS chars_per_token
+             / NULLIF(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')), 0) AS chars_per_token
     FROM documents
     """,
     tags=("text", "llm", "tokenize"),
@@ -140,7 +145,9 @@ def text_langid_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace tokens and a BPE-ish regex
     tokenization (word runs + single non-space punctuation) — the
-    cheap token-budget estimator for corpus sizing."""
+    cheap token-budget estimator for corpus sizing. Zero-token
+    documents get a NULL chars_per_token via NULLIF in both engines
+    (round-7 edge-strings twin; unguarded ANSI divide hard-errors)."""
     docs = load(spark, sf_dir, "documents")
     n_bpe = F.regexp_count("text", F.lit(r"\w+|[^\w\s]"))
     n_ws = F.size(F.array_remove(F.split(F.col("text"), r"\s+"), ""))
@@ -148,7 +155,7 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_bpe.alias("n_bpe_tokens"),
         n_ws.alias("n_ws_tokens"),
-        (F.length("text").cast("double") / n_bpe).alias("chars_per_token"),
+        (F.length("text").cast("double") / F.nullif(n_bpe, F.lit(0))).alias("chars_per_token"),
     )
 
 

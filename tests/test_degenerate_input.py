@@ -398,3 +398,54 @@ def test_known_unicode_divergences(spark):
     finally:
         con.close()
     assert d == ("ẞ", "i", "ασ", "ﬁ", 2)
+
+
+@pytest.fixture(scope="module")
+def edgestring_sf_dir(tmp_path_factory, sf_dir) -> str:
+    """Twin with degenerate document texts: ~2% empty string, ~2%
+    whitespace-only, ~1% a single character (deterministic by doc_id
+    hash; n_chars left as stored — a catalog stat can be stale, the
+    operators must survive the text itself). The generated testbed's
+    shortest document is 47 chars, so zero-token paths — quality-rule
+    denominators, shingles shorter than k, empty prefix blocks,
+    surprisal over an empty vocabulary — are never exercised by the
+    driver data, yet empty documents are routine at corpus scale.
+    Spark and DuckDB also disagree on double/0 (Inf vs NULL), so any
+    unguarded tokens-per-doc denominator diverges here."""
+    import duckdb
+
+    from bigdata_project_spark.tables import TABLES
+
+    dst = tmp_path_factory.mktemp("edgestring_sf")
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            if t == "documents":
+                continue
+            con.execute(
+                f"COPY (SELECT * FROM '{sf_dir}/{t}.parquet') TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+            )
+        con.execute(f"""
+            COPY (
+                SELECT * REPLACE (
+                    CASE
+                        WHEN hash(CAST(doc_id AS VARCHAR) || 'edge') % 100 < 2 THEN ''
+                        WHEN hash(CAST(doc_id AS VARCHAR) || 'edge') % 100 < 4 THEN '   '
+                        WHEN hash(CAST(doc_id AS VARCHAR) || 'edge') % 100 < 5 THEN 'x'
+                        ELSE text
+                    END AS text
+                ) FROM '{sf_dir}/documents.parquet'
+            ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+        """)
+        n = con.sql(f"SELECT count(*) FROM '{dst}/documents.parquet' WHERE text = ''").fetchone()[0]
+        assert n > 0, "edge-string injection is vacuous"
+    finally:
+        con.close()
+    return str(dst)
+
+
+def test_every_query_agrees_with_oracle_on_edge_strings(spark, edgestring_sf_dir):
+    """Full-registry sweep on the empty/whitespace/single-char
+    document twin."""
+    bad = _sweep(spark, edgestring_sf_dir)
+    assert not bad, "edge-string divergences:\n" + "\n".join(bad)

@@ -678,3 +678,60 @@ def qa_nonfinite_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ev.unionByName(li)
+
+
+@query(
+    "qa_nonfinite_embeddings",
+    oracle="""
+    SELECT 'embeddings' AS table_name, 'embedding' AS column_name,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN len(list_filter(embedding, x -> isnan(x))) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_vec_nan,
+           CAST(SUM(CASE WHEN len(list_filter(embedding, x -> isinf(x))) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_vec_inf,
+           CAST(SUM(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_vec_null,
+           CAST(SUM(CASE WHEN embedding IS NOT NULL
+                          AND len(list_filter(embedding, x -> x <> 0.0)) = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_vec_zero
+    FROM embeddings
+    """,
+    tags=("qa", "agg", "profiling", "similarity"),
+)
+def qa_nonfinite_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-health audit for the similarity tier: counts of
+    embedding vectors containing NaN, containing ±Inf, NULL vectors,
+    and all-zero vectors (round 7 — completes the non-finite posture
+    of qa_nonfinite_values for the ANN/kNN family).
+
+    Why load-bearing: a NaN entry makes every cosine against that
+    vector NaN; NaN sorts GREATEST in both engines, so one poisoned
+    vector silently occupies rank 1 of every top-k it reaches — worse
+    than a crash. Zero vectors make cosine 0/0 (the r6 zero-norm
+    guards exclude them explicitly). At 100 TB this audit runs at the
+    embedding-ingest boundary and gates the similarity tier the same
+    way qa_nonfinite_values gates the exact-sum tier: rows flagged
+    here are quarantined upstream.
+
+    Scale: ONE map-side combined pass, no explode — per-row flags via
+    array EXISTS (JVM higher-order functions), then a single global
+    aggregate; output is one row."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    has_nan = F.exists(emb, lambda x: F.isnan(x))
+    has_inf = F.exists(emb, lambda x: F.abs(x) == F.lit(float("inf")))
+    is_zero = emb.isNotNull() & ~F.exists(emb, lambda x: x != 0.0)
+    return e.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(has_nan, 1).otherwise(0)).alias("n_vec_nan"),
+        F.sum(F.when(has_inf, 1).otherwise(0)).alias("n_vec_inf"),
+        F.sum(F.when(emb.isNull(), 1).otherwise(0)).alias("n_vec_null"),
+        F.sum(F.when(is_zero, 1).otherwise(0)).alias("n_vec_zero"),
+    ).select(
+        F.lit("embeddings").alias("table_name"),
+        F.lit("embedding").alias("column_name"),
+        "n_rows",
+        "n_vec_nan",
+        "n_vec_inf",
+        "n_vec_null",
+        "n_vec_zero",
+    )

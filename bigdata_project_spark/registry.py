@@ -111,12 +111,13 @@ _LOADED = False
 # excluded: their correctness gate is the +/-5%-of-exact property
 # tests in tests/, not a driver hash (see COVERAGE.md).
 #
-# Round-8 final cohort: EMPTY — once this window lands green, every
-# one of the 270 oracled queries has a driver-green row in some round
-# (the book is closed). Round 8 rotates to the 50 oldest-last-checked
-# as a pure regression sweep (computed from CORRECTNESS_r01-r06 +
-# this window; 28 round-2-vintage + 22 round-3-vintage, registration
-# order within vintage):
+# Round-8 final cohort: qa_nonfinite_embeddings (the one oracled
+# query added AFTER the r7 window froze — the embeddings vector-
+# health audit — put it FIRST in the r8 window so no never-checked
+# debt survives) + the 49 oldest-last-checked as a pure regression
+# sweep (computed from CORRECTNESS_r01-r06 + this window; vintage
+# r2/r3, registration order within vintage; drop the last r3 name
+# below to stay at 50):
 #   r2 vintage: dedup_exact_hash dedup_simhash64
 #     dedup_fingerprint_winnow multimodal_binary_metadata
 #     multimodal_decode_features sim_knn_bruteforce sim_ann_ivf_probe

@@ -449,3 +449,66 @@ def test_every_query_agrees_with_oracle_on_edge_strings(spark, edgestring_sf_dir
     document twin."""
     bad = _sweep(spark, edgestring_sf_dir)
     assert not bad, "edge-string divergences:\n" + "\n".join(bad)
+
+
+def test_embedding_audit_counts_poisoned_vectors(spark, sf_dir, tmp_path_factory):
+    """qa_nonfinite_embeddings on a vector-poisoned twin: NaN / Inf
+    entries, NULL vectors, and all-zero vectors injected into known
+    rows must be counted exactly (and the audit stays oracle-green on
+    the twin). The similarity tier's precondition is gated by this
+    audit the same way the exact-sum tier is gated by
+    qa_nonfinite_values."""
+    import duckdb
+
+    from bigdata_project_spark.registry import REGISTRY, all_queries
+    from bigdata_project_spark.tables import TABLES
+
+    dst = tmp_path_factory.mktemp("vecpoison_sf")
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            if t != "embeddings":
+                con.execute(
+                    f"COPY (SELECT * FROM '{sf_dir}/{t}.parquet') TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+                )
+        con.execute(f"""
+            COPY (
+                SELECT * REPLACE (
+                    CASE
+                        WHEN vec_id % 101 = 0 THEN list_transform(embedding,
+                            (x, i) -> CASE WHEN i = 1 THEN 'NaN'::REAL ELSE x END)
+                        WHEN vec_id % 101 = 1 THEN list_transform(embedding,
+                            (x, i) -> CASE WHEN i = 2 THEN 'Infinity'::REAL ELSE x END)
+                        WHEN vec_id % 101 = 2 THEN NULL
+                        WHEN vec_id % 101 = 3 THEN list_transform(embedding, x -> 0.0::REAL)
+                        ELSE embedding
+                    END AS embedding
+                ) FROM '{sf_dir}/embeddings.parquet'
+            ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
+        """)
+        expected = con.sql(f"""
+            SELECT SUM(CASE WHEN vec_id % 101 = 0 THEN 1 ELSE 0 END),
+                   SUM(CASE WHEN vec_id % 101 = 1 THEN 1 ELSE 0 END),
+                   SUM(CASE WHEN vec_id % 101 = 2 THEN 1 ELSE 0 END),
+                   SUM(CASE WHEN vec_id % 101 = 3 THEN 1 ELSE 0 END)
+            FROM '{sf_dir}/embeddings.parquet'
+        """).fetchone()
+    finally:
+        con.close()
+
+    row = all_queries()["qa_nonfinite_embeddings"](spark, str(dst)).collect()[0]
+    got = (row["n_vec_nan"], row["n_vec_inf"], row["n_vec_null"], row["n_vec_zero"])
+    assert got == tuple(expected)
+    assert all(c > 0 for c in got)  # injection non-vacuous
+
+    con = duckdb_con(str(dst))
+    try:
+        res = compare(
+            "qa_nonfinite_embeddings",
+            all_queries()["qa_nonfinite_embeddings"](spark, str(dst)),
+            con,
+            REGISTRY["qa_nonfinite_embeddings"].oracle,
+        )
+        assert res.ok, res.detail
+    finally:
+        con.close()

@@ -735,3 +735,74 @@ def qa_nonfinite_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vec_null",
         "n_vec_zero",
     )
+
+
+# declared validity window for event-time columns: wide enough for any
+# legitimate business data in this domain, tight enough to catch parser
+# garbage (pre-epoch seconds-vs-micros confusions, year-9999 sentinels)
+_TS_VALID_LO = "1990-01-01 00:00:00"
+_TS_VALID_HI = "2035-01-01 00:00:00"
+
+
+def _ts_sql_row(table: str, col: str) -> str:
+    return f"""
+    SELECT '{table}' AS table_name, '{col}' AS column_name,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(SUM(CASE WHEN {col} < TIMESTAMP '{_TS_VALID_LO}' THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
+           CAST(SUM(CASE WHEN {col} >= TIMESTAMP '{_TS_VALID_HI}' THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+           epoch_us(min({col})) AS min_ts_us,
+           epoch_us(max({col})) AS max_ts_us
+    FROM {table}"""
+
+
+_TS_AUDIT_COLS = (("events", "ts"), ("orders", "o_orderdate"), ("lineitem", "l_shipdate"))
+
+
+@query(
+    "qa_timestamp_bounds",
+    oracle=" UNION ALL ".join(_ts_sql_row(t, c) for t, c in _TS_AUDIT_COLS),
+    tags=("qa", "agg", "profiling"),
+)
+def qa_timestamp_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time validity audit: per timestamp column, NULL count,
+    rows before/after the declared validity window, and observed
+    min/max (round 7 — completes the corrupt-data-is-gated posture
+    for the TIME dimension, alongside qa_nonfinite_values for double
+    measures and qa_nonfinite_embeddings for vectors).
+
+    Why load-bearing: pre-epoch timestamps are the one place the
+    engine's two bucketing idioms disagree with each other — Spark's
+    window()/date_trunc FLOOR while unix_micros-div arithmetic
+    TRUNCATES toward zero (probed round 7: 1969-12-31 22:30 buckets
+    to 22:00 vs 23:00) — and a seconds-vs-micros parser confusion
+    lands exactly there. Far-future sentinels (9999-12-31) similarly
+    poison watermarks: one such event silently evicts every
+    legitimate row from a watermarked stream. The audit runs at the
+    bronze -> silver boundary; rows it flags are quarantined before
+    any windowed tier sees them, so every bucketing idiom operates
+    inside the range where they all agree.
+
+    Scale: one map-side combined aggregate pass per table, O(#cols)
+    output rows, no shuffle beyond the 1-row partials."""
+    out = []
+    for table, col in _TS_AUDIT_COLS:
+        c = F.col(col)
+        out.append(
+            load(spark, sf_dir, table).agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.when(c.isNull(), 1).otherwise(0)).alias("n_null"),
+                F.sum(F.when(c < F.lit(_TS_VALID_LO).cast("timestamp"), 1).otherwise(0)).alias("n_before"),
+                F.sum(F.when(c >= F.lit(_TS_VALID_HI).cast("timestamp"), 1).otherwise(0)).alias("n_after"),
+                F.unix_micros(F.min(c)).alias("min_ts_us"),
+                F.unix_micros(F.max(c)).alias("max_ts_us"),
+            ).select(
+                F.lit(table).alias("table_name"),
+                F.lit(col).alias("column_name"),
+                "n_rows", "n_null", "n_before", "n_after", "min_ts_us", "max_ts_us",
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res

@@ -111,13 +111,14 @@ _LOADED = False
 # excluded: their correctness gate is the +/-5%-of-exact property
 # tests in tests/, not a driver hash (see COVERAGE.md).
 #
-# Round-8 final cohort: qa_nonfinite_embeddings (the one oracled
-# query added AFTER the r7 window froze — the embeddings vector-
-# health audit — put it FIRST in the r8 window so no never-checked
-# debt survives) + the 49 oldest-last-checked as a pure regression
-# sweep (computed from CORRECTNESS_r01-r06 + this window; vintage
-# r2/r3, registration order within vintage; drop the last r3 name
-# below to stay at 50):
+# Round-8 final cohort: the two oracled queries added AFTER the r7
+# window froze — qa_nonfinite_embeddings (vector-health audit) and
+# qa_timestamp_bounds (event-time validity audit) — go FIRST in the
+# r8 window so no never-checked debt survives, followed by the
+# oldest-last-checked regression sweep (computed from
+# CORRECTNESS_r01-r06 + this window; vintage r2/r3, registration
+# order within vintage; drop the last two r3 names below to stay at
+# 50):
 #   r2 vintage: dedup_exact_hash dedup_simhash64
 #     dedup_fingerprint_winnow multimodal_binary_metadata
 #     multimodal_decode_features sim_knn_bruteforce sim_ann_ivf_probe

@@ -512,3 +512,60 @@ def test_embedding_audit_counts_poisoned_vectors(spark, sf_dir, tmp_path_factory
         assert res.ok, res.detail
     finally:
         con.close()
+
+
+def test_timestamp_audit_counts_corrupt_rows(spark, sf_dir, tmp_path_factory):
+    """qa_timestamp_bounds on a time-poisoned twin: pre-epoch
+    timestamps (the seconds-vs-micros parser confusion, where floor-
+    vs-truncate bucketing idioms genuinely diverge) and far-future
+    sentinels (watermark poison) injected into known events rows must
+    be counted exactly, and the audit stays oracle-green on the
+    twin."""
+    import duckdb
+
+    from bigdata_project_spark.registry import REGISTRY, all_queries
+    from bigdata_project_spark.tables import TABLES
+
+    dst = tmp_path_factory.mktemp("tspoison_sf")
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            if t != "events":
+                con.execute(
+                    f"COPY (SELECT * FROM '{sf_dir}/{t}.parquet') TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+                )
+        con.execute(f"""
+            COPY (
+                SELECT * REPLACE (
+                    CASE
+                        WHEN event_id % 97 = 0 THEN TIMESTAMP '1969-12-31 22:30:00'
+                        WHEN event_id % 97 = 1 THEN TIMESTAMP '9999-12-31 00:00:00'
+                        ELSE ts
+                    END AS ts
+                ) FROM '{sf_dir}/events.parquet'
+            ) TO '{dst}/events.parquet' (FORMAT PARQUET)
+        """)
+        n_before_exp, n_after_exp = con.sql(f"""
+            SELECT SUM(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END),
+                   SUM(CASE WHEN event_id % 97 = 1 THEN 1 ELSE 0 END)
+            FROM '{sf_dir}/events.parquet'
+        """).fetchone()
+    finally:
+        con.close()
+
+    rows = {r["table_name"]: r for r in all_queries()["qa_timestamp_bounds"](spark, str(dst)).collect()}
+    ev = rows["events"]
+    assert (ev["n_before"], ev["n_after"]) == (n_before_exp, n_after_exp)
+    assert n_before_exp > 0 and n_after_exp > 0  # injection non-vacuous
+
+    con = duckdb_con(str(dst))
+    try:
+        res = compare(
+            "qa_timestamp_bounds",
+            all_queries()["qa_timestamp_bounds"](spark, str(dst)),
+            con,
+            REGISTRY["qa_timestamp_bounds"].oracle,
+        )
+        assert res.ok, res.detail
+    finally:
+        con.close()

@@ -98,5 +98,22 @@ def SQL_DSUM(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
 
 
+def SPARK_SQL_DSUM(expr: str) -> str:
+    """Spark-side SQL-string spelling of `dsum` for spark.sql()
+    queries: same fail-loudly non-finite guard, same decimal(38,6)
+    route. Needed because Spark's ANSI cast silently NULLs
+    NaN/Inf->DECIMAL (DuckDB raises) — a bare CAST inside SUM in a
+    spark.sql() string is the same silent-corruption defect class
+    `_finite_or_error` closes for the DataFrame API (ADVICE r7: the
+    SQL-string spelling was unguarded)."""
+    guarded = (
+        f"CASE WHEN isnan({expr}) OR abs({expr}) = double('Infinity') THEN "
+        f"raise_error(CONCAT('non-finite double reached the exact-sum tier; "
+        f"gate upstream with qa_nonfinite_values: ', CAST({expr} AS STRING))) "
+        f"ELSE {expr} END"
+    )
+    return f"CAST(SUM(CAST({guarded} AS DECIMAL(38,6))) AS DOUBLE)"
+
+
 def SQL_DAVG(expr: str) -> str:
     return f"(CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({expr}))"

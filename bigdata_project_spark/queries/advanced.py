@@ -11,7 +11,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigdata_project_spark.exact import SQL_DSUM, dsum
+from bigdata_project_spark.exact import SPARK_SQL_DSUM, SQL_DSUM, dsum
 from bigdata_project_spark.registry import query
 from bigdata_project_spark.tables import load
 
@@ -41,11 +41,11 @@ def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
     load(spark, sf_dir, "region").createOrReplaceTempView("v_region")
     return spark.sql(
-        """
+        f"""
         SELECT r_name, n_name,
                CAST(grouping_id(r_name, n_name) AS INT) AS grp_id,
                COUNT(*) AS n_suppliers,
-               CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+               {SPARK_SQL_DSUM('s_acctbal')} AS total_bal
         FROM v_supplier
         JOIN v_nation ON s_nationkey = n_nationkey
         JOIN v_region ON n_regionkey = r_regionkey
@@ -294,10 +294,15 @@ def udtf_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             import re
 
             # explicit ASCII whitespace class, matching the oracle's
-            # RE2 \s ([ \t\n\f\r]) and the JVM tokenizer family.
-            # Python's str.split() would ALSO split on unicode spaces
-            # (NBSP, U+2000..) and silently diverge on multilingual
-            # text — caught by the round-7 unicode twin gate.
+            # RE2 \s ([ \t\n\f\r]). NOTE: Java's \s additionally
+            # matches \x0B (vertical tab), so the F.split-based
+            # queries would split on \x0B where this UDTF and the RE2
+            # oracles do not — a pinned engine divergence (see
+            # tests/test_degenerate_input.py \x0B coverage), not a
+            # shared contract. Python's str.split() would ALSO split
+            # on unicode spaces (NBSP, U+2000..) and silently diverge
+            # on multilingual text — caught by the round-7 unicode
+            # twin gate.
             for tok in sorted(set(t for t in re.split(r"[ \t\n\f\r]+", text.lower()) if t)):
                 yield doc_id, tok
 

@@ -719,7 +719,14 @@ def qa_nonfinite_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = F.col("embedding")
     has_nan = F.exists(emb, lambda x: F.isnan(x))
     has_inf = F.exists(emb, lambda x: F.abs(x) == F.lit(float("inf")))
-    is_zero = emb.isNotNull() & ~F.exists(emb, lambda x: x != 0.0)
+    # coalesce(exists, false): an all-NULL-element vector yields NULL
+    # from EXISTS under three-valued logic, but DuckDB's list_filter
+    # drops NULL-predicate elements (len 0 -> zero-vector) — treat the
+    # no-nonzero-evidence case as zero-vector in both engines (ADVICE
+    # r7: the divergence was real but untested)
+    is_zero = emb.isNotNull() & ~F.coalesce(
+        F.exists(emb, lambda x: x != 0.0), F.lit(False)
+    )
     return e.agg(
         F.count("*").alias("n_rows"),
         F.sum(F.when(has_nan, 1).otherwise(0)).alias("n_vec_nan"),

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from bigdata_project_spark.exact import SQL_DSUM, dsum
+from bigdata_project_spark.exact import SPARK_SQL_DSUM, SQL_DSUM, dsum
 from bigdata_project_spark.registry import query
 from bigdata_project_spark.tables import load
 
@@ -343,10 +343,10 @@ def join_hint_broadcast_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "nation").createOrReplaceTempView("v_h_nation")
     load(spark, sf_dir, "region").createOrReplaceTempView("v_h_region")
     return spark.sql(
-        """
+        f"""
         SELECT /*+ BROADCAST(v_h_nation), BROADCAST(v_h_region) */
                r_name, COUNT(*) AS n_suppliers,
-               CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+               {SPARK_SQL_DSUM('s_acctbal')} AS total_bal
         FROM v_h_supplier
         JOIN v_h_nation ON s_nationkey = n_nationkey
         JOIN v_h_region ON n_regionkey = r_regionkey

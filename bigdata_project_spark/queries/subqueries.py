@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigdata_project_spark.exact import SQL_DSUM
+from bigdata_project_spark.exact import SPARK_SQL_DSUM, SQL_DSUM
 from bigdata_project_spark.registry import query
 from bigdata_project_spark.tables import load
 
@@ -228,11 +228,11 @@ def sql_group_by_all_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     select item); identical plan to the explicit GROUP BY."""
     _views(spark, sf_dir, "events")
     return spark.sql(
-        """
+        f"""
         SELECT event_type,
                CAST(ts AS DATE) AS day,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+               {SPARK_SQL_DSUM('value')} AS total_value
         FROM v_sq_events
         GROUP BY ALL
         """

@@ -111,90 +111,75 @@ _LOADED = False
 # excluded: their correctness gate is the +/-5%-of-exact property
 # tests in tests/, not a driver hash (see COVERAGE.md).
 #
-# Round-8 final cohort: the two oracled queries added AFTER the r7
-# window froze — qa_nonfinite_embeddings (vector-health audit) and
-# qa_timestamp_bounds (event-time validity audit) — go FIRST in the
-# r8 window so no never-checked debt survives, followed by the
-# oldest-last-checked regression sweep (computed from
-# CORRECTNESS_r01-r06 + this window; vintage r2/r3, registration
-# order within vintage; drop the last two r3 names below to stay at
-# 50):
-#   r2 vintage: dedup_exact_hash dedup_simhash64
-#     dedup_fingerprint_winnow multimodal_binary_metadata
-#     multimodal_decode_features sim_knn_bruteforce sim_ann_ivf_probe
-#     sim_centroid_per_label join_salted_event_weights
-#     text_stats_quality text_langid_markers text_token_count_bpe
-#     text_quality_pandas_udf udaf_weighted_avg_discount text_tfidf_top3
-#     text_zscore_grouped_pandas text_bm25_topk sql_grouping_sets
-#     pivot_status_by_priority join_q5_regional_revenue
-#     scalar_geo_haversine_km scalar_string_advanced
-#     scalar_map_json_construction array_higher_order_functions
-#     udtf_tokenize_documents sample_stratified_hash
-#     cogroup_customer_orders_pandas window_ratio_to_report
-#   r3 vintage: arrow_map_component_stats arrow_grouped_label_extremes
-#     generator_posexplode_embedding_head generator_explode_outer_empty
-#     generator_stack_unpivot generator_inline_struct_array
-#     generator_unpivot_native join_revenue_per_nation
-#     join_broadcast_brand_volume join_left_outer_customer_orders
-#     join_full_outer_nation_presence join_semi_big_spenders
-#     join_anti_never_ordered join_range_price_bands
-#     join_asof_purchase_click join_cross_region_status
-#     join_shipping_priority_top10 join_hint_broadcast_sql
-#     sort_null_ordering setop_union_all_nation_rows
-#     setop_union_distinct setop_intersect_buyers_building
+# Round-8 window (exactly 50): never-checked debt first — the two
+# oracled audits added AFTER the r7 window froze (judge-verified green
+# at sf0.01 in r7) plus any queries newly registered THIS round — then
+# the oldest-last-checked regression sweep (vintage r2/r3 from
+# CORRECTNESS_r01-r07, registration order within vintage, trimmed from
+# the tail to keep the window at 50).
+#
+# Round-9 rotation queue (oldest-last-checked after this window
+# lands): the r3-vintage names trimmed from the tail below —
+#   join_hint_broadcast_sql sort_null_ordering
+#   setop_union_all_nation_rows setop_union_distinct
+#   setop_intersect_buyers_building
+# — then the r3 setop/window remainder (setop_intersect_all_parts,
+# setop_except_nonbuyers, setop_except_all_lineitem_extras,
+# setop_union_by_name_evolution, window_* r3 vintage), then r4.
 _DRIVER_FIRST: tuple[str, ...] = (
-    # --- the 37 never-driver-checked oracled queries (full backlog) ---
-    "dedup_prefix_filter_jaccard",
-    "dedup_containment_pairs",
-    "dedup_normalized_exact",
-    "multimodal_audio_chunk_plan",
-    "text_unigram_surprisal",
-    "quality_duplicate_passage_share",
-    "dedup_minhash_estimate_error",
-    "corpus_keep_best_per_cluster",
-    "corpus_quality_gate",
-    "sim_truncated_dim_recall",
-    "sim_maxsim_multivector",
-    "sim_ann_lsh_multiprobe",
-    "sim_recall_multiprobe",
-    "agg_histogram_fixed",
-    "scalar_string_format",
-    "qa_skew_histogram",
-    "qa_benford_leading_digit",
-    "qa_nonfinite_values",
-    "agg_correlation_matrix",
-    "agg_mode_exact",
-    "agg_winsorized_mean",
-    "events_markov_transitions",
-    "events_audience_overlap",
-    "events_longest_streak",
-    "events_dow_seasonality",
-    "events_session_depth_histogram",
-    "events_hour_profile",
-    "join_range_price_bands_binned",
-    "join_copurchase_lift",
-    "events_autocorr_lag7",
-    "events_freshness_lag",
-    "events_bot_flag_rules",
-    "window_forward_fill_ignore_nulls",
-    "stream_daily_distinct_users",
-    "stream_exactly_once_dedup",
-    "stream_stream_left_outer_join",
-    "stream_topk_types_daily",
-    # --- 13 re-confirmation slots: oldest driver rows (round 2) ---
-    "agg_collect_sorted",
-    "agg_conditional",
-    "agg_cube_status_priority",
-    "agg_distinct_per_segment",
-    "agg_median_exact",
-    "agg_minmaxby",
-    "agg_percentile_native",
-    "agg_pricing_summary",
-    "agg_regression_price_on_qty",
-    "agg_rollup_region_nation",
-    "agg_stats_moments",
-    "agg_two_stage_salted_flags",
-    "agg_user_event_entropy",
+    # --- never driver-checked: post-r7-freeze audits + r8 additions ---
+    "qa_nonfinite_embeddings",
+    "qa_timestamp_bounds",
+    "corpus_paragraph_dedup_rewrite",
+    "dedup_semantic_cells",
+    "silver_quarantine_split",
+    # --- re-confirmation: oldest driver rows (round 2 vintage) ---
+    "dedup_exact_hash",
+    "dedup_simhash64",
+    "dedup_fingerprint_winnow",
+    "multimodal_binary_metadata",
+    "multimodal_decode_features",
+    "sim_knn_bruteforce",
+    "sim_ann_ivf_probe",
+    "sim_centroid_per_label",
+    "join_salted_event_weights",
+    "text_stats_quality",
+    "text_langid_markers",
+    "text_token_count_bpe",
+    "text_quality_pandas_udf",
+    "udaf_weighted_avg_discount",
+    "text_tfidf_top3",
+    "text_zscore_grouped_pandas",
+    "text_bm25_topk",
+    "sql_grouping_sets",
+    "pivot_status_by_priority",
+    "join_q5_regional_revenue",
+    "scalar_geo_haversine_km",
+    "scalar_string_advanced",
+    "scalar_map_json_construction",
+    "array_higher_order_functions",
+    "udtf_tokenize_documents",
+    "sample_stratified_hash",
+    "cogroup_customer_orders_pandas",
+    "window_ratio_to_report",
+    # --- re-confirmation: round 3 vintage ---
+    "arrow_map_component_stats",
+    "arrow_grouped_label_extremes",
+    "generator_posexplode_embedding_head",
+    "generator_explode_outer_empty",
+    "generator_stack_unpivot",
+    "generator_inline_struct_array",
+    "generator_unpivot_native",
+    "join_revenue_per_nation",
+    "join_broadcast_brand_volume",
+    "join_left_outer_customer_orders",
+    "join_full_outer_nation_presence",
+    "join_semi_big_spenders",
+    "join_anti_never_ordered",
+    "join_range_price_bands",
+    "join_asof_purchase_click",
+    "join_cross_region_status",
+    "join_shipping_priority_top10",
 )
 
 

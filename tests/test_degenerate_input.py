@@ -74,6 +74,7 @@ def _sweep(spark, sf_dir: str) -> list[str]:
     return bad
 
 
+@pytest.mark.sweep
 def test_every_query_agrees_with_oracle_on_empty_input(spark, empty_sf_dir):
     bad = _sweep(spark, empty_sf_dir)
     assert not bad, "zero-row divergences:\n" + "\n".join(bad)
@@ -89,6 +90,7 @@ def null_sf_dir(tmp_path_factory, sf_dir) -> str:
     return str(dst)
 
 
+@pytest.mark.sweep
 def test_every_query_agrees_with_oracle_on_null_payloads(spark, null_sf_dir):
     """The driver testbed has ZERO nulls in any column, so the 270
     oracle matches prove nothing about null handling. This gate found
@@ -139,6 +141,7 @@ def nonfinite_sf_dir(tmp_path_factory, sf_dir) -> str:
     return str(dst)
 
 
+@pytest.mark.sweep
 def test_nonfinite_gate_catches_then_quarantine_restores(spark, nonfinite_sf_dir, tmp_path_factory):
     """The round-6 NaN/Inf probe showed 18 DECIMAL-routed aggregates
     hard-error in BOTH engines on a single NaN in events.value; the
@@ -289,6 +292,7 @@ def negzero_sf_dir(tmp_path_factory, sf_dir) -> str:
     return str(dst)
 
 
+@pytest.mark.sweep
 def test_every_query_agrees_with_oracle_on_negative_zeros(spark, negzero_sf_dir):
     """Full-registry sweep on the signed-zero twin, under the
     bit-exact float comparator (tests/oracle.py canonicalizes floats
@@ -352,6 +356,7 @@ def unicode_sf_dir(tmp_path_factory, sf_dir) -> str:
     return str(dst)
 
 
+@pytest.mark.sweep
 def test_every_query_agrees_with_oracle_on_unicode_text(spark, unicode_sf_dir):
     """Full-registry sweep on the multilingual twin: the generated
     testbed is ASCII-only, so oracle green there proves nothing about
@@ -378,26 +383,36 @@ def test_known_unicode_divergences(spark):
       so the edit-distance oracle is only faithful on ASCII prefixes
       (the testbed contract; see dedup_editdistance_blocked, whose
       32-char block prefix stays ASCII under the unicode twin).
+    - VERTICAL TAB \\x0B: Java's regex \\s includes \\x0B; RE2's (and
+      the explicit [ \\t\\n\\f\\r] class the UDTF tokenizer uses) does
+      not. So Spark's F.split(text, r'\\s+') splits on \\x0B while
+      every RE2 oracle keeps it inside the token (ADVICE r7). The
+      whitespace contract for engine-portable tokenization is the
+      explicit ASCII class; \\x0B-bearing text is out-of-contract for
+      the \\s+ query family, pinned here so drift in either engine is
+      caught.
     """
     import duckdb
 
     row = spark.sql(
         "SELECT upper('ß') AS ub, lower('İ') AS li, "
         "lower('ΑΣ') AS fs, upper('ﬁ') AS lig, "
-        "levenshtein('é', 'e') AS lev"
+        "levenshtein('é', 'e') AS lev, "
+        "size(split('ab', '\\\\s+')) AS vt"
     ).collect()[0]
-    assert (row["ub"], row["li"], row["fs"], row["lig"], row["lev"]) == (
-        "SS", "i̇", "ας", "FI", 1
+    assert (row["ub"], row["li"], row["fs"], row["lig"], row["lev"], row["vt"]) == (
+        "SS", "i̇", "ας", "FI", 1, 2
     )
     con = duckdb.connect()
     try:
         d = con.sql(
             "SELECT upper('ß'), lower('İ'), lower('ΑΣ'), "
-            "upper('ﬁ'), levenshtein('é', 'e')"
+            "upper('ﬁ'), levenshtein('é', 'e'), "
+            "len(string_split_regex('a' || chr(11) || 'b', '\\s+'))"
         ).fetchone()
     finally:
         con.close()
-    assert d == ("ẞ", "i", "ασ", "ﬁ", 2)
+    assert d == ("ẞ", "i", "ασ", "ﬁ", 2, 1)
 
 
 @pytest.fixture(scope="module")
@@ -444,6 +459,7 @@ def edgestring_sf_dir(tmp_path_factory, sf_dir) -> str:
     return str(dst)
 
 
+@pytest.mark.sweep
 def test_every_query_agrees_with_oracle_on_edge_strings(spark, edgestring_sf_dir):
     """Full-registry sweep on the empty/whitespace/single-char
     document twin."""
@@ -481,16 +497,24 @@ def test_embedding_audit_counts_poisoned_vectors(spark, sf_dir, tmp_path_factory
                             (x, i) -> CASE WHEN i = 2 THEN 'Infinity'::REAL ELSE x END)
                         WHEN vec_id % 101 = 2 THEN NULL
                         WHEN vec_id % 101 = 3 THEN list_transform(embedding, x -> 0.0::REAL)
+                        WHEN vec_id % 101 = 4 THEN list_transform(embedding, x -> NULL::REAL)
+                        WHEN vec_id % 101 = 5 THEN list_transform(embedding,
+                            (x, i) -> CASE WHEN i = 1 THEN NULL::REAL ELSE x END)
                         ELSE embedding
                     END AS embedding
                 ) FROM '{sf_dir}/embeddings.parquet'
             ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
         """)
+        # case 4 (all elements NULL) counts as a zero-vector in BOTH
+        # engines by contract: no nonzero evidence (ADVICE r7 — Spark's
+        # EXISTS yields NULL under 3VL, now coalesced to false; DuckDB's
+        # list_filter drops NULL-predicate elements). case 5 (one NULL
+        # element among nonzero ones) is NOT zero, NOT nan, NOT inf.
         expected = con.sql(f"""
             SELECT SUM(CASE WHEN vec_id % 101 = 0 THEN 1 ELSE 0 END),
                    SUM(CASE WHEN vec_id % 101 = 1 THEN 1 ELSE 0 END),
                    SUM(CASE WHEN vec_id % 101 = 2 THEN 1 ELSE 0 END),
-                   SUM(CASE WHEN vec_id % 101 = 3 THEN 1 ELSE 0 END)
+                   SUM(CASE WHEN vec_id % 101 IN (3, 4) THEN 1 ELSE 0 END)
             FROM '{sf_dir}/embeddings.parquet'
         """).fetchone()
     finally:

@@ -102,22 +102,71 @@ def test_scale_docstrings_on_scale_tagged_queries():
 
 def test_no_bare_double_decimal_casts_outside_exact():
     """Spark's ANSI cast silently NULLs NaN/Inf -> DECIMAL where DuckDB
-    raises, so a bare `.cast(DEC)` / `.cast("decimal(38,6)")` inside an
-    aggregate would drop poisoned rows and corrupt totals invisibly
-    (the round-7 defect class). Every double-target DECIMAL cast must
-    go through exact.dsum/davg/dcast, which carry the raise_error
-    guard. decimal(38,0) casts of already-integer cents columns are
-    fine — double->BIGINT raises CAST_OVERFLOW in both engines first."""
+    raises, so a bare `.cast(DEC)` / `.cast("decimal(38,6)")` /
+    `DecimalType(38, 6)` / SQL-string `CAST(x AS DECIMAL(38,6))` inside
+    an aggregate would drop poisoned rows and corrupt totals invisibly
+    (the round-7 defect class; ADVICE r7 widened the spellings — and
+    the widened net immediately caught a live instance in
+    join_hint_broadcast_sql's spark.sql() string). Every Spark-side
+    double-target DECIMAL cast must go through exact.dsum/davg/dcast/
+    SPARK_SQL_DSUM, which carry the raise_error guard.
+
+    Lines inside `oracle=` string arguments are exempt: those run in
+    DuckDB, where the bare cast RAISES on non-finite input — that is
+    the fail-loud behavior the guard exists to match. decimal(38,0)
+    casts of already-integer cents columns are fine — double->BIGINT
+    raises CAST_OVERFLOW in both engines first."""
+    import ast
     import pathlib
     import re
 
     pkg = pathlib.Path(__file__).resolve().parent.parent / "bigdata_project_spark"
-    pat = re.compile(r"\.cast\(\s*DEC\s*\)|\.cast\(\s*['\"]decimal\(38,\s*6\)")
+    pat = re.compile(
+        r"\.cast\(\s*DEC\s*\)"
+        r"|\.cast\(\s*['\"]decimal\(38,\s*6\)"
+        r"|DecimalType\(\s*38\s*,\s*6\s*\)"
+        r"|(?i:AS\s+DECIMAL\(38,\s*6\))"
+    )
     offenders = []
     for f in sorted(pkg.rglob("*.py")):
         if f.name == "exact.py":
             continue
-        for i, line in enumerate(f.read_text().splitlines(), 1):
-            if pat.search(line):
+        src = f.read_text()
+        tree = ast.parse(src)
+        oracle_lines: set[int] = set()
+        oracle_names: set[str] = set()  # constants interpolated into oracle f-strings
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Call):
+                for kw in node.keywords:
+                    if kw.arg == "oracle" and kw.value.end_lineno is not None:
+                        oracle_lines.update(range(kw.value.lineno, kw.value.end_lineno + 1))
+                        oracle_names.update(
+                            n.id for n in ast.walk(kw.value) if isinstance(n, ast.Name)
+                        )
+        # exempt the definitions of those oracle-only constants too
+        # (fixpoint: a constant may itself interpolate another one)
+        changed = True
+        while changed:
+            changed = False
+            for node in ast.walk(tree):
+                if (
+                    isinstance(node, ast.Assign)
+                    and len(node.targets) == 1
+                    and isinstance(node.targets[0], ast.Name)
+                    and node.targets[0].id in oracle_names
+                    and node.end_lineno is not None
+                    and node.lineno not in oracle_lines
+                ):
+                    oracle_lines.update(range(node.lineno, node.end_lineno + 1))
+                    before = len(oracle_names)
+                    oracle_names.update(
+                        n.id for n in ast.walk(node.value) if isinstance(n, ast.Name)
+                    )
+                    changed = changed or len(oracle_names) != before
+        for i, line in enumerate(src.splitlines(), 1):
+            if i not in oracle_lines and pat.search(line):
                 offenders.append(f"{f.relative_to(pkg.parent)}:{i}: {line.strip()}")
-    assert not offenders, "bare double->DECIMAL casts (use exact.dcast/dsum/davg):\n" + "\n".join(offenders)
+    assert not offenders, (
+        "bare Spark-side double->DECIMAL casts (use exact.dcast/dsum/davg/SPARK_SQL_DSUM):\n"
+        + "\n".join(offenders)
+    )

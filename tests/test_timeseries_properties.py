@@ -7,11 +7,18 @@ series, single-day series).
 from __future__ import annotations
 
 import datetime
+import os
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-_settings = settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+# default 6 keeps the suite fast; set TS_PROP_MAX_EXAMPLES=200 for a
+# deep one-off soak (the r7 flake was only drawn at higher counts)
+_settings = settings(
+    max_examples=int(os.environ.get("TS_PROP_MAX_EXAMPLES", "6")),
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
 
 # per event type: a short list of small daily counts (zeros allowed =
 # missing days, constants allowed = all-|CUSUM| ties)
@@ -66,7 +73,15 @@ def test_cusum_matches_python_bruteforce(spark, tmp_path_factory, tables):
     want = {}
     for etype, counts in tables.items():
         days = [(base + datetime.timedelta(days=i), n) for i, n in enumerate(counts) if n > 0]
-        if not days and etype == next(iter(tables)):
+        # the writer adds its placeholder event only when NO rows at
+        # all were written (every series all-zero) — mirror that
+        # exactly, not "this series is empty" (r7 verdict: a draw like
+        # {'view': [0], 'click': [1]} must NOT invent a 'view' row)
+        if (
+            not days
+            and etype == next(iter(tables))
+            and all(sum(c) == 0 for c in tables.values())
+        ):
             days = [(base, 1)]  # the placeholder event
         if not days:
             continue

@@ -15,6 +15,8 @@ from bigdata_project_spark.operators import (  # noqa: F401
     dedup_ext,
     multimodal,
     quality_ext,
+    rewrite,
+    semdedup,
     similarity,
     skew,
     text,

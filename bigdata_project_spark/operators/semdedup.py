@@ -1,0 +1,281 @@
+"""SemDeDup-style embedding-cluster dedup (round 8).
+
+The text-side near-dup family (MinHash/SimHash/Jaccard) catches
+lexical copies; SemDeDup (Abbas et al. 2023, arXiv:2303.09540)
+catches SEMANTIC duplicates — paraphrases, translations-of-templates,
+re-renderings — by clustering in embedding space and dropping
+all-but-one of each high-cosine group. This module composes three
+already-verified substrates into that operator:
+
+1. **Cell assignment** — the IVF coarse quantizer from
+   `sim_ann_ivf_probe` (`similarity.py`): quantized per-label mean
+   centroids (cross-engine exact), every vector assigned to its
+   nearest centroid by cosine (ROW_NUMBER tie-broken on cell id).
+   Cells bound the pairwise stage exactly the way SemDeDup's k-means
+   cells do.
+2. **Within-cell pair generation** — self-equi-join on the cell id
+   with the fixed-association 64-term cosine chain; pairs at
+   cosine >= TAU become dedup edges. The quadratic is confined to a
+   cell: at 100 TB you scale #cells with the corpus so cell size
+   stays ~constant (SemDeDup's own recipe), keeping per-cell work
+   bounded — the equi-join on cell IS the partitioning key, so each
+   cell's pairs compute inside one shuffle partition.
+3. **Canonicalization** — connected components over the edge set
+   (min-label propagation, `clustering.connected_components`), then
+   `corpus_keep_best_per_cluster`'s keeper policy: most tokens wins,
+   id tiebreak (embeddings join documents on vec_id = doc_id, the
+   testbed's alignment contract).
+
+TAU: the synthetic corpus has no true semantic duplicates (max
+within-cell cosine ~0.47), so the registered threshold anchors at the
+~99.9th percentile of the within-cell cosine distribution (0.35) to
+keep the operator non-vacuous end-to-end — on a real corpus SemDeDup
+uses ~0.95+; the threshold is a config, not a semantic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from bigdata_project_spark.caching import tracked_persist
+from bigdata_project_spark.operators.clustering import connected_components
+from bigdata_project_spark.operators.dedup import words_col
+from bigdata_project_spark.operators.similarity import (
+    DIM,
+    _band_signs,
+    _dot_col,
+    _N_BANDS,
+    _sql_band_bucket,
+    _sql_dot,
+    _SQL_CNORM,
+    _SQL_NORMED,
+    with_norm,
+)
+from bigdata_project_spark.registry import query
+from bigdata_project_spark.tables import load
+
+SEMDEDUP_TAU = 0.35
+
+# Data-aware sub-cells (the SemDeDup "#cells grows with the corpus"
+# recipe, same derivation pattern as similarity.planes_per_band): each
+# label cell is sub-split by the first Q bits of an LSH hyperplane
+# bucket, Q = clamp(ceil(log2(n)) - LOAD, 0, MAX), so the expected
+# per-cell load stays ~2^LOAD / n_labels vectors as n grows and the
+# within-cell quadratic stays bounded. tests/test_semdedup.py pins the
+# drop-rate flatness sf0.01 -> sf0.1 (a FIXED cell set measured 0.14
+# -> 0.49 there — the quadratic leaking through). The hyperplane rows
+# come from band index _N_BANDS of the md5 plane family — fresh
+# deterministic planes, disjoint from the 3 banded-LSH bands.
+_SEM_BAND = _N_BANDS
+_CELL_LOAD_LOG2 = 9
+_MAX_SUBCELL_PLANES = 16
+
+_SQL_DOT_NC = " + ".join(
+    f"CAST(embedding[{i}] AS DOUBLE) * c_arr[{i}]" for i in range(1, DIM + 1)
+)
+
+
+def subcell_planes(n_vectors: int) -> int:
+    """Q = clamp(ceil(log2(n)) - {_CELL_LOAD_LOG2}, 0, {_MAX_SUBCELL_PLANES}) —
+    mirrored exactly by the oracle's params CTE."""
+    import math
+
+    return max(
+        0,
+        min(
+            _MAX_SUBCELL_PLANES,
+            math.ceil(math.log2(max(n_vectors, 2))) - _CELL_LOAD_LOG2,
+        ),
+    )
+
+
+_SQL_SEM_PARAMS = f"""
+    params AS (
+        SELECT GREATEST(0, LEAST({_MAX_SUBCELL_PLANES},
+                                 CAST(CEIL(LOG2(GREATEST(COUNT(*), 2))) AS INT)
+                                   - {_CELL_LOAD_LOG2})) AS q
+        FROM embeddings
+    )
+"""
+
+
+def _subcell_col(q: int):
+    """First-q-bits LSH bucket string (same fold as the banded-LSH
+    bucket builder; '' when q = 0 so small corpora keep label cells)."""
+    if q == 0:
+        return F.lit("")
+    signs2d = F.array(
+        *[F.array(*[F.lit(float(s)) for s in row]) for row in _band_signs(_SEM_BAND)[:q]]
+    )
+
+    def _bit(row):
+        products = F.zip_with("embedding", row, lambda x, s: x.cast("double") * s)
+        proj = F.aggregate(products, F.lit(0.0), lambda acc, v: acc + v)
+        return (proj >= 0).cast("int").cast("string")
+
+    return F.array_join(F.transform(signs2d, _bit), "")
+
+
+@query(
+    "dedup_semantic_cells",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_NORMED},
+    {_SQL_SEM_PARAMS},
+    cdim AS (
+        SELECT label, i.r AS pos,
+               CAST(SUM(CAST(ROUND(CAST(embedding[i.r + 1] AS DOUBLE) * 1048576, 0) AS BIGINT)) AS DOUBLE)
+                 / (1048576.0 * COUNT(*)) AS c
+        FROM embeddings, LATERAL (SELECT unnest(range({DIM})) AS r) i
+        GROUP BY label, i.r
+    ),
+    cent AS (SELECT label AS c_label, list(c ORDER BY pos) AS c_arr FROM cdim GROUP BY label),
+    assign AS (
+        SELECT vec_id, embedding, norm_sq, c_label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ({_SQL_DOT_NC}) / SQRT({_SQL_CNORM}) DESC,
+                                           c_label) AS rn
+        FROM normed, cent
+    ),
+    -- MATERIALIZED: cells is referenced on BOTH sides of the edge
+    -- self-join and again in ranked; inlining would re-run the
+    -- 64-term assignment scoring three times and blow memory.
+    -- cell = nearest-centroid label + first-q-bits LSH sub-bucket
+    cells AS MATERIALIZED (
+        SELECT vec_id, embedding, norm_sq,
+               CAST(c_label AS VARCHAR) || ':'
+                 || substr({_sql_band_bucket(_SEM_BAND)}, 1, q) AS cell
+        FROM assign, params WHERE rn = 1
+    ),
+    edges AS (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE ({_sql_dot('a.embedding', 'b.embedding')})
+                / (SQRT(a.norm_sq) * SQRT(b.norm_sq)) >= {SEMDEDUP_TAU}
+    ),
+    und AS (
+        SELECT doc_a AS src, doc_b AS dst FROM edges
+        UNION ALL SELECT doc_b, doc_a FROM edges
+    ),
+    reach(root, node) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT r.root, u.dst FROM reach r JOIN und u ON u.src = r.node
+    ),
+    comp AS (SELECT root AS vec_id, MIN(node) AS component FROM reach GROUP BY root),
+    quality AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT c.vec_id, ce.cell, c.component, q.n_tokens,
+               FIRST_VALUE(c.vec_id)
+                 OVER (PARTITION BY c.component ORDER BY q.n_tokens DESC, c.vec_id ASC)
+                 AS keeper_vec_id
+        FROM comp c
+        JOIN cells ce ON ce.vec_id = c.vec_id
+        JOIN quality q ON q.doc_id = c.vec_id
+    )
+    SELECT vec_id, cell, component, n_tokens, keeper_vec_id,
+           CAST(vec_id = keeper_vec_id AS INT) AS is_kept
+    FROM ranked
+    """,
+    tags=("dedup", "llm", "similarity", "clustering", "semdedup"),
+)
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end to end: IVF cell assignment -> within-cell
+    cosine >= TAU edges -> connected components -> keep-best-quality
+    per component. One row per vector with its cell, component,
+    quality, and the keep decision.
+
+    Scale story (the module docstring has the full argument): the ONLY
+    quadratic stage is confined within cells via the equi-join on the
+    assigned cell id; #cells grows with the corpus so per-cell work is
+    ~constant. Cell assignment is a broadcast of #cells centroid rows
+    against one corpus scan; components exchange (id, label) pairs
+    only; the keeper election is the same max(struct) aggregate as
+    corpus_keep_best_per_cluster, riding the component exchange."""
+    emb = with_norm(load(spark, sf_dir, "embeddings"))
+    # plan-build sizing count — derives the same Q the oracle's params
+    # CTE computes from COUNT(*) (the banded-LSH cheap-count pattern)
+    q = subcell_planes(emb.count())
+
+    # quantized per-label mean centroids — identical construction to
+    # sim_ann_ivf_probe (cross-engine exact by integer quantization)
+    exploded = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    qv = F.round(F.col("val").cast("double") * 1048576, 0).cast("long")
+    cdim = exploded.groupBy("label", "pos").agg(
+        (F.sum(qv).cast("double") / (1048576.0 * F.count("*"))).alias("c")
+    )
+    cent = cdim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("c_arr")
+    ).select(F.col("label").alias("c_label"), "c_arr")
+
+    dot_nc = F.aggregate(
+        F.zip_with("embedding", "c_arr", lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    c_norm = F.aggregate(
+        F.transform("c_arr", lambda y: y * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    assign = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "norm_sq", "c_label",
+        (dot_nc / F.sqrt(c_norm)).alias("score"),
+    )
+    wv = W.partitionBy("vec_id").orderBy(F.desc("score"), "c_label")
+    cells = tracked_persist(
+        assign.select("*", F.row_number().over(wv).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "embedding",
+            "norm_sq",
+            F.concat(F.col("c_label").cast("string"), F.lit(":"), _subcell_col(q)).alias(
+                "cell"
+            ),
+        )
+    )
+
+    a, b = cells.alias("a"), cells.alias("b")
+    cosine = _dot_col("a.embedding", "b.embedding") / (
+        F.sqrt(F.col("a.norm_sq")) * F.sqrt(F.col("b.norm_sq"))
+    )
+    edges = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(cosine >= SEMDEDUP_TAU)
+        .select(F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b"))
+    ).persist()
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    comp = connected_components(nodes, edges)
+    # comp is localCheckpointed — the edge cache only feeds the loop
+    edges.unpersist()
+
+    quality = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"),
+        F.size(words_col(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    j = tracked_persist(
+        comp.select(F.col("id").alias("vec_id"), "component")
+        .join(cells.select("vec_id", "cell"), "vec_id")
+        .join(quality, "vec_id")
+    )
+    keeper = j.groupBy("component").agg(
+        F.max(F.struct(F.col("n_tokens"), (-F.col("vec_id")).alias("neg_id"))).alias("best")
+    ).select("component", (-F.col("best.neg_id")).alias("keeper_vec_id"))
+    return (
+        j.join(keeper, "component")
+        .select(
+            "vec_id",
+            "cell",
+            "component",
+            "n_tokens",
+            "keeper_vec_id",
+            (F.col("vec_id") == F.col("keeper_vec_id")).cast("int").alias("is_kept"),
+        )
+    )

@@ -96,8 +96,44 @@ def silver_transform(df: DataFrame) -> DataFrame:
     )
 
 
+def silver_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """silver_transform + the r7 audit gates as a SPLIT (round 8):
+    returns (silver, quarantined). The audits that only MEASURED
+    corruption last round now act — rows with out-of-window/NULL event
+    time (watermark poison; the range where bucketing idioms disagree)
+    or NaN/Inf in a declared measure (exact-sum tier poison) are
+    routed to the quarantine frame with a reason column instead of
+    reaching the lake. Same gate the registered
+    silver_quarantine_split query summarizes over the testbed."""
+    from bigdata_project_spark.quarantine import split_quarantine
+
+    silver = silver_transform(df)
+    # only the DOUBLE measures can hold NaN/Inf — price/area_m2 are
+    # LongType by schema and cannot be non-finite
+    return split_quarantine(
+        silver,
+        F.col("event_time"),
+        {
+            "price_per_m2": F.col("price_per_m2"),
+            "lat": F.col("lat"),
+            "lng": F.col("lng"),
+        },
+    )
+
+
 def write_lake(df: DataFrame, path: str, mode: str = "append") -> None:
     """Gold sink: date-partitioned parquet lake (the scalable form of
     the reference's data_input/house/{date}/ layout, CrawlData.py:111-113
     + the declared HDFS sink, README.md:28-33)."""
     df.write.mode(mode).partitionBy("ingest_date").parquet(path)
+
+
+def write_lake_with_quarantine(df: DataFrame, path: str, quarantine_path: str,
+                               mode: str = "append") -> None:
+    """Gold sink with the quarantine side output: clean rows land in
+    the date-partitioned lake, flagged rows (with quarantine_reason)
+    in a flat side table for triage/restore. Both sinks read the same
+    shuffle-free silver plan — the gate adds no exchange."""
+    clean, quarantined = silver_split(df)
+    write_lake(clean, path, mode=mode)
+    quarantined.write.mode(mode).parquet(quarantine_path)

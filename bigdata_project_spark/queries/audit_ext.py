@@ -813,3 +813,59 @@ def qa_timestamp_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in out[1:]:
         res = res.unionByName(df)
     return res
+
+
+@query(
+    "silver_quarantine_split",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT event_type,
+               CASE WHEN ts IS NULL
+                         OR ts <  TIMESTAMP '{_TS_VALID_LO}'
+                         OR ts >= TIMESTAMP '{_TS_VALID_HI}'
+                    THEN 'ts_out_of_bounds'
+                    WHEN isnan(value) OR isinf(value)
+                    THEN 'nonfinite_measure:value'
+                    ELSE 'clean' END AS reason,
+               event_id
+        FROM events
+    )
+    SELECT event_type, reason, COUNT(*) AS n_rows,
+           MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id
+    FROM flagged
+    GROUP BY event_type, reason
+    """,
+    tags=("qa", "pipeline", "quarantine"),
+)
+def silver_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bronze -> silver quarantine gate's registered surface: per
+    (event_type, routing decision) row counts with an event_id range
+    for triage. Routing mirrors bigdata_project_spark.quarantine
+    exactly — 'ts_out_of_bounds' (NULL / pre-1990 / post-2035 event
+    time, checked FIRST), 'nonfinite_measure:value' (NaN/Inf; NULL
+    passes — in-contract for the exact-sum tier), else 'clean'.
+
+    The listings pipeline applies the same gate as a SPLIT
+    (quarantine.split_quarantine inside listings.silver_split — e2e
+    test writes the side output); this summary form is what the
+    pipeline owner monitors, and the driver's degenerate twins
+    (nonfinite/null-injected events) exercise the non-clean branches
+    that the pristine testbed cannot.
+
+    Scale: one map-side CASE inside codegen + one grouped count on
+    (event_type, reason) — low-cardinality keys, map-side combined."""
+    from bigdata_project_spark.quarantine import quarantine_reason
+
+    ev = load(spark, sf_dir, "events")
+    reason = F.coalesce(
+        quarantine_reason(F.col("ts"), {"value": F.col("value")}), F.lit("clean")
+    )
+    return (
+        ev.select("event_type", reason.alias("reason"), "event_id")
+        .groupBy("event_type", "reason")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )

@@ -41,6 +41,7 @@ BNLJ_WHITELIST: dict[str, str] = {
     "sim_recall_multiprobe": "tiny fixed query set broadcast (brute-force ground-truth side)",
     "sim_ann_ivf_probe": "fixed-k centroid table cross to assign cells",
     "sim_ann_ivf_nprobe2": "fixed-k centroid table cross to assign cells",
+    "dedup_semantic_cells": "fixed-k centroid table cross to assign cells",
     "sim_knn_bruteforce": "fixed 5-vector query set broadcast (non-equi by design)",
     "sim_truncated_dim_recall": "fixed tiny query set broadcast in both exact passes",
     "sim_knn_quantized_int8": "fixed 5-vector query set broadcast (non-equi by design)",

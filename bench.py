@@ -106,6 +106,11 @@ HEADLINE = [
     "sim_maxsim_multivector",
     "corpus_quality_gate",
     "sim_ann_lsh_multiprobe",
+    # round-8 additions (timing loop unchanged since r4)
+    "corpus_paragraph_dedup_rewrite",
+    "dedup_semantic_cells",
+    "corpus_dsir_importance",
+    "silver_quarantine_split",
 ]
 
 

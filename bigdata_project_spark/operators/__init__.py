@@ -13,6 +13,7 @@ from bigdata_project_spark.operators import (  # noqa: F401
     corpus_ext,
     dedup,
     dedup_ext,
+    dsir,
     multimodal,
     quality_ext,
     rewrite,

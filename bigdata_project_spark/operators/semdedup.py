@@ -118,10 +118,14 @@ def _subcell_col(q: int):
     return F.array_join(F.transform(signs2d, _bit), "")
 
 
-@query(
-    "dedup_semantic_cells",
-    oracle=f"""
-    WITH RECURSIVE {_SQL_NORMED},
+# the cell-assignment fragment, reusable (tools/scaling_probe.py
+# measures within-cell candidate volume from the same SQL the oracle
+# runs): params -> quantized centroids -> nearest-centroid assignment
+# -> MATERIALIZED cells (referenced on BOTH sides of the edge
+# self-join and again in ranked; inlining would re-run the 64-term
+# assignment scoring three times and blow memory). cell =
+# nearest-centroid label + first-q-bits LSH sub-bucket.
+_SQL_SEM_CELLS = f"""
     {_SQL_SEM_PARAMS},
     cdim AS (
         SELECT label, i.r AS pos,
@@ -138,16 +142,20 @@ def _subcell_col(q: int):
                                            c_label) AS rn
         FROM normed, cent
     ),
-    -- MATERIALIZED: cells is referenced on BOTH sides of the edge
-    -- self-join and again in ranked; inlining would re-run the
-    -- 64-term assignment scoring three times and blow memory.
-    -- cell = nearest-centroid label + first-q-bits LSH sub-bucket
     cells AS MATERIALIZED (
         SELECT vec_id, embedding, norm_sq,
                CAST(c_label AS VARCHAR) || ':'
                  || substr({_sql_band_bucket(_SEM_BAND)}, 1, q) AS cell
         FROM assign, params WHERE rn = 1
-    ),
+    )
+"""
+
+
+@query(
+    "dedup_semantic_cells",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_NORMED},
+    {_SQL_SEM_CELLS},
     edges AS (
         SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
         FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id

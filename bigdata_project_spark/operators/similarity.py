@@ -257,10 +257,17 @@ _N_BANDS = 3
 # from a plan-build sizing count (the cheap-count pattern AQE itself
 # uses), the oracle from an inline COUNT(*) params CTE — so buckets
 # stay bit-identical. MAX bounds the sign-matrix literal we ship in
-# the plan; at genuine 100 TB scale raise _MAX_PLANES_PER_BAND (the
-# formula then keeps sizing automatically — no other edit).
+# the plan; it is a CONFIG, not an edit (round 8):
+# $SPARK_GRAFT_MAX_PLANES_PER_BAND, default 16 — at genuine 100 TB
+# scale set it to ~ceil(log2(n)) - LOAD (e.g. 35 for 1e11 vectors) and
+# the derivation keeps sizing automatically. Both engines read the
+# same constant at plan build, so buckets stay bit-identical under any
+# setting; tests/test_lsh_sizing.py proves the derived P holds the
+# ~2^LOAD mean bucket load on a generator-built 4x corpus.
+import os as _os
+
 _MIN_PLANES_PER_BAND = 8
-_MAX_PLANES_PER_BAND = 16
+_MAX_PLANES_PER_BAND = int(_os.environ.get("SPARK_GRAFT_MAX_PLANES_PER_BAND", "16"))
 _BUCKET_LOAD_LOG2 = 2  # target mean bucket load = 2^2 = 4 vectors
 
 

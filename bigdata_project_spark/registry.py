@@ -118,8 +118,11 @@ _LOADED = False
 # CORRECTNESS_r01-r07, registration order within vintage, trimmed from
 # the tail to keep the window at 50).
 #
-# Round-9 rotation queue (oldest-last-checked after this window
-# lands): the r3-vintage names trimmed from the tail below —
+# Round-9 rotation queue: FIRST the oracled queries registered after
+# this window froze (never driver-checked) —
+#   corpus_dsir_importance stream_quarantine_gated_daily
+# — then oldest-last-checked: the r3-vintage names trimmed from the
+# tail below —
 #   join_hint_broadcast_sql sort_null_ordering
 #   setop_union_all_nation_rows setop_union_distinct
 #   setop_intersect_buyers_building

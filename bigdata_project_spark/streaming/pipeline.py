@@ -668,3 +668,85 @@ def stream_topk_types_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = run_available_now(daily, "stream_topk_types_daily", "complete")
     w = Window.partitionBy("day_start_us").orderBy(F.desc("n_events"), "event_type")
     return agg.select("*", F.row_number().over(w).alias("rnk")).filter(F.col("rnk") <= 3)
+
+
+@query(
+    "stream_quarantine_gated_daily",
+    oracle="""
+    WITH flagged AS (
+        SELECT event_type, ts,
+               CASE WHEN ts IS NULL
+                         OR ts <  TIMESTAMP '1990-01-01 00:00:00'
+                         OR ts >= TIMESTAMP '2035-01-01 00:00:00'
+                    THEN 'ts_out_of_bounds'
+                    WHEN isnan(value) OR isinf(value)
+                    THEN 'nonfinite_measure:value'
+                    ELSE 'clean' END AS reason
+        FROM events
+    )
+    SELECT epoch_us(date_trunc('day', ts)) AS day_start_us,
+           'clean' AS reason, event_type,
+           COUNT(*) AS n_rows
+    FROM flagged WHERE reason = 'clean'
+    GROUP BY 1, 3
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), reason, CAST(NULL AS VARCHAR), COUNT(*)
+    FROM flagged WHERE reason <> 'clean'
+    GROUP BY 2
+    """,
+    tags=("streaming", "qa", "quarantine", "window"),
+)
+def stream_quarantine_gated_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quarantine gate in its STREAMING position: reasons computed
+    map-side BEFORE the watermark, clean rows feeding a watermarked
+    daily tumbling count per event_type, quarantined rows counted per
+    reason in a separate non-windowed aggregate (their event time is
+    untrustworthy BY DEFINITION — aggregating them by it would be
+    circular). This placement is the entire point of the r7/r8 audit
+    work: one year-9999 sentinel reaching withWatermark would advance
+    the global watermark past every legitimate event and silently
+    evict them all, and a pre-epoch timestamp lands where window()
+    (floors) and unix_micros-division (truncates) disagree — the gate
+    keeps the windowed tier inside the range where every bucketing
+    idiom agrees.
+
+    Scale: the gate is one codegen CASE on the stream; clean-side
+    state is one counter per (day, type) in the watermark horizon;
+    quarantine-side state is one counter per reason (<= 2 + measures).
+    Both sub-queries run availableNow off the same bounded source, so
+    the union of their materialized results is the batch oracle
+    exactly."""
+    from bigdata_project_spark.quarantine import quarantine_reason
+
+    ev = read_events_stream(spark, sf_dir)
+    reason = F.coalesce(
+        quarantine_reason(F.col("ts"), {"value": F.col("value")}), F.lit("clean")
+    )
+    flagged = ev.withColumn("reason", reason)
+
+    clean_daily = (
+        flagged.filter(F.col("reason") == "clean")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_rows"))
+        .select(
+            F.unix_micros("w.start").alias("day_start_us"),
+            F.lit("clean").alias("reason"),
+            "event_type",
+            "n_rows",
+        )
+    )
+    quarantined = (
+        flagged.filter(F.col("reason") != "clean")
+        .groupBy("reason")
+        .agg(F.count("*").alias("n_rows"))
+        .select(
+            F.lit(None).cast("long").alias("day_start_us"),
+            "reason",
+            F.lit(None).cast("string").alias("event_type"),
+            "n_rows",
+        )
+    )
+    a = run_available_now(clean_daily, "stream_quarantine_clean_daily", "complete")
+    b = run_available_now(quarantined, "stream_quarantine_flagged", "complete")
+    return a.unionByName(b)

@@ -40,6 +40,10 @@ SHOWCASE = [
     ("events_peak_concurrency", "Two-stage sliced sweep: the curve's sort is partitioned by (event_type, slice) — never by the 5-value type alone — with per-slice carry-ins as a broadcast join."),
     ("sim_maxsim_multivector", "MaxSim late interaction keeps the brute-force scan shape: broadcast query set, 16 codegen'd sub-cosines per row, WindowGroupLimit top-k — quality costs CPU, not a new shuffle."),
     ("corpus_quality_gate", "Three doc_id-keyed quality signals AND-composed by joining on the shared key; members' scans stay map-side/token-keyed as in their standalone plans."),
+    ("corpus_paragraph_dedup_rewrite", "Remove-side rewrite: passage text travels exactly twice (explode out, doc_id-keyed reassemble); the duplicate-spread aggregate + join-back carry 128-bit hashes only."),
+    ("dedup_semantic_cells", "SemDeDup: broadcast centroid assignment, pairwise cosine confined to the derived (label, sub-bucket) cell equi-join, components exchange (id,label) pairs, keeper max(struct) rides the component exchange."),
+    ("corpus_dsir_importance", "DSIR weights: two map-side-combined token tf aggregates, occurrence->tf join on token (no vocab broadcast), 1-row totals broadcast, integer order-free doc rollup."),
+    ("silver_quarantine_split", "Quarantine gate: one codegen CASE in the scan stage; low-cardinality (type, reason) grouped count, map-side combined — no extra exchange on the silver path."),
 ]
 
 

@@ -1,19 +1,33 @@
-"""Measure candidate-volume scaling of the bucketed dedup/ANN family.
+"""Measure scaling of the engine's operator families across testdata
+scales.
 
-The 100 TB argument for LSH/prefix-filter operators is that candidate
-PAIRS grow ~linearly with corpus size while the all-pairs baseline
-grows quadratically. This probe measures that empirically at
-sf0.001 / sf0.01 / sf0.1 using the same SQL fragments the oracles are
-built from (DuckDB — both engines provably agree on these
-intermediates), and prints a markdown table for SCALE.md.
+Two modes, both printing markdown tables for SCALE.md:
 
-Usage: python tools/scaling_probe.py
+- default (candidate volume): the 100 TB argument for LSH /
+  prefix-filter operators is that candidate PAIRS grow ~linearly with
+  corpus size while the all-pairs baseline grows quadratically —
+  measured at sf0.001 / 0.01 / 0.1 via the same SQL fragments the
+  oracles are built from (DuckDB — both engines provably agree on
+  these intermediates).
+
+- --walltime (round 8): wall-time slopes for EVERY bench headline
+  query at the three scales (Spark, bench.py's warm-up + noop-sink
+  regime, single timed run per scale). Flags any query whose
+  sf0.01 -> sf0.1 ratio exceeds the super-linear threshold — the
+  quadratic-candidate class a plan audit cannot see. Ratios are
+  within-run, so the 1.2-1.8x host drift between runs (SCALE.md
+  methodology) divides out.
+
+Usage:
+  python tools/scaling_probe.py              # candidate volumes
+  python tools/scaling_probe.py --walltime   # headline wall-time slopes
 """
 
 from __future__ import annotations
 
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -27,6 +41,7 @@ from bigdata_project_spark.operators.dedup import (
 )
 from bigdata_project_spark.operators.similarity import _SQL_NORMED, _SQL_PARAMS
 from bigdata_project_spark.operators.similarity import _sql_band_bucket, _N_BANDS, planes_per_band
+from bigdata_project_spark.operators.semdedup import _SQL_SEM_CELLS, subcell_planes
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
@@ -93,8 +108,76 @@ def probe(sf_dir: str) -> dict:
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
     """).fetchone()[0]
+
+    # SemDeDup within-cell pairs (round 8): the quadratic stage is
+    # confined to (nearest-centroid, derived-Q LSH sub-bucket) cells —
+    # the same cells CTE the oracle runs; per-vector volume must stay
+    # ~flat as the corpus grows
+    r["sem_q"] = subcell_planes(r["n_vecs"])
+    r["sem_cand"] = con.sql(f"""
+        WITH {_SQL_NORMED}, {_SQL_SEM_CELLS}
+        SELECT COUNT(*) FROM cells a JOIN cells b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+    """).fetchone()[0]
     con.close()
     return r
+
+
+# largest table grows 10x per scale step (lineitem/events/orders);
+# documents 1x then 10x; embeddings 1x then 4x. A LINEAR operator can
+# therefore show up to ~10x per step plus noise; the flag threshold
+# leaves headroom for within-run jitter on sub-second queries while
+# still catching the quadratic class (which shows ~100x on a 10x step
+# once candidates dominate).
+SUPERLINEAR_RATIO = 14.0
+
+
+def walltime_table() -> None:
+    from bench import HEADLINE  # repo-root import (path set above)
+    from bigdata_project_spark.caching import release_cached
+    from bigdata_project_spark.registry import REGISTRY, _ensure_loaded
+    from bigdata_project_spark.session import get_spark
+
+    _ensure_loaded()
+    spark = get_spark("scaling-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: str, sf_dir: str) -> float:
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        release_cached(spark, sweep_all=True)
+        return dt
+
+    times: dict[str, dict[str, float]] = {}
+    for sf_dir in SFS:
+        sf = sf_dir.rsplit("sf", 1)[-1]
+        for name in HEADLINE:
+            run(name, sf_dir)  # warm-up: codegen classes + footers
+            times.setdefault(name, {})[sf] = run(name, sf_dir)
+        print(f"probed {sf_dir} ({len(HEADLINE)} queries)", file=sys.stderr)
+    spark.stop()
+
+    print("| query | t(0.001) s | t(0.01) s | t(0.1) s | r(0.01/0.001) | r(0.1/0.01) | flag |")
+    print("|---|---|---|---|---|---|---|")
+    flagged = []
+    for name in HEADLINE:
+        t = times[name]
+        r1 = t["0.01"] / t["0.001"] if t["0.001"] else float("inf")
+        r2 = t["0.1"] / t["0.01"] if t["0.01"] else float("inf")
+        flag = "SUPER-LINEAR" if max(r1, r2) > SUPERLINEAR_RATIO else ""
+        if flag:
+            flagged.append(name)
+        print(
+            f"| {name} | {t['0.001']:.3f} | {t['0.01']:.3f} | {t['0.1']:.3f} "
+            f"| {r1:.2f} | {r2:.2f} | {flag} |"
+        )
+    total = {sf: sum(t[sf] for t in times.values()) for sf in ("0.001", "0.01", "0.1")}
+    print(
+        f"\ntotals: 0.001={total['0.001']:.1f}s 0.01={total['0.01']:.1f}s "
+        f"0.1={total['0.1']:.1f}s; flagged={flagged or 'none'}",
+        file=sys.stderr,
+    )
 
 
 def main() -> None:
@@ -107,17 +190,21 @@ def main() -> None:
         rows.append(r)
         print(f"probed {sf}: {r}", file=sys.stderr)
 
-    print("| sf | docs | all-pairs | shingle-join (df-capped) | prefix-filter | MinHash-LSH | vecs | all-pairs | banded ANN (P) | ANN cand/vec |")
-    print("|---|---|---|---|---|---|---|---|---|---|")
+    print("| sf | docs | all-pairs | shingle-join (df-capped) | prefix-filter | MinHash-LSH | vecs | all-pairs | banded ANN (P) | ANN cand/vec | SemDeDup cells (Q) | sem cand/vec |")
+    print("|---|---|---|---|---|---|---|---|---|---|---|---|")
     for r in rows:
         per_vec = r["ann_cand"] / r["n_vecs"] if r["n_vecs"] else 0.0
+        sem_per_vec = r["sem_cand"] / r["n_vecs"] if r["n_vecs"] else 0.0
         print(
             f"| {r['sf']} | {r['n_docs']:,} | {r['allpairs_docs']:,} "
             f"| {r['shingle_cand_capped']:,} | {r['prefix_cand']:,} | {r['minhash_cand']:,} "
             f"| {r['n_vecs']:,} | {r['allpairs_vecs']:,} | {r['ann_cand']:,} (P={r['ann_planes']}) "
-            f"| {per_vec:.2f} |"
+            f"| {per_vec:.2f} | {r['sem_cand']:,} (Q={r['sem_q']}) | {sem_per_vec:.2f} |"
         )
 
 
 if __name__ == "__main__":
-    main()
+    if "--walltime" in sys.argv[1:]:
+        walltime_table()
+    else:
+        main()

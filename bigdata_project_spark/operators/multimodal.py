@@ -2,14 +2,19 @@
 
 Image/audio/video payloads are opaque `binary` columns with typed
 metadata; decode / feature-extraction runs as Arrow-batched
-mapInPandas. The decode libraries (PIL/ffmpeg/...) are not in this
-container, so the decoder is STUBBED with a deterministic fake
-(byte-level statistics standing in for pixel statistics) behind the
-same plumbing a real decoder uses: binary column in, fixed-schema
-feature struct + float vector out, batch-at-a-time.
+mapInPandas. Honesty split (round 8): UNCOMPRESSED audio decode is
+REAL — `multimodal_wav_decode` writes and parses genuine RIFF/WAVE
+containers with the stdlib `wave` codec, verified bit-exactly against
+a formula oracle. COMPRESSED formats (JPEG/MP3/H.264) remain stubbed
+with a deterministic fake (byte-level statistics standing in for
+pixel statistics) because no codec libraries (PIL/ffmpeg/...) ship in
+this container; the plumbing a real compressed decoder would use —
+binary column in, fixed-schema feature struct + float vector out,
+batch-at-a-time — is exactly the tested one.
 
 The testbed has no binary table, so documents.text is encoded to
-UTF-8 bytes as the stand-in payload.
+UTF-8 bytes as the stand-in payload (the WAV query synthesizes its
+own containers from doc_id instead).
 """
 
 from __future__ import annotations
@@ -467,3 +472,122 @@ def multimodal_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         last_start.alias("last_frame_start"),
         (F.col("n_samples") - (last_start + 200)).alias("tail_samples"),
     )
+
+
+_WAV_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("framerate", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("sum_abs", T.LongType()),
+        T.StructField("max_abs", T.LongType()),
+        T.StructField("n_positive", T.LongType()),
+    ]
+)
+
+
+@query(
+    "multimodal_wav_decode",
+    # the oracle replays the PCM-generating formula directly in
+    # integer arithmetic — if the Spark side, which parses the actual
+    # RIFF/WAVE bytes it synthesized, produces the same numbers, the
+    # full encode -> container -> decode -> feature path is proven
+    # end to end with no float anywhere
+    oracle="""
+    WITH n AS (SELECT doc_id, 64 + doc_id % 64 AS nf FROM documents),
+    s AS (
+        SELECT doc_id, nf,
+               ((doc_id * 31 + i.r * 17) % 2003) - 1001 AS v
+        FROM n, LATERAL (SELECT unnest(range(nf)) AS r) i
+    )
+    SELECT doc_id,
+           1 AS n_channels,
+           8000 AS framerate,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(SUM(abs(v)) AS BIGINT) AS sum_abs,
+           CAST(MAX(abs(v)) AS BIGINT) AS max_abs,
+           CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
+    FROM s
+    GROUP BY doc_id, nf
+    """,
+    tags=("multimodal", "llm", "udf", "audio"),
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (round 8) — not a stub: deterministic 16-bit
+    PCM (one sample formula per (doc_id, i)) is packed into a genuine
+    RIFF/WAVE container with the stdlib `wave` writer in one Arrow
+    stage, and a SECOND Arrow stage — sharing no state with the first
+    beyond the bytes — parses the container back with `wave` + numpy
+    and emits integer features (frame count, sum/max of |amplitude|,
+    positive-sample count). The oracle recomputes the features from
+    the generating formula, so a single byte wrong anywhere in the
+    header layout, sample width, endianness, or frame packing fails
+    the hash.
+
+    This upgrades the multimodal tier's honesty split: UNCOMPRESSED
+    audio decode is now real (stdlib codec); compressed formats
+    (JPEG/MP3/H.264) remain stubbed behind `decode_image`'s
+    NotImplementedError because no codec libraries ship in this
+    container — the plumbing they would use is exactly this one.
+
+    Scale: both stages are embarrassingly parallel map-side Arrow
+    batches — payloads never shuffle; at 100 TB of media the only
+    movement is the (id, features) rows, a thousandth of the input."""
+    import numpy as np
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synthesize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave as wave_mod
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                n = 64 + did % 64
+                samples = [((did * 31 + i * 17) % 2003) - 1001 for i in range(n)]
+                buf = io.BytesIO()
+                w = wave_mod.open(buf, "wb")
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(8000)
+                w.writeframes(struct.pack(f"<{n}h", *samples))
+                w.close()
+                rows.append((did, buf.getvalue()))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave as wave_mod
+
+        cols = [
+            "doc_id", "n_channels", "framerate", "n_frames",
+            "sum_abs", "max_abs", "n_positive",
+        ]
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w = wave_mod.open(io.BytesIO(bytes(payload)), "rb")
+                nf = w.getnframes()
+                data = np.frombuffer(w.readframes(nf), dtype="<i2").astype(np.int64)
+                w.close()
+                rows.append(
+                    (
+                        int(doc_id),
+                        w.getnchannels(),
+                        w.getframerate(),
+                        nf,
+                        int(np.abs(data).sum()),
+                        int(np.abs(data).max()),
+                        int((data > 0).sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    payloads = docs.mapInPandas(
+        synthesize, "doc_id long, payload binary"
+    )
+    return payloads.mapInPandas(decode, _WAV_SCHEMA)

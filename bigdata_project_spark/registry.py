@@ -121,6 +121,7 @@ _LOADED = False
 # Round-9 rotation queue: FIRST the oracled queries registered after
 # this window froze (never driver-checked) —
 #   corpus_dsir_importance stream_quarantine_gated_daily
+#   multimodal_wav_decode
 # — then oldest-last-checked: the r3-vintage names trimmed from the
 # tail below —
 #   join_hint_broadcast_sql sort_null_ordering

@@ -259,9 +259,25 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cosine >= SEMDEDUP_TAU)
         .select(F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b"))
     ).persist()
+    # run label propagation over edge ENDPOINTS only: the near-dup
+    # graph is sparse (most vectors are singletons at any sane TAU),
+    # so the fixpoint loop iterates over ~2|E| ids instead of the
+    # whole corpus — singletons get component = own id by the left
+    # join below, definitionally identical to running them through
+    # the loop (a node with no edges never changes its label).
+    # Measured: the loop's per-iteration localCheckpoint + count was
+    # the whole query's dominant cost at every scale.
+    endpoints = (
+        edges.select(F.col("doc_a").alias("id"))
+        .unionByName(edges.select(F.col("doc_b").alias("id")))
+        .distinct()
+    )
+    comp_conn = connected_components(endpoints, edges)
     nodes = emb.select(F.col("vec_id").alias("id"))
-    comp = connected_components(nodes, edges)
-    # comp is localCheckpointed — the edge cache only feeds the loop
+    comp = nodes.join(comp_conn, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+    # comp_conn is localCheckpointed — the edge cache only feeds the loop
     edges.unpersist()
 
     quality = load(spark, sf_dir, "documents").select(

@@ -188,9 +188,22 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
     edges_lazy, sh = _edges_df(spark, sf_dir)
     edges = edges_lazy.persist()
-    comp = connected_components(docs, edges)
-    # comp is localCheckpointed — it no longer reads edges or shingles,
-    # so the loop-only caches are released here, not leaked to session end
+    # propagate labels over edge ENDPOINTS only (round 8, mirrors
+    # dedup_semantic_cells): the near-dup graph is sparse, so the
+    # fixpoint loop checkpoints ~2|E| ids per iteration instead of the
+    # corpus; edgeless docs take component = own id via the left join
+    # — definitionally the same labels the full loop would assign.
+    endpoints = (
+        edges.select(F.col("doc_a").alias("id"))
+        .unionByName(edges.select(F.col("doc_b").alias("id")))
+        .distinct()
+    )
+    comp_conn = connected_components(endpoints, edges)
+    comp = docs.join(comp_conn, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+    # comp_conn is localCheckpointed — it no longer reads edges or
+    # shingles, so the loop-only caches are released here, not leaked
     edges.unpersist()
     sh.unpersist()
     sizes = comp.groupBy("component").agg(F.count("*").alias("component_reach"))

@@ -303,3 +303,164 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") == F.col("keeper_vec_id")).cast("int").alias("is_kept"),
         )
     )
+
+
+# ------------------------------------------- incremental (O(batch))
+
+_SEM_BATCH_MOD = 10  # stand-in increment: every 10th vector
+
+
+@query(
+    "dedup_semantic_incremental",
+    oracle=f"""
+    WITH {_SQL_NORMED},
+    corpus AS (SELECT * FROM normed WHERE vec_id % {_SEM_BATCH_MOD} <> {_SEM_BATCH_MOD - 1}),
+    params AS (
+        SELECT GREATEST(0, LEAST({_MAX_SUBCELL_PLANES},
+                                 CAST(CEIL(LOG2(GREATEST(COUNT(*), 2))) AS INT)
+                                   - {_CELL_LOAD_LOG2})) AS q
+        FROM corpus
+    ),
+    cdim AS (
+        SELECT label, i.r AS pos,
+               CAST(SUM(CAST(ROUND(CAST(embedding[i.r + 1] AS DOUBLE) * 1048576, 0) AS BIGINT)) AS DOUBLE)
+                 / (1048576.0 * COUNT(*)) AS c
+        FROM corpus, LATERAL (SELECT unnest(range({DIM})) AS r) i
+        GROUP BY label, i.r
+    ),
+    cent AS (SELECT label AS c_label, list(c ORDER BY pos) AS c_arr FROM cdim GROUP BY label),
+    assign_all AS (
+        SELECT vec_id, embedding, norm_sq, c_label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ({_SQL_DOT_NC}) / SQRT({_SQL_CNORM}) DESC,
+                                           c_label) AS rn
+        FROM normed, cent
+    ),
+    cells AS MATERIALIZED (
+        SELECT vec_id, embedding, norm_sq,
+               CAST(c_label AS VARCHAR) || ':'
+                 || substr({_sql_band_bucket(_SEM_BAND)}, 1, q) AS cell
+        FROM assign_all, params WHERE rn = 1
+    ),
+    bcells AS (SELECT * FROM cells WHERE vec_id % {_SEM_BATCH_MOD} = {_SEM_BATCH_MOD - 1}),
+    ccells AS (SELECT * FROM cells WHERE vec_id % {_SEM_BATCH_MOD} <> {_SEM_BATCH_MOD - 1}),
+    corpus_hits AS (
+        SELECT b.vec_id, MIN(c.vec_id) AS dup_corpus
+        FROM bcells b JOIN ccells c ON b.cell = c.cell
+        WHERE ({_sql_dot('b.embedding', 'c.embedding')})
+                / (SQRT(b.norm_sq) * SQRT(c.norm_sq)) >= {SEMDEDUP_TAU}
+        GROUP BY b.vec_id
+    ),
+    batch_hits AS (
+        SELECT b.vec_id, MIN(e.vec_id) AS dup_batch
+        FROM bcells b JOIN bcells e ON b.cell = e.cell AND e.vec_id < b.vec_id
+        WHERE ({_sql_dot('b.embedding', 'e.embedding')})
+                / (SQRT(b.norm_sq) * SQRT(e.norm_sq)) >= {SEMDEDUP_TAU}
+        GROUP BY b.vec_id
+    )
+    SELECT b.vec_id, b.cell,
+           COALESCE(ch.dup_corpus, bh.dup_batch) AS dup_of,
+           CAST(ch.dup_corpus IS NULL AND bh.dup_batch IS NULL AS INT) AS is_new_unique
+    FROM bcells b
+    LEFT JOIN corpus_hits ch ON ch.vec_id = b.vec_id
+    LEFT JOIN batch_hits bh ON bh.vec_id = b.vec_id
+    """,
+    tags=("dedup", "llm", "similarity", "semdedup", "incremental"),
+)
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup — the daily-ingest form of
+    `dedup_semantic_cells` (and the semantic twin of
+    `dedup_incremental_merge`'s exact-hash asymmetry): a NEW batch of
+    vectors (stood in by every 10th vec_id) is probed against the
+    STANDING corpus index — centroids and sub-cell width Q are built
+    from the corpus only, exactly what a maintained index holds — and
+    against earlier batch members. Per batch vector: the minimum-id
+    existing near-duplicate (corpus first, then batch), and whether it
+    enters the corpus as new unique content.
+
+    Scale design: the corpus is 100 TB, the batch is an increment.
+    Centroids are index state (refreshed by the batch job that built
+    them, not per increment); the batch assigns cells via a broadcast
+    of #cells centroid rows; the ONLY corpus touch is the cell
+    equi-join probe, which reaches the batch's cells and no others —
+    at a bounded per-cell load (the derived Q) that makes ingestion
+    O(batch x cell_load), never O(corpus). No transitive closure here
+    by design: an increment cannot re-cluster the standing corpus —
+    full re-canonicalization stays the periodic batch job
+    (`dedup_semantic_cells`)."""
+    emb = with_norm(load(spark, sf_dir, "embeddings"))
+    is_batch = F.col("vec_id") % _SEM_BATCH_MOD == _SEM_BATCH_MOD - 1
+    corpus = emb.filter(~is_batch)
+    q = subcell_planes(corpus.count())
+
+    exploded = corpus.select("label", F.posexplode("embedding").alias("pos", "val"))
+    qv = F.round(F.col("val").cast("double") * 1048576, 0).cast("long")
+    cdim = exploded.groupBy("label", "pos").agg(
+        (F.sum(qv).cast("double") / (1048576.0 * F.count("*"))).alias("c")
+    )
+    cent = cdim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("c_arr")
+    ).select(F.col("label").alias("c_label"), "c_arr")
+
+    dot_nc = F.aggregate(
+        F.zip_with("embedding", "c_arr", lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    c_norm = F.aggregate(
+        F.transform("c_arr", lambda y: y * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    assign = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "norm_sq", "c_label",
+        (dot_nc / F.sqrt(c_norm)).alias("score"),
+    )
+    wv = W.partitionBy("vec_id").orderBy(F.desc("score"), "c_label")
+    cells = tracked_persist(
+        assign.select("*", F.row_number().over(wv).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "embedding",
+            "norm_sq",
+            F.concat(F.col("c_label").cast("string"), F.lit(":"), _subcell_col(q)).alias(
+                "cell"
+            ),
+        )
+    )
+    bcells = cells.filter(is_batch)
+    ccells = cells.filter(~is_batch)
+
+    def _cos(a: str, b: str):
+        return _dot_col(f"{a}.embedding", f"{b}.embedding") / (
+            F.sqrt(F.col(f"{a}.norm_sq")) * F.sqrt(F.col(f"{b}.norm_sq"))
+        )
+
+    b, c = bcells.alias("b"), ccells.alias("c")
+    corpus_hits = (
+        b.join(c, F.col("b.cell") == F.col("c.cell"))
+        .filter(_cos("b", "c") >= SEMDEDUP_TAU)
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("c.vec_id")).alias("dup_corpus"))
+    )
+    e = bcells.alias("e")
+    batch_hits = (
+        b.join(e, (F.col("b.cell") == F.col("e.cell")) & (F.col("e.vec_id") < F.col("b.vec_id")))
+        .filter(_cos("b", "e") >= SEMDEDUP_TAU)
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("e.vec_id")).alias("dup_batch"))
+    )
+    return (
+        bcells.select("vec_id", "cell")
+        .join(corpus_hits, "vec_id", "left")
+        .join(batch_hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce("dup_corpus", "dup_batch").alias("dup_of"),
+            (F.col("dup_corpus").isNull() & F.col("dup_batch").isNull())
+            .cast("int")
+            .alias("is_new_unique"),
+        )
+    )

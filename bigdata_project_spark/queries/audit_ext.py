@@ -869,3 +869,47 @@ def silver_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").alias("max_event_id"),
         )
     )
+
+
+_K_ANON = 5
+
+
+@query(
+    "qa_k_anonymity",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey, c_mktsegment, group_size,
+           CAST(group_size < {_K_ANON} AS INT) AS at_risk
+    FROM g
+    """,
+    tags=("qa", "privacy", "agg"),
+)
+def qa_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release audit (k = _K_ANON = 5) over the quasi-
+    identifier pair (nation, market segment): any equivalence class
+    smaller than k re-identifies its members by linkage, so a privacy-
+    gated corpus release suppresses or generalizes those rows first
+    (the PII scrub removes DIRECT identifiers — `corpus_pii_scrub` —
+    but quasi-identifier linkage is the attack that survives scrubbing,
+    and this is its standard audit).
+
+    Scale: one grouped count on low-cardinality keys (map-side
+    combined), one codegen comparison — the audit is as cheap as any
+    profile pass and runs at the same release boundary as
+    qa_column_profile."""
+    k = F.lit(_K_ANON)
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("group_size"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_size",
+            (F.col("group_size") < k).cast("int").alias("at_risk"),
+        )
+    )

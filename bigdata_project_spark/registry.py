@@ -121,7 +121,10 @@ _LOADED = False
 # Round-9 rotation queue: FIRST the oracled queries registered after
 # this window froze (never driver-checked) —
 #   corpus_dsir_importance stream_quarantine_gated_daily
-#   multimodal_wav_decode
+#   multimodal_wav_decode qa_k_anonymity
+#   dedup_semantic_incremental (+ any further r8 additions
+#   — at r9 start, diff all_oracles() against CORRECTNESS_r01-r08
+#   row names to enumerate the exact never-checked set)
 # — then oldest-last-checked: the r3-vintage names trimmed from the
 # tail below —
 #   join_hint_broadcast_sql sort_null_ordering

@@ -413,3 +413,138 @@ _BANDS_SQL = f"""
 _REG_DX["dedup_lsh_band_tuning"].oracle = _REG_DX["dedup_lsh_band_tuning"].oracle.format(
     BANDS=_BANDS_SQL, TRUE=_REG_DX["dedup_ngram_jaccard"].oracle
 )
+
+
+# --------------------------- exact substring spans (Lee et al. 2022)
+
+_SUB_K = 20  # minimum repeated run length, in tokens
+
+
+@query(
+    "dedup_exact_substring_spans",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS words
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, words, unnest(range(len(words) - {_SUB_K} + 1)) AS i
+        FROM w WHERE len(words) >= {_SUB_K}
+    ),
+    sh AS (
+        SELECT doc_id, i,
+               md5(array_to_string(words[i + 1 : i + {_SUB_K}], ' ')) AS h
+        FROM pos
+    ),
+    spread AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    dup AS (SELECT s.doc_id, s.i FROM sh s JOIN spread USING (h)),
+    flagged AS (
+        SELECT doc_id, i,
+               CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i) >= {_SUB_K}
+                      OR LAG(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+                    THEN 1 ELSE 0 END AS new_island
+        FROM dup
+    ),
+    isl AS (
+        SELECT doc_id, i,
+               SUM(new_island) OVER (PARTITION BY doc_id ORDER BY i) AS island
+        FROM flagged
+    ),
+    cov AS (
+        SELECT doc_id, island, MAX(i) + {_SUB_K} - MIN(i) AS covered
+        FROM isl GROUP BY doc_id, island
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(SUM(covered) AS BIGINT) AS n_dup_tokens,
+               COUNT(*) AS n_spans
+        FROM cov GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.words) AS BIGINT) AS n_tokens,
+           COALESCE(p.n_spans, 0) AS n_spans,
+           COALESCE(p.n_dup_tokens, 0) AS n_dup_tokens,
+           CASE WHEN len(t.words) = 0 THEN 0.0
+                ELSE CAST(COALESCE(p.n_dup_tokens, 0) AS DOUBLE) / len(t.words) END
+             AS dup_token_share
+    FROM w t LEFT JOIN per_doc p USING (doc_id)
+    """,
+    tags=("llm", "dedup", "substring", "rewrite"),
+)
+def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring detection (Lee et al. 2022,
+    arXiv:2107.06499 'Deduplicating Training Data Makes Language
+    Models Better'): per document, the MERGED token spans covered by
+    any >= K-token run that appears verbatim in another document.
+    Unlike the fixed-grid passage operators (which only catch
+    ALIGNED duplication), stride-1 windows catch a repeated run at
+    any offset — this is exact substring dedup at K-token
+    granularity: every cross-doc repeat of length >= K is found
+    (a length-L repeat contributes L-K+1 overlapping windows that
+    merge back into one span via the gaps-and-islands pass).
+
+    Spark-native cost model, stated honestly: hashing every stride-1
+    window is O(n_tokens x K) map-side work per document — the price
+    of exactness without a distributed suffix array (the suffix-array
+    construction Lee et al. use is a specialized external-memory
+    batch job, not a relational operator). The shuffle side is
+    CHEAPER than it looks: only 128-bit window hashes move (uniform
+    keys, map-side pre-aggregated), the duplicated-position set is a
+    tiny fraction of positions, and the island merge runs on one
+    doc_id-keyed window. K is the single recall/cost knob.
+
+    Output: per doc (ALL docs), token count, merged span count,
+    covered duplicated tokens, and the share — the remove-side
+    rewrite consumes the spans; this is the detect side."""
+    from bigdata_project_spark.operators.dedup import words_col
+    from bigdata_project_spark.tables import load_spread
+
+    docs = load_spread(spark, sf_dir, "documents")
+    words = words_col(F.col("text"))
+    base = docs.select("doc_id", words.alias("words"))
+    pos = base.filter(F.size("words") >= _SUB_K).select(
+        "doc_id",
+        "words",
+        F.posexplode(F.sequence(F.lit(0), F.size("words") - _SUB_K)).alias("_p", "i"),
+    )
+    sh = pos.select(
+        "doc_id",
+        "i",
+        F.md5(F.concat_ws(" ", F.slice("words", F.col("i") + 1, _SUB_K))).alias("h"),
+    )
+    spread = sh.groupBy("h").agg(F.count_distinct("doc_id").alias("nd")).filter(
+        F.col("nd") >= 2
+    )
+    dup = sh.join(spread.select("h"), "h").select("doc_id", "i")
+    w_doc = Window.partitionBy("doc_id").orderBy("i")
+    lag_i = F.lag("i").over(w_doc)
+    flagged = dup.select(
+        "doc_id",
+        "i",
+        F.when(lag_i.isNull() | (F.col("i") - lag_i >= _SUB_K), 1).otherwise(0).alias(
+            "new_island"
+        ),
+    )
+    isl = flagged.select(
+        "doc_id", "i", F.sum("new_island").over(w_doc).alias("island")
+    )
+    cov = isl.groupBy("doc_id", "island").agg(
+        (F.max("i") + _SUB_K - F.min("i")).alias("covered")
+    )
+    per_doc = cov.groupBy("doc_id").agg(
+        F.sum("covered").alias("n_dup_tokens"), F.count("*").alias("n_spans")
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("words").cast("long").alias("n_tokens"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
+            F.when(F.size("words") == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce("n_dup_tokens", F.lit(0)).cast("double") / F.size("words")
+            )
+            .alias("dup_token_share"),
+        )
+    )

@@ -461,10 +461,10 @@ _SUB_K = 20  # minimum repeated run length, in tokens
         FROM cov GROUP BY doc_id
     )
     SELECT t.doc_id,
-           CAST(len(t.words) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(len(t.words), 0) AS BIGINT) AS n_tokens,
            COALESCE(p.n_spans, 0) AS n_spans,
            COALESCE(p.n_dup_tokens, 0) AS n_dup_tokens,
-           CASE WHEN len(t.words) = 0 THEN 0.0
+           CASE WHEN COALESCE(len(t.words), 0) = 0 THEN 0.0
                 ELSE CAST(COALESCE(p.n_dup_tokens, 0) AS DOUBLE) / len(t.words) END
              AS dup_token_share
     FROM w t LEFT JOIN per_doc p USING (doc_id)
@@ -500,7 +500,12 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_project_spark.tables import load_spread
 
     docs = load_spread(spark, sf_dir, "documents")
-    words = words_col(F.col("text"))
+    # coalesce BEFORE tokenizing: size(NULL array) is -1 in Spark, and
+    # this operator emits a row for EVERY doc (unlike the explode-only
+    # token queries, which just drop null docs) — without the guard a
+    # NULL text emits n_tokens = -1 and share = -0.0 (found by the
+    # null-twin check during round 8)
+    words = words_col(F.coalesce(F.col("text"), F.lit("")))
     base = docs.select("doc_id", words.alias("words"))
     pos = base.filter(F.size("words") >= _SUB_K).select(
         "doc_id",
@@ -546,5 +551,143 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("n_dup_tokens", F.lit(0)).cast("double") / F.size("words")
             )
             .alias("dup_token_share"),
+        )
+    )
+
+
+@query(
+    "dedup_substring_rewrite",
+    oracle=f"""
+    WITH wo AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, words, unnest(range(len(words) - {_SUB_K} + 1)) AS i
+        FROM wo WHERE len(words) >= {_SUB_K}
+    ),
+    sh AS (
+        SELECT doc_id, i,
+               md5(lower(array_to_string(words[i + 1 : i + {_SUB_K}], ' '))) AS h
+        FROM pos
+    ),
+    spread AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    dup AS (SELECT s.doc_id, s.i FROM sh s JOIN spread USING (h)),
+    flagged AS (
+        SELECT doc_id, i,
+               CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i) >= {_SUB_K}
+                      OR LAG(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+                    THEN 1 ELSE 0 END AS new_island
+        FROM dup
+    ),
+    isl AS (
+        SELECT doc_id, i,
+               SUM(new_island) OVER (PARTITION BY doc_id ORDER BY i) AS island
+        FROM flagged
+    ),
+    iv AS (
+        SELECT doc_id, island, MIN(i) AS s, MAX(i) + {_SUB_K} AS e
+        FROM isl GROUP BY doc_id, island
+    ),
+    tok AS (
+        SELECT doc_id, i.p AS p, words[i.p + 1] AS token
+        FROM wo, LATERAL (SELECT unnest(range(len(words))) AS p) i
+        WHERE len(words) > 0
+    ),
+    kept AS (
+        SELECT t.doc_id, t.p, t.token FROM tok t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM iv v
+            WHERE v.doc_id = t.doc_id AND t.p >= v.s AND t.p < v.e)
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(token, ' ' ORDER BY p) AS text_clean
+        FROM kept GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(COALESCE(len(w.words), 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(len(w.words), 0) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(a.text_clean, '') AS text_clean
+    FROM wo w LEFT JOIN agg a ON a.doc_id = w.doc_id
+    """,
+    tags=("llm", "dedup", "substring", "rewrite"),
+)
+def dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remove side of `dedup_exact_substring_spans`: REWRITE each
+    document with every cross-document >= K-token repeated run cut out
+    (original case preserved; detection hashes the lowercased window,
+    so case variants of a run are removed everywhere). This is the
+    Lee et al. 2022 dedup applied as a transformation, the arbitrary-
+    offset complement of `corpus_paragraph_dedup_rewrite`'s fixed
+    grid.
+
+    Scale: the detect stages are `dedup_exact_substring_spans`'s
+    (O(n x K) map-side hashing, 128-bit-hash shuffle, doc_id-keyed
+    island merge); the removal adds one doc_id-equi join from tokens
+    to the per-doc interval list (a handful of rows per doc) with the
+    range test as residual, and the same sorted-struct reassembly as
+    the passage rewrite. Tokens travel twice (explode, reassemble) —
+    the rewrite floor."""
+    from bigdata_project_spark.tables import load_spread
+
+    docs = load_spread(spark, sf_dir, "documents")
+    words_o = F.array_remove(F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"), "")
+    base = docs.select("doc_id", words_o.alias("words"))
+    pos = base.filter(F.size("words") >= _SUB_K).select(
+        "doc_id",
+        "words",
+        F.posexplode(F.sequence(F.lit(0), F.size("words") - _SUB_K)).alias("_p", "i"),
+    )
+    sh = pos.select(
+        "doc_id",
+        "i",
+        F.md5(F.lower(F.concat_ws(" ", F.slice("words", F.col("i") + 1, _SUB_K)))).alias("h"),
+    )
+    spread = sh.groupBy("h").agg(F.count_distinct("doc_id").alias("nd")).filter(
+        F.col("nd") >= 2
+    )
+    dup = sh.join(spread.select("h"), "h").select("doc_id", "i")
+    w_doc = Window.partitionBy("doc_id").orderBy("i")
+    lag_i = F.lag("i").over(w_doc)
+    isl = dup.select(
+        "doc_id",
+        "i",
+        F.sum(
+            F.when(lag_i.isNull() | (F.col("i") - lag_i >= _SUB_K), 1).otherwise(0)
+        )
+        .over(w_doc)
+        .alias("island"),
+    )
+    intervals = isl.groupBy("doc_id", "island").agg(
+        F.min("i").alias("s"), (F.max("i") + _SUB_K).alias("e")
+    )
+    tokens = base.filter(F.size("words") > 0).select(
+        "doc_id", F.posexplode("words").alias("p", "token")
+    )
+    kept = tokens.join(
+        intervals,
+        (tokens.doc_id == intervals.doc_id)
+        & (tokens.p >= intervals.s)
+        & (tokens.p < intervals.e),
+        "left_anti",
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "token"))), lambda x: x["token"]
+            ),
+        ).alias("text_clean"),
+    )
+    return (
+        base.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("words").cast("long").alias("n_tokens"),
+            (F.size("words") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         )
     )

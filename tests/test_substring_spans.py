@@ -59,3 +59,34 @@ def test_misaligned_repeat_found_and_spans_merge(spark, tmp_path_factory):
         assert res.ok, res.detail
     finally:
         con.close()
+
+
+def test_rewrite_agrees_with_detect_side(spark, sf_dir):
+    """dedup_substring_rewrite's n_removed must equal
+    dedup_exact_substring_spans' n_dup_tokens per doc (same coverage,
+    computed by two different compositions), and untouched docs must
+    reassemble to the whitespace-normalized original."""
+    from pyspark.sql import functions as F
+
+    from bigdata_project_spark.registry import all_queries
+    from bigdata_project_spark.tables import load
+
+    q = all_queries()
+    detect = q["dedup_exact_substring_spans"](spark, sf_dir).select(
+        "doc_id", "n_dup_tokens"
+    )
+    rewrite = q["dedup_substring_rewrite"](spark, sf_dir)
+    j = rewrite.join(detect, "doc_id")
+    assert j.filter(F.col("n_removed") != F.col("n_dup_tokens")).count() == 0
+    assert j.agg(F.sum("n_removed")).first()[0] > 0  # non-vacuous
+
+    docs = load(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.array_remove(F.split(F.coalesce("text", F.lit("")), r"\s+"), "")
+        ).alias("norm_text"),
+    )
+    untouched = rewrite.filter(F.col("n_removed") == 0).join(norm, "doc_id")
+    assert untouched.count() > 0
+    assert untouched.filter(F.col("text_clean") != F.col("norm_text")).count() == 0

@@ -131,13 +131,19 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int | Non
             )
         )
         before = persistent_rdd_ids(spark)
-        new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage per iteration
-        # the new checkpoint no longer reads the previous one — free the
-        # superseded iteration's blocks (at scale labels are |V| rows;
-        # keeping every iteration cached would hold diameter × |V|)
+        # LAZY checkpoint (round 8): the convergence count below is
+        # the action that materializes it, so each iteration runs ONE
+        # Spark job instead of two (eager-materialize + count). The
+        # loop was measured as the dominant cost of every clustering
+        # query, and the cost is job overhead, not data.
+        new_labels = new_labels.localCheckpoint(eager=False)  # truncate lineage per iteration
+        n_changed = new_labels.agg(F.sum("_changed")).first()[0] or 0
+        # the new checkpoint (materialized by the count above) no
+        # longer reads the previous one — free the superseded
+        # iteration's blocks (at scale labels are |V| rows; keeping
+        # every iteration cached would hold diameter × |V|)
         free_rdd_ids(spark, prev_ckpt_ids)
         prev_ckpt_ids = persistent_rdd_ids(spark) - (before - prev_ckpt_ids)
-        n_changed = new_labels.agg(F.sum("_changed")).first()[0] or 0
         labels = new_labels.drop("_changed")
         if n_changed == 0:
             break

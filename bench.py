@@ -111,6 +111,10 @@ HEADLINE = [
     "dedup_semantic_cells",
     "corpus_dsir_importance",
     "silver_quarantine_split",
+    "dedup_semantic_incremental",
+    "dedup_exact_substring_spans",
+    "dedup_substring_rewrite",
+    "multimodal_wav_decode",
 ]
 
 

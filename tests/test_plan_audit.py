@@ -42,6 +42,8 @@ BNLJ_WHITELIST: dict[str, str] = {
     "sim_ann_ivf_probe": "fixed-k centroid table cross to assign cells",
     "sim_ann_ivf_nprobe2": "fixed-k centroid table cross to assign cells",
     "dedup_semantic_cells": "fixed-k centroid table cross to assign cells",
+    "dedup_semantic_incremental": "fixed-k centroid table cross to assign cells",
+    "corpus_dsir_importance": "two 1-row model-total broadcasts (code-length denominators)",
     "sim_knn_bruteforce": "fixed 5-vector query set broadcast (non-equi by design)",
     "sim_truncated_dim_recall": "fixed tiny query set broadcast in both exact passes",
     "sim_knn_quantized_int8": "fixed 5-vector query set broadcast (non-equi by design)",

@@ -575,3 +575,60 @@ def text_novelty_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_nfkc_casefold",
+    oracle=None,  # DuckDB has no NFKC/casefold function — rows-only
+    # BY DESIGN (5th member of the rows-only set, COVERAGE.md);
+    # correctness is gated by tests/test_nfkc.py: pinned golden
+    # mappings for every divergent-case-mapping character the r7
+    # unicode probe documented, an idempotence property, and a
+    # sampled cross-check against CPython's unicodedata on the twin
+    # corpora.
+    tags=("llm", "text", "unicode", "normalize"),
+)
+def text_nfkc_casefold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFKC-casefold normalization at the bronze -> silver boundary —
+    the PRODUCTION CONTRACT the round-7 unicode audit documented
+    (tests/test_degenerate_input.py::test_known_unicode_divergences:
+    Spark's Java full case mapping and DuckDB's utf8proc simple fold
+    disagree on ß/İ/final-sigma/ligatures, so engine-portable
+    lower()/upper() comparisons require multilingual corpora to be
+    NFKC-casefolded FIRST). This operator is that boundary pass,
+    previously documented but not implemented: compatibility
+    normalization (NFKC: fullwidth forms, ligatures, compatibility
+    digits) followed by full Unicode casefolding (ß -> ss,
+    İ -> i + combining dot, Σ/ς -> σ), emitted alongside change
+    markers so the pipeline can audit how much text the boundary
+    rewrites.
+
+    Scale: one Arrow-batched mapInPandas over the documents scan —
+    embarrassingly parallel, no shuffle; the normalization tables are
+    CPython's unicodedata (bundled, versioned with the interpreter —
+    the docstring of record for reproducibility is the Python build).
+    NULL text passes through as NULL (in-contract: the quarantine/
+    quality tiers own null handling)."""
+    import unicodedata
+
+    docs = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def normalize(batches):
+        for pdf in batches:
+            out_text = []
+            changed = []
+            for t in pdf["text"]:
+                if t is None:
+                    out_text.append(None)
+                    changed.append(None)
+                else:
+                    norm = unicodedata.normalize("NFKC", t).casefold()
+                    out_text.append(norm)
+                    changed.append(int(norm != t))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "text_norm": out_text, "changed": changed}
+            )
+
+    return docs.mapInPandas(
+        normalize, "doc_id long, text_norm string, changed int"
+    )

@@ -100,13 +100,110 @@ def _default_max_iter() -> int:
     return int(os.environ.get("SPARK_GRAFT_CC_MAX_ITER", "20"))
 
 
+def connected_components_star(
+    nodes: DataFrame, edges: DataFrame, max_iter: int | None = None
+) -> DataFrame:
+    """Alternating large-star / small-star contraction (Kiveris et
+    al. 2014, "Connected Components in MapReduce and Beyond"):
+    converges in O(log^2 n) rounds REGARDLESS of component diameter —
+    the swap-in SCALE.md promises for adversarial chain-shaped
+    clusters, where min-label propagation needs diameter rounds
+    (tests/test_cc_algorithms.py demonstrates a 300-node chain: the
+    default-capped min-label loop raises, this converges in a few
+    rounds). Same contract as `connected_components`: (id, component
+    = min id in component).
+
+    Per round: large-star hangs every neighbor LARGER than u off
+    u's min neighbor (length-bounding), small-star re-hangs the
+    smaller-or-equal neighbors (star-forming); both are one grouped
+    min + one equi-join on the node key over the current edge set,
+    which SHRINKS as components contract. Fixpoint when the edge set
+    is stable; at fixpoint edges form stars rooted at component
+    minima."""
+    if max_iter is None:
+        max_iter = _default_max_iter()
+    spark = nodes.sparkSession
+    # canonical directed form (big -> small), self-loops dropped
+    e = (
+        edges.selectExpr("greatest(doc_a, doc_b) AS u", "least(doc_a, doc_b) AS v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev_ckpt_ids: set[int] = set()
+    converged = False
+    for _ in range(max_iter):
+        und = e.selectExpr("u AS a", "v AS b").unionByName(
+            e.selectExpr("v AS a", "u AS b")
+        )
+        # large-star: m(a) = min(N(a) + {a}); (b, m) for b > a
+        m = und.groupBy("a").agg(F.min("b").alias("_mb")).select(
+            "a", F.least(F.col("_mb"), F.col("a")).alias("m")
+        )
+        large = (
+            und.join(m, "a")
+            .filter(F.col("b") > F.col("a"))
+            .selectExpr("b AS u", "m AS v")
+        )
+        # small-star on large's output: (b, m) for b <= a, plus (a, m)
+        und2 = large.selectExpr("u AS a", "v AS b").unionByName(
+            large.selectExpr("v AS a", "u AS b")
+        )
+        m2 = und2.groupBy("a").agg(F.min("b").alias("_mb")).select(
+            "a", F.least(F.col("_mb"), F.col("a")).alias("m")
+        )
+        j = und2.join(m2, "a")
+        small = (
+            j.filter(F.col("b") <= F.col("a"))
+            .selectExpr("b AS u", "m AS v")
+            .unionByName(j.selectExpr("a AS u", "m AS v"))
+        )
+        new_e = (
+            small.selectExpr("greatest(u, v) AS u", "least(u, v) AS v")
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        before = persistent_rdd_ids(spark)
+        new_e = new_e.localCheckpoint(eager=False)
+        # stable iff same canonical edge multiset (both are distinct
+        # sets, so two anti-join emptiness checks in ONE union job)
+        n_diff = (
+            new_e.exceptAll(e).selectExpr("1 AS one")
+            .unionByName(e.exceptAll(new_e).selectExpr("1 AS one"))
+            .count()
+        )
+        free_rdd_ids(spark, prev_ckpt_ids)
+        prev_ckpt_ids = persistent_rdd_ids(spark) - (before - prev_ckpt_ids)
+        e = new_e
+        if n_diff == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds; "
+            "raise max_iter (env SPARK_GRAFT_CC_MAX_ITER)"
+        )
+    # at fixpoint e is a star forest (child -> root); singletons get
+    # their own id via the left join
+    roots = e.groupBy("u").agg(F.min("v").alias("component")).selectExpr(
+        "u AS id", "component"
+    )
+    labels = nodes.join(roots, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+    track_rdd_ids(spark, prev_ckpt_ids)
+    return labels
+
+
 def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int | None = None) -> DataFrame:
     """Min-label propagation to fixpoint.
 
     nodes: (id); edges: (doc_a, doc_b) undirected. Returns
     (id, component) where component = min id in the component.
     max_iter defaults to $SPARK_GRAFT_CC_MAX_ITER (20).
-    """
+
+    Iterations ~ component diameter: right for near-dup graphs (tiny
+    dense clusters). For adversarial chain-shaped components use
+    `connected_components_star` (O(log^2 n) rounds, any diameter)."""
     if max_iter is None:
         max_iter = _default_max_iter()
     undirected = edges.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(

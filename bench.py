@@ -189,9 +189,18 @@ def main() -> None:
         # secondary scale is informational (scale-effect separation):
         # single timed run keeps total bench wall-time bounded
         lines.append(bench_sf(spark, SECONDARY_SF_DIR, repeats=1))
-    lines.append(bench_sf(spark, SF_DIR))  # primary line last, median of 3
+    lines.append(bench_sf(spark, SF_DIR))  # primary scale point, median of 3
     for line in lines:
         print(json.dumps(line))
+    # short summary LAST: the driver captures only the tail of stdout
+    # and parses the final JSON line — r8's 62-query map (~3.5 KB)
+    # outgrew that tail and the driver recorded parsed:null. The full
+    # per-query maps stay on the earlier lines; this line carries just
+    # the headline total.
+    primary = lines[-1]
+    summary = {k: primary[k] for k in ("metric", "value", "unit", "sf", "repeats")}
+    summary["n_queries"] = len(primary["queries"])
+    print(json.dumps(summary))
     spark.stop()
 
 

@@ -118,75 +118,76 @@ _LOADED = False
 # CORRECTNESS_r01-r07, registration order within vintage, trimmed from
 # the tail to keep the window at 50).
 #
-# Round-9 rotation queue: FIRST the oracled queries registered after
-# this window froze (never driver-checked) —
-#   corpus_dsir_importance stream_quarantine_gated_daily
-#   multimodal_wav_decode qa_k_anonymity
-#   dedup_semantic_incremental (+ any further r8 additions
-#   — at r9 start, diff all_oracles() against CORRECTNESS_r01-r08
-#   row names to enumerate the exact never-checked set)
-# — then oldest-last-checked: the r3-vintage names trimmed from the
-# tail below —
-#   join_hint_broadcast_sql sort_null_ordering
-#   setop_union_all_nation_rows setop_union_distinct
-#   setop_intersect_buyers_building
-# — then the r3 setop/window remainder (setop_intersect_all_parts,
-# setop_except_nonbuyers, setop_except_all_lineitem_extras,
-# setop_union_by_name_evolution, window_* r3 vintage), then r4.
+# Round-9 window (exactly 50): the 7 oracled queries registered after
+# the r8 window froze (never driver-checked, judge-replay green in r8)
+# first, any queries newly registered THIS round inserted after them
+# (tail trimmed to keep the window at 50), then oldest-last-checked:
+# the r3-vintage setop/sort/sub/window/stream re-confirms, then the
+# head of the r4 vintage (registration order within vintage).
+#
+# Round-10 rotation queue: FIRST any oracled queries registered after
+# this window froze (diff all_oracles() against CORRECTNESS_r01-r09
+# row names at r10 start to enumerate exactly), then
+# oldest-last-checked — the r4-vintage remainder trimmed from the tail
+# below (events_*, sample_*, scalar_array_*, lake_merge_upsert_
+# projection, multimodal_feature_knn, pack_sequences_global, ...),
+# then the r5 vintage.
 _DRIVER_FIRST: tuple[str, ...] = (
-    # --- never driver-checked: post-r7-freeze audits + r8 additions ---
-    "qa_nonfinite_embeddings",
-    "qa_timestamp_bounds",
-    "corpus_paragraph_dedup_rewrite",
-    "dedup_semantic_cells",
-    "silver_quarantine_split",
-    # --- re-confirmation: oldest driver rows (round 2 vintage) ---
-    "dedup_exact_hash",
-    "dedup_simhash64",
-    "dedup_fingerprint_winnow",
-    "multimodal_binary_metadata",
-    "multimodal_decode_features",
-    "sim_knn_bruteforce",
-    "sim_ann_ivf_probe",
-    "sim_centroid_per_label",
-    "join_salted_event_weights",
-    "text_stats_quality",
-    "text_langid_markers",
-    "text_token_count_bpe",
-    "text_quality_pandas_udf",
-    "udaf_weighted_avg_discount",
-    "text_tfidf_top3",
-    "text_zscore_grouped_pandas",
-    "text_bm25_topk",
-    "sql_grouping_sets",
-    "pivot_status_by_priority",
-    "join_q5_regional_revenue",
-    "scalar_geo_haversine_km",
-    "scalar_string_advanced",
-    "scalar_map_json_construction",
-    "array_higher_order_functions",
-    "udtf_tokenize_documents",
-    "sample_stratified_hash",
-    "cogroup_customer_orders_pandas",
-    "window_ratio_to_report",
-    # --- re-confirmation: round 3 vintage ---
-    "arrow_map_component_stats",
-    "arrow_grouped_label_extremes",
-    "generator_posexplode_embedding_head",
-    "generator_explode_outer_empty",
-    "generator_stack_unpivot",
-    "generator_inline_struct_array",
-    "generator_unpivot_native",
-    "join_revenue_per_nation",
-    "join_broadcast_brand_volume",
-    "join_left_outer_customer_orders",
-    "join_full_outer_nation_presence",
-    "join_semi_big_spenders",
-    "join_anti_never_ordered",
-    "join_range_price_bands",
-    "join_asof_purchase_click",
-    "join_cross_region_status",
-    "join_shipping_priority_top10",
+    # --- never driver-checked: post-r8-freeze additions ---
+    "dedup_exact_substring_spans",
+    "dedup_substring_rewrite",
+    "corpus_dsir_importance",
+    "multimodal_wav_decode",
+    "dedup_semantic_incremental",
+    "qa_k_anonymity",
+    "stream_quarantine_gated_daily",
+    # --- never driver-checked: round-9 additions (inserted here as
+    # each lands; one r4-vintage tail name trimmed per insertion) ---
+    # --- re-confirmation: round 3 vintage (oldest driver rows) ---
+    "join_hint_broadcast_sql",
+    "sort_null_ordering",
+    "setop_union_all_nation_rows",
+    "setop_union_distinct",
+    "setop_intersect_buyers_building",
+    "setop_except_nonbuilding_buyers",
+    "setop_intersect_all_multiset",
+    "setop_except_all_multiset",
+    "sort_top100_orders",
+    "sort_multicol_limit",
+    "sub_exists_urgent_buyers",
+    "sub_not_exists_no_big_order",
+    "sub_in_top_nation_buyers",
+    "sub_scalar_correlated_max_item",
+    "join_lateral_top2_per_nation",
+    "cte_recursive_price_histogram",
+    "sql_group_by_all_daily",
+    "agg_listagg_nations_per_region",
+    "scalar_variant_props_extract",
+    "window_top3_per_segment",
+    "window_rank_family",
+    "window_lag_lead_price_delta",
+    "window_running_spend",
+    "window_range_frame_30d",
+    "window_first_last_nth",
+    "stream_tumbling_hourly",
+    "stream_dedup_user_type",
+    "stream_stream_interval_join",
+    "stream_sliding_30m_10m",
+    "stream_session_30m",
+    "stream_static_join_weighted",
+    "stream_stateful_max_jump",
+    # --- re-confirmation: round 4 vintage head ---
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_cluster_components",
+    "corpus_clean_pipeline",
+    "graph_pagerank_neardup",
+    "pack_sequences_by_source",
+    "contamination_ngram_overlap",
+    "scrub_pii_stats",
+    "split_train_val_test",
+    "quality_repetition_filter",
+    "dedup_incremental_merge",
 )
 
 

@@ -572,13 +572,15 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 w = wave_mod.open(io.BytesIO(bytes(payload)), "rb")
                 nf = w.getnframes()
+                n_channels = w.getnchannels()
+                framerate = w.getframerate()
                 data = np.frombuffer(w.readframes(nf), dtype="<i2").astype(np.int64)
                 w.close()
                 rows.append(
                     (
                         int(doc_id),
-                        w.getnchannels(),
-                        w.getframerate(),
+                        n_channels,
+                        framerate,
                         nf,
                         int(np.abs(data).sum()),
                         int(np.abs(data).max()),

@@ -70,7 +70,13 @@ SEMDEDUP_TAU = 0.35
 # deterministic planes, disjoint from the 3 banded-LSH bands.
 _SEM_BAND = _N_BANDS
 _CELL_LOAD_LOG2 = 9
-_MAX_SUBCELL_PLANES = 16
+# _band_signs yields _MAX_PLANES_PER_BAND rows per band (env-tunable);
+# the sub-cell prefix can never use more bits than the band provides,
+# or a low SPARK_GRAFT_MAX_PLANES_PER_BAND would silently truncate Q
+# in both engines and quietly unbound per-cell load.
+from bigdata_project_spark.operators.similarity import _MAX_PLANES_PER_BAND
+
+_MAX_SUBCELL_PLANES = min(16, _MAX_PLANES_PER_BAND)
 
 _SQL_DOT_NC = " + ".join(
     f"CAST(embedding[{i}] AS DOUBLE) * c_arr[{i}]" for i in range(1, DIM + 1)

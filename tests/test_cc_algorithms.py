@@ -66,7 +66,10 @@ def test_star_equals_minlabel_equals_bruteforce(spark, edges):
         "doc_a <> doc_b"
     )
     want = _brute_components(n, [(a, b) for a, b in edge_rows if a != b])
-    got_min = _labels(connected_components(nodes, edf))
+    # max_iter=30 >= 24, the worst-case min-label eccentricity for a
+    # 25-node drawn graph (a near-path ordering would exceed the
+    # default 20-round cap and raise — a rare hypothesis flake)
+    got_min = _labels(connected_components(nodes, edf, max_iter=30))
     got_star = _labels(connected_components_star(nodes, edf))
     assert got_min == want
     assert got_star == want

@@ -46,7 +46,12 @@ def timepoison_sf_dir(tmp_path_factory, sf_dir) -> str:
                         ELSE ts
                     END AS ts,
                     CASE
-                        WHEN hash(CAST(event_id AS VARCHAR) || 'tp') % 100 BETWEEN 4 AND 5
+                        -- bucket 2 overlaps: far-future ts AND NaN value,
+                        -- so the documented 'ts_out_of_bounds wins over
+                        -- nonfinite_measure' precedence is exercised
+                        -- cross-engine, not just disjoint classes
+                        WHEN hash(CAST(event_id AS VARCHAR) || 'tp') % 100 = 2
+                          OR hash(CAST(event_id AS VARCHAR) || 'tp') % 100 BETWEEN 4 AND 5
                             THEN 'NaN'::DOUBLE
                         ELSE value
                     END AS value

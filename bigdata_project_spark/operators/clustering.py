@@ -178,6 +178,7 @@ def connected_components_star(
             converged = True
             break
     if not converged:
+        free_rdd_ids(spark, prev_ckpt_ids)
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} rounds; "
             "raise max_iter (env SPARK_GRAFT_CC_MAX_ITER)"
@@ -248,6 +249,11 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int | Non
         # min-label propagation converges in <= graph-diameter iterations;
         # returning silently here would hand back wrong (unconverged)
         # component labels on adversarial chain-shaped clusters.
+        # Free the abandoned iteration's checkpoint blocks first — the
+        # caller (connected_components_auto) may retry with the star
+        # algorithm, and |V|-row blocks from a dead loop must not
+        # outlive the raise.
+        free_rdd_ids(spark, prev_ckpt_ids)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations "
             f"({n_changed} labels still changing); raise max_iter "
@@ -258,6 +264,38 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int | Non
     # materializes — without sweeping unrelated caches in the session
     track_rdd_ids(spark, prev_ckpt_ids)
     return labels
+
+
+def _probe_iters() -> int:
+    """Min-label rounds connected_components_auto spends before
+    concluding the graph is chain-shaped. Genuine near-dup clusters
+    are shallow (diameter ~2-4: dense clone groups), so 8 rounds is
+    generous; clamped to >= 1 because a 0-round min-label loop would
+    RETURN its unconverged initial labels instead of raising."""
+    return max(1, int(os.environ.get("SPARK_GRAFT_CC_PROBE_ITERS", "8")))
+
+
+def connected_components_auto(
+    nodes: DataFrame, edges: DataFrame, max_iter: int | None = None
+) -> DataFrame:
+    """The production connected-components entry point (round 9):
+    min-label propagation probed for $SPARK_GRAFT_CC_PROBE_ITERS
+    rounds (default 8 — fewest Spark jobs on the shallow components
+    near-dup graphs actually have), falling back to alternating-star
+    contraction (O(log^2 n) rounds at ANY diameter, Kiveris et al.
+    2014) when the probe cap is hit. Both algorithms return identical
+    labels (id, component = min id in component) — property-tested
+    against each other and a driver-side union-find in
+    tests/test_cc_algorithms.py — so the fallback changes cost, never
+    results, and every consumer's oracle is unchanged. The probe's
+    abandoned checkpoints are freed inside connected_components
+    before it raises, so the fallback starts with a clean block
+    store."""
+    try:
+        probe = _probe_iters() if max_iter is None else min(max_iter, _probe_iters())
+        return connected_components(nodes, edges, max_iter=probe)
+    except RuntimeError:
+        return connected_components_star(nodes, edges, max_iter=max_iter)
 
 
 @query(
@@ -301,7 +339,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(edges.select(F.col("doc_b").alias("id")))
         .distinct()
     )
-    comp_conn = connected_components(endpoints, edges)
+    comp_conn = connected_components_auto(endpoints, edges)
     comp = docs.join(comp_conn, "id", "left").select(
         "id", F.coalesce("component", F.col("id")).alias("component")
     )

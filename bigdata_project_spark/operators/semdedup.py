@@ -21,7 +21,8 @@ already-verified substrates into that operator:
    bounded — the equi-join on cell IS the partitioning key, so each
    cell's pairs compute inside one shuffle partition.
 3. **Canonicalization** — connected components over the edge set
-   (min-label propagation, `clustering.connected_components`), then
+   (min-label propagation with star-contraction fallback,
+   `clustering.connected_components_auto`), then
    `corpus_keep_best_per_cluster`'s keeper policy: most tokens wins,
    id tiebreak (embeddings join documents on vec_id = doc_id, the
    testbed's alignment contract).
@@ -40,7 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from bigdata_project_spark.caching import tracked_persist
-from bigdata_project_spark.operators.clustering import connected_components
+from bigdata_project_spark.operators.clustering import connected_components_auto
 from bigdata_project_spark.operators.dedup import words_col
 from bigdata_project_spark.operators.similarity import (
     DIM,
@@ -278,7 +279,7 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(edges.select(F.col("doc_b").alias("id")))
         .distinct()
     )
-    comp_conn = connected_components(endpoints, edges)
+    comp_conn = connected_components_auto(endpoints, edges)
     nodes = emb.select(F.col("vec_id").alias("id"))
     comp = nodes.join(comp_conn, "id", "left").select(
         "id", F.coalesce("component", F.col("id")).alias("component")

@@ -93,3 +93,63 @@ def test_chain_component_star_converges_where_minlabel_refuses(spark):
         connected_components(nodes, chain, max_iter=20)
     labels = _labels(connected_components_star(nodes, chain, max_iter=20))
     assert labels == {i: 0 for i in range(n)}
+
+
+def test_auto_converges_on_chain(spark):
+    """connected_components_auto is what the production consumers
+    (dedup_cluster_components, dedup_semantic_cells) call since round
+    9: on the adversarial 300-node chain the min-label probe hits its
+    cap and the star fallback must deliver the correct labels — the
+    consumer never sees the refusal min-label alone would raise."""
+    from bigdata_project_spark.operators.clustering import connected_components_auto
+
+    n = 300
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    labels = _labels(connected_components_auto(nodes, chain))
+    assert labels == {i: 0 for i in range(n)}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)), min_size=0, max_size=40
+    )
+)
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+def test_auto_equals_bruteforce(spark, edges):
+    from bigdata_project_spark.operators.clustering import connected_components_auto
+
+    n = 25
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edge_rows = [(a, b) for a, b in edges if a != b] or [(0, 0)]
+    edf = spark.createDataFrame(edge_rows, "doc_a long, doc_b long").filter(
+        "doc_a <> doc_b"
+    )
+    want = _brute_components(n, [(a, b) for a, b in edge_rows if a != b])
+    assert _labels(connected_components_auto(nodes, edf)) == want
+
+
+@pytest.mark.parametrize("name", ["dedup_cluster_components", "dedup_semantic_cells"])
+def test_consumers_stay_green_through_star_fallback(spark, sf_dir, name, monkeypatch):
+    """Force every min-label probe to refuse (as a chain-shaped edge
+    set would) and run the production consumers end-to-end against
+    their unchanged DuckDB oracles: the star fallback must produce
+    value-identical output, proving the algorithm swap changes cost,
+    never results."""
+    from bigdata_project_spark.operators import clustering
+    from bigdata_project_spark.registry import REGISTRY, all_queries
+    from tests.oracle import compare, duckdb_con
+
+    def _refuse(nodes, edges, max_iter=None):
+        raise RuntimeError("forced: min-label probe cap (test twin)")
+
+    monkeypatch.setattr(clustering, "connected_components", _refuse)
+    con = duckdb_con(sf_dir)
+    try:
+        df = all_queries()[name](spark, sf_dir)
+        res = compare(name, df, con, REGISTRY[name].oracle)
+        assert res.ok, res.detail
+    finally:
+        con.close()

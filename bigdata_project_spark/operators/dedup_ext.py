@@ -691,3 +691,150 @@ def dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         )
     )
+
+
+@query(
+    "dedup_selfrepeat_substring_spans",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS words
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, words, unnest(range(len(words) - {_SUB_K} + 1)) AS i
+        FROM w WHERE len(words) >= {_SUB_K}
+    ),
+    sh AS (
+        SELECT doc_id, i,
+               md5(array_to_string(words[i + 1 : i + {_SUB_K}], ' ')) AS h
+        FROM pos
+    ),
+    per_hd AS (
+        SELECT h, doc_id, MAX(i) - MIN(i) AS pos_spread
+        FROM sh GROUP BY h, doc_id
+    ),
+    spread AS (
+        SELECT h FROM per_hd
+        GROUP BY h
+        HAVING COUNT(*) >= 2 OR MAX(pos_spread) >= {_SUB_K}
+    ),
+    dup AS (SELECT s.doc_id, s.i FROM sh s JOIN spread USING (h)),
+    flagged AS (
+        SELECT doc_id, i,
+               CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i) >= {_SUB_K}
+                      OR LAG(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+                    THEN 1 ELSE 0 END AS new_island
+        FROM dup
+    ),
+    isl AS (
+        SELECT doc_id, i,
+               SUM(new_island) OVER (PARTITION BY doc_id ORDER BY i) AS island
+        FROM flagged
+    ),
+    cov AS (
+        SELECT doc_id, island, MAX(i) + {_SUB_K} - MIN(i) AS covered
+        FROM isl GROUP BY doc_id, island
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(SUM(covered) AS BIGINT) AS n_dup_tokens,
+               COUNT(*) AS n_spans
+        FROM cov GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(len(t.words), 0) AS BIGINT) AS n_tokens,
+           COALESCE(p.n_spans, 0) AS n_spans,
+           COALESCE(p.n_dup_tokens, 0) AS n_dup_tokens,
+           CASE WHEN COALESCE(len(t.words), 0) = 0 THEN 0.0
+                ELSE CAST(COALESCE(p.n_dup_tokens, 0) AS DOUBLE) / len(t.words) END
+             AS dup_token_share
+    FROM w t LEFT JOIN per_doc p USING (doc_id)
+    """,
+    tags=("llm", "dedup", "substring", "selfrepeat"),
+)
+def dedup_selfrepeat_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_exact_substring_spans` with WITHIN-document repeats
+    included (round 9, closing the r8 verdict's scoped-down
+    semantic): Lee et al. 2022 deduplicate a >= K-token run that
+    appears twice ANYWHERE — and real corpora hit the self-repeat
+    case first (boilerplate-heavy pages repeat their own navigation/
+    footer runs), which the cross-doc operator scores 0.
+
+    A window hash qualifies when it has two NON-OVERLAPPING
+    occurrences: in two distinct documents (always non-overlapping),
+    or twice in one document at positions >= K apart. Two occurrences
+    exist at distance >= K within a doc iff MAX(i) - MIN(i) >= K for
+    that (hash, doc) group — so the qualifier is exactly the cross-doc
+    HAVING with a per-(hash, doc) position-spread aggregate added, and
+    overlapping-only self-matches (the same physical text region seen
+    through a periodic token run shorter than 2K) correctly do NOT
+    qualify: there is no second copy to remove. Every occurrence of a
+    qualifying hash is flagged, mirroring the cross-doc operator
+    (both copies count toward dup_token_share; the rewrite side keeps
+    one).
+
+    Scale: identical to the cross-doc form — O(n_tokens x K) map-side
+    window hashing, only 128-bit hashes shuffle — plus one extra
+    map-side-combinable aggregate keyed on (hash, doc) BEFORE the
+    hash-keyed qualifier, which SHRINKS the qualifier's input (one
+    row per (hash, doc), not per position). The island merge is
+    unchanged: one doc_id-keyed window."""
+    from bigdata_project_spark.operators.dedup import words_col
+    from bigdata_project_spark.tables import load_spread
+
+    docs = load_spread(spark, sf_dir, "documents")
+    # coalesce BEFORE tokenizing (size(NULL array) = -1; this operator
+    # emits a row for EVERY doc — same guard as the cross-doc form)
+    words = words_col(F.coalesce(F.col("text"), F.lit("")))
+    base = docs.select("doc_id", words.alias("words"))
+    pos = base.filter(F.size("words") >= _SUB_K).select(
+        "doc_id",
+        "words",
+        F.posexplode(F.sequence(F.lit(0), F.size("words") - _SUB_K)).alias("_p", "i"),
+    )
+    sh = pos.select(
+        "doc_id",
+        "i",
+        F.md5(F.concat_ws(" ", F.slice("words", F.col("i") + 1, _SUB_K))).alias("h"),
+    )
+    per_hd = sh.groupBy("h", "doc_id").agg(
+        (F.max("i") - F.min("i")).alias("pos_spread")
+    )
+    qual = (
+        per_hd.groupBy("h")
+        .agg(F.count("*").alias("nd"), F.max("pos_spread").alias("mx"))
+        .filter((F.col("nd") >= 2) | (F.col("mx") >= _SUB_K))
+    )
+    dup = sh.join(qual.select("h"), "h").select("doc_id", "i")
+    w_doc = Window.partitionBy("doc_id").orderBy("i")
+    lag_i = F.lag("i").over(w_doc)
+    flagged = dup.select(
+        "doc_id",
+        "i",
+        F.when(lag_i.isNull() | (F.col("i") - lag_i >= _SUB_K), 1).otherwise(0).alias(
+            "new_island"
+        ),
+    )
+    isl = flagged.select(
+        "doc_id", "i", F.sum("new_island").over(w_doc).alias("island")
+    )
+    cov = isl.groupBy("doc_id", "island").agg(
+        (F.max("i") + _SUB_K - F.min("i")).alias("covered")
+    )
+    per_doc = cov.groupBy("doc_id").agg(
+        F.sum("covered").alias("n_dup_tokens"), F.count("*").alias("n_spans")
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("words").cast("long").alias("n_tokens"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
+            F.when(F.size("words") == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce("n_dup_tokens", F.lit(0)).cast("double") / F.size("words")
+            )
+            .alias("dup_token_share"),
+        )
+    )

@@ -160,3 +160,69 @@ def test_containment_matches_bruteforce_on_random_corpora(spark, tmp_path_factor
                 if inter and 5 * inter >= 4 * len(sh[i]):
                     want.add((i, j, inter))
     assert got == want
+
+
+def test_selfrepeat_spans_semantics(spark, tmp_path_factory):
+    """dedup_selfrepeat_substring_spans (round 9): a >= K-token run
+    repeated twice NON-OVERLAPPING within one document is flagged
+    (both copies), a periodic run shorter than 2K (overlapping
+    self-matches only — one physical region) is NOT, cross-doc
+    repeats still are, and the full output matches the DuckDB oracle
+    on the constructed corpus."""
+    import duckdb
+
+    from bigdata_project_spark.registry import REGISTRY, all_queries
+
+    K = 20
+    uniq = iter(f"u{i}" for i in range(10_000))
+
+    def filler(n):
+        return [next(uniq) for _ in range(n)]
+
+    run = [f"r{i}" for i in range(K)]
+    shared = [f"s{i}" for i in range(K)]
+    texts = [
+        # doc 0: self-repeat, two copies K tokens apart -> 2 spans, 2K dup tokens
+        " ".join(filler(30) + run + filler(25) + run + filler(10)),
+        # doc 1: 30-token periodic run -> window spread 10 < K, no second copy
+        " ".join(["rep"] * 30),
+        # doc 2: 45-token periodic run -> spread 25 >= K, fully covered
+        " ".join(["per"] * 45),
+        # docs 3,4: cross-doc repeat (parity with the cross-doc operator)
+        " ".join(filler(22) + shared + filler(21)),
+        " ".join(filler(25) + shared + filler(30)),
+        # doc 5: no repeats
+        " ".join(filler(40)),
+    ]
+    d = _write_docs(spark, str(tmp_path_factory.mktemp("selfrep")), texts)
+    rows = {
+        r["doc_id"]: r
+        for r in all_queries()["dedup_selfrepeat_substring_spans"](spark, d).collect()
+    }
+    assert rows[0]["n_spans"] == 2 and rows[0]["n_dup_tokens"] == 2 * K
+    assert rows[0]["n_tokens"] == 105
+    assert rows[1]["n_dup_tokens"] == 0
+    assert rows[2]["n_dup_tokens"] == 45 and rows[2]["dup_token_share"] == 1.0
+    assert rows[3]["n_dup_tokens"] == K and rows[4]["n_dup_tokens"] == K
+    assert rows[5]["n_dup_tokens"] == 0
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+        )
+        want = {
+            r[0]: r
+            for r in con.sql(
+                REGISTRY["dedup_selfrepeat_substring_spans"].oracle
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    for doc_id, r in rows.items():
+        assert (
+            r["n_tokens"],
+            r["n_spans"],
+            r["n_dup_tokens"],
+            r["dup_token_share"],
+        ) == tuple(want[doc_id][1:]), doc_id

@@ -913,3 +913,130 @@ def qa_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("group_size") < k).cast("int").alias("at_risk"),
         )
     )
+
+
+@query(
+    "corpus_k_anonymize_release",
+    oracle=f"""
+    WITH g1 AS (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    ),
+    r1 AS (
+        SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment,
+               CASE WHEN g1.n >= {_K_ANON} THEN 0 ELSE 1 END AS lvl
+        FROM customer c
+        JOIN g1 ON g1.c_nationkey = c.c_nationkey
+               AND g1.c_mktsegment = c.c_mktsegment
+    ),
+    g2 AS (
+        SELECT c_nationkey, COUNT(*) AS n FROM r1 WHERE lvl = 1
+        GROUP BY c_nationkey
+    ),
+    r2 AS (
+        SELECT r1.c_custkey, r1.c_nationkey, r1.c_mktsegment,
+               CASE WHEN r1.lvl = 0 THEN 0
+                    WHEN g2.n >= {_K_ANON} THEN 1 ELSE 2 END AS lvl
+        FROM r1 LEFT JOIN g2 ON g2.c_nationkey = r1.c_nationkey
+    ),
+    g3 AS (SELECT COUNT(*) AS n FROM r2 WHERE lvl = 2),
+    rel AS (
+        SELECT c_custkey,
+               CASE WHEN lvl <= 1 THEN CAST(c_nationkey AS VARCHAR)
+                    ELSE '*' END AS qi_nation,
+               CASE WHEN lvl = 0 THEN c_mktsegment ELSE '*' END AS qi_segment,
+               lvl
+        FROM r2
+        WHERE NOT (lvl = 2 AND (SELECT n FROM g3) < {_K_ANON})
+    ),
+    audit AS (
+        SELECT qi_nation, qi_segment, COUNT(*) AS group_size
+        FROM rel GROUP BY qi_nation, qi_segment
+    )
+    SELECT r.c_custkey, r.qi_nation, r.qi_segment,
+           CAST(r.lvl AS INT) AS generalization_level,
+           a.group_size,
+           CAST(a.group_size < {_K_ANON} AS INT) AS at_risk
+    FROM rel r
+    JOIN audit a ON a.qi_nation = r.qi_nation AND a.qi_segment = r.qi_segment
+    """,
+    tags=("qa", "privacy", "release", "rewrite"),
+)
+def corpus_k_anonymize_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACT on the `qa_k_anonymity` audit (round 9): produce a release
+    that IS k-anonymous (k = {_K_ANON}) via multi-level local
+    recoding over the quasi-identifier pair (nation, market segment),
+    then re-audit the released rows inside the same query so the
+    output carries its own proof (every released class's group_size,
+    with at_risk = 0 everywhere — gated by test and oracle):
+
+    - level 0: rows whose (nation, segment) class already has >= k
+      members release both QI values unchanged;
+    - level 1: rows in smaller classes generalize segment to '*';
+      their class becomes (nation, '*'), sized over level-1 rows;
+    - level 2: if (nation, '*') is still < k, nation generalizes to
+      '*' too — one corpus-wide ('*', '*') class;
+    - record suppression, the standard last resort: if even the
+      ('*', '*') class is < k its rows are DROPPED, so the released
+      set is k-anonymous unconditionally, not just on friendly data.
+
+    Classes of different generalization levels cannot collide: a
+    released level-0 segment is a real segment name, never '*'.
+
+    Scale: three grouped counts on low-cardinality QI keys (map-side
+    combined; g1 <= |nations| x |segments| rows, g2 <= |nations|,
+    g3 is 1 row) broadcast back onto the fact scan, and the re-audit
+    is one more broadcast of <= |g1|+|g2|+1 class rows — the fact
+    table is scanned once and never shuffled on a high-cardinality
+    key."""
+    k = _K_ANON
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    g1 = cust.groupBy("c_nationkey", "c_mktsegment").agg(F.count("*").alias("n1"))
+    r1 = cust.join(F.broadcast(g1), ["c_nationkey", "c_mktsegment"]).select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(F.col("n1") >= k, 0).otherwise(1).alias("lvl1"),
+    )
+    g2 = (
+        r1.filter(F.col("lvl1") == 1)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n2"))
+    )
+    r2 = r1.join(F.broadcast(g2), "c_nationkey", "left").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(F.col("lvl1") == 0, 0)
+        .when(F.col("n2") >= k, 1)
+        .otherwise(2)
+        .alias("lvl"),
+    )
+    g3 = r2.filter(F.col("lvl") == 2).agg(F.count("*").alias("n3"))
+    rel = (
+        r2.join(F.broadcast(g3))  # 1-row corpus total, broadcast by construction
+        .filter(~((F.col("lvl") == 2) & (F.col("n3") < k)))
+        .select(
+            "c_custkey",
+            F.when(F.col("lvl") <= 1, F.col("c_nationkey").cast("string"))
+            .otherwise(F.lit("*"))
+            .alias("qi_nation"),
+            F.when(F.col("lvl") == 0, F.col("c_mktsegment"))
+            .otherwise(F.lit("*"))
+            .alias("qi_segment"),
+            F.col("lvl").cast("int").alias("generalization_level"),
+        )
+    )
+    audit = rel.groupBy("qi_nation", "qi_segment").agg(
+        F.count("*").alias("group_size")
+    )
+    return rel.join(F.broadcast(audit), ["qi_nation", "qi_segment"]).select(
+        "c_custkey",
+        "qi_nation",
+        "qi_segment",
+        "generalization_level",
+        "group_size",
+        (F.col("group_size") < k).cast("int").alias("at_risk"),
+    )

@@ -144,6 +144,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     # --- never driver-checked: round-9 additions (inserted here as
     # each lands; one r4-vintage tail name trimmed per insertion) ---
     "dedup_selfrepeat_substring_spans",
+    "corpus_k_anonymize_release",
     # --- re-confirmation: round 3 vintage (oldest driver rows) ---
     "join_hint_broadcast_sql",
     "sort_null_ordering",
@@ -187,7 +188,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "contamination_ngram_overlap",
     "scrub_pii_stats",
     "split_train_val_test",
-    "quality_repetition_filter",
 )
 
 

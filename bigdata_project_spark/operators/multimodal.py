@@ -2,13 +2,16 @@
 
 Image/audio/video payloads are opaque `binary` columns with typed
 metadata; decode / feature-extraction runs as Arrow-batched
-mapInPandas. Honesty split (round 8): UNCOMPRESSED audio decode is
-REAL — `multimodal_wav_decode` writes and parses genuine RIFF/WAVE
-containers with the stdlib `wave` codec, verified bit-exactly against
-a formula oracle. COMPRESSED formats (JPEG/MP3/H.264) remain stubbed
-with a deterministic fake (byte-level statistics standing in for
-pixel statistics) because no codec libraries (PIL/ffmpeg/...) ship in
-this container; the plumbing a real compressed decoder would use —
+mapInPandas. Honesty split (rounds 8-9): audio decode is REAL —
+`multimodal_wav_decode` writes and parses genuine RIFF/WAVE
+containers with the stdlib `wave` codec — and image decode is REAL
+for PNG — `multimodal_png_decode` writes and parses genuine PNG
+(CRC'd chunks, zlib deflate, the full five-filter unfilter set) with
+stdlib `zlib` + `struct` — both verified bit-exactly against formula
+oracles. Only formats needing external codec libraries (JPEG/MP3/
+H.264; PIL/ffmpeg don't ship in this container) remain stubbed with
+a deterministic fake (byte-level statistics standing in for pixel
+statistics); the plumbing a real compressed decoder would use —
 binary column in, fixed-schema feature struct + float vector out,
 batch-at-a-time — is exactly the tested one.
 
@@ -110,12 +113,17 @@ _FEATURE_SCHEMA = T.StructType(
 def decode_image(payload: bytes) -> dict:
     """Decode an image payload into pixels.
 
-    STUB: real decoding needs an image library that is not available
-    in this container. The Spark-side plumbing (binary in, typed
-    feature row out, Arrow batches) is real and tested with the
+    STUB for JPEG/WEBP/...: those need an image library that is not
+    available in this container. PNG decode is REAL and stdlib-only —
+    see `multimodal_png_decode`. The Spark-side plumbing (binary in,
+    typed feature row out, Arrow batches) is real and tested with the
     deterministic fake below.
     """
-    raise NotImplementedError("image decoding requires PIL/libvips; not available in this container")
+    raise NotImplementedError(
+        "JPEG/WEBP decoding requires PIL/libvips; not available in this "
+        "container (PNG is handled by the real stdlib path in "
+        "multimodal_png_decode)"
+    )
 
 
 @query(
@@ -593,3 +601,223 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize, "doc_id long, payload binary"
     )
     return payloads.mapInPandas(decode, _WAV_SCHEMA)
+
+
+_PNG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("n_bright", T.LongType()),
+    ]
+)
+
+
+@query(
+    "multimodal_png_decode",
+    # the oracle replays the pixel-generating formula in integer
+    # arithmetic — the Spark side must reproduce it from the actual
+    # PNG bytes (signature, CRC'd chunks, IHDR, zlib inflate, scanline
+    # unfilter), so one wrong byte anywhere in the container or one
+    # wrong term in the filter arithmetic fails the hash
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, 8 + doc_id % 8 AS w, 8 + (doc_id // 8) % 8 AS h
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, w, h,
+               (doc_id * 7 + x.r * 3 + y.r * 5) % 256 AS r,
+               (doc_id * 11 + x.r * 13 + y.r * 2) % 256 AS g,
+               (doc_id * 3 + x.r + y.r * 19) % 256 AS b
+        FROM d,
+             LATERAL (SELECT unnest(range(w)) AS r) x,
+             LATERAL (SELECT unnest(range(h)) AS r) y
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b,
+           CAST(SUM(CASE WHEN r + g + b >= 384 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bright
+    FROM px GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "llm", "udf", "image"),
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (round 9) — stdlib only, mirroring the
+    `multimodal_wav_decode` two-Arrow-stage proof pattern: a
+    deterministic RGB image per doc (one pixel formula per
+    (doc_id, x, y)) is encoded into a genuine PNG — signature,
+    CRC32-checksummed IHDR/IDAT/IEND chunks, zlib-deflated scanlines
+    with a MIX of filter types (None/Sub/Up, cycling by row) so the
+    decoder's unfilter arithmetic is actually load-bearing — and a
+    second, state-free Arrow stage parses the container back:
+    signature check, per-chunk CRC verification, IHDR field
+    validation, inflate, and full five-filter unfiltering
+    (None/Sub/Up/Average/Paeth, the complete PNG filter set). Integer
+    channel statistics come from the recovered pixels; the oracle
+    recomputes them from the generating formula.
+
+    This narrows the multimodal honesty split again (r8: WAV):
+    uncompressed audio AND deflate-compressed images are now real
+    stdlib codec paths; only formats needing external codec libraries
+    (JPEG/MP3/H.264) remain stubbed behind `decode_image`.
+
+    Scale: both stages are embarrassingly parallel map-side Arrow
+    batches — image bytes never shuffle; only (id, features) rows
+    move. A real 100 TB image corpus swaps the synthesize stage for a
+    parquet/tar binary-column scan and keeps the decode stage as-is."""
+    import numpy as np
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synthesize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + typ
+                + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 8 + did % 8, 8 + (did // 8) % 8
+                stride = w * 3
+                raw = bytearray()
+                prev = bytes(stride)
+                for y in range(h):
+                    row = bytes(
+                        c
+                        for x in range(w)
+                        for c in (
+                            (did * 7 + x * 3 + y * 5) % 256,
+                            (did * 11 + x * 13 + y * 2) % 256,
+                            (did * 3 + x + y * 19) % 256,
+                        )
+                    )
+                    f = y % 3
+                    raw.append(f)
+                    if f == 0:
+                        raw += row
+                    elif f == 1:  # Sub: store cur - left (bpp = 3)
+                        raw += bytes(
+                            (row[i] - (row[i - 3] if i >= 3 else 0)) & 255
+                            for i in range(stride)
+                        )
+                    else:  # Up: store cur - above
+                        raw += bytes(
+                            (row[i] - prev[i]) & 255 for i in range(stride)
+                        )
+                    prev = row
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+                png = (
+                    b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                    + chunk(b"IEND", b"")
+                )
+                rows.append((did, png))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        def parse(buf: bytes):
+            if buf[:8] != b"\x89PNG\r\n\x1a\n":
+                raise ValueError("bad PNG signature")
+            pos, idat, w, h = 8, b"", None, None
+            while pos < len(buf):
+                (ln,) = struct.unpack(">I", buf[pos : pos + 4])
+                typ = buf[pos + 4 : pos + 8]
+                data = buf[pos + 8 : pos + 8 + ln]
+                (crc,) = struct.unpack(">I", buf[pos + 8 + ln : pos + 12 + ln])
+                if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+                    raise ValueError("PNG chunk CRC mismatch")
+                if typ == b"IHDR":
+                    w, h, depth, ctype, comp, filt, ilace = struct.unpack(
+                        ">IIBBBBB", data
+                    )
+                    if (depth, ctype, comp, filt, ilace) != (8, 2, 0, 0, 0):
+                        raise ValueError("unsupported PNG variant")
+                elif typ == b"IDAT":
+                    idat += data
+                elif typ == b"IEND":
+                    break
+                pos += 12 + ln
+            raw = zlib.decompress(idat)
+            stride = w * 3
+            out = bytearray()
+            prev = bytearray(stride)
+            p = 0
+            for _y in range(h):
+                f = raw[p]
+                p += 1
+                row = bytearray(raw[p : p + stride])
+                p += stride
+                if f == 0:
+                    pass
+                elif f == 1:  # Sub
+                    for i in range(3, stride):
+                        row[i] = (row[i] + row[i - 3]) & 255
+                elif f == 2:  # Up
+                    for i in range(stride):
+                        row[i] = (row[i] + prev[i]) & 255
+                elif f == 3:  # Average
+                    for i in range(stride):
+                        left = row[i - 3] if i >= 3 else 0
+                        row[i] = (row[i] + ((left + prev[i]) >> 1)) & 255
+                elif f == 4:  # Paeth
+                    for i in range(stride):
+                        a = row[i - 3] if i >= 3 else 0
+                        b = prev[i]
+                        c = prev[i - 3] if i >= 3 else 0
+                        pp = a + b - c
+                        pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                        pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                        row[i] = (row[i] + pr) & 255
+                else:
+                    raise ValueError(f"unknown PNG filter {f}")
+                out += row
+                prev = row
+            return w, h, np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, 3)
+
+        cols = [
+            "doc_id", "width", "height", "n_pixels",
+            "sum_r", "sum_g", "sum_b", "n_bright",
+        ]
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, arr = parse(bytes(payload))
+                px = arr.astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        w * h,
+                        int(px[:, :, 0].sum()),
+                        int(px[:, :, 1].sum()),
+                        int(px[:, :, 2].sum()),
+                        int((px.sum(axis=2) >= 384).sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    payloads = docs.mapInPandas(synthesize, "doc_id long, payload binary")
+    return payloads.mapInPandas(decode, _PNG_SCHEMA)

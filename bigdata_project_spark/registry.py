@@ -145,6 +145,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     # each lands; one r4-vintage tail name trimmed per insertion) ---
     "dedup_selfrepeat_substring_spans",
     "corpus_k_anonymize_release",
+    "multimodal_png_decode",
     # --- re-confirmation: round 3 vintage (oldest driver rows) ---
     "join_hint_broadcast_sql",
     "sort_null_ordering",
@@ -187,7 +188,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "pack_sequences_by_source",
     "contamination_ngram_overlap",
     "scrub_pii_stats",
-    "split_train_val_test",
 )
 
 

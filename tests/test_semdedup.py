@@ -80,3 +80,68 @@ def test_semdedup_drop_rate_stays_bounded_across_scales(spark):
         rates[sf] = agg["d"] / agg["n"]
     r_small, r_big = rates["/root/testdata/sf0.01"], rates["/root/testdata/sf0.1"]
     assert 0 < r_big < 3 * r_small + 0.05, rates
+
+
+def test_streaming_ingest_state_carries_across_micro_batches(spark, tmp_path):
+    """stream_semantic_incremental_dedup's seen store must be
+    load-bearing: an engineered corpus places a semantic-dup trio
+    (vec_ids 9, 59, 99) in three DIFFERENT vec_id-ordered chunks, far
+    (cos < TAU) from every corpus vector, so 59's and 99's duplicate
+    verdicts are discoverable ONLY through batch member 9 restored
+    from the cross-batch state. The chunked streaming replay must
+    equal the batch operator exactly."""
+    from bigdata_project_spark.operators.semdedup import (
+        dedup_semantic_incremental,
+        run_semantic_ingest_stream,
+    )
+
+    DIM = 64
+
+    def vec(*terms):
+        v = [0.0] * DIM
+        for i, w in terms:
+            v[i] = float(w)
+        return v
+
+    rows = []
+    # corpus label 0: 0.3*e0 + e_{2..9} -> cos to e0 = 0.287 < TAU,
+    # but centroid0 keeps a 0.65 cosine to e0 (the trio's direction)
+    for j in range(20):
+        if j % 10 == 9:
+            continue
+        rows.append((j, vec((0, 0.3), (2 + j % 8, 1.0)), 0))
+    # corpus label 1: pure e1
+    for j in range(20, 40):
+        if j % 10 == 9:
+            continue
+        rows.append((j, vec((1, 1.0)), 1))
+    # batch members (vec_id % 10 == 9)
+    uniq_dir = 12
+    for k, b in enumerate(range(9, 100, 10)):
+        if b in (9, 59, 99):  # the trio: e0 + tiny distinct jitter
+            rows.append((b, vec((0, 1.0), (11, 0.01 * (1 + k))), -1))
+        elif b == 19:  # corpus-duplicate case: pure e1 -> dup_of 20
+            rows.append((b, vec((1, 1.0)), -1))
+        else:  # unique directions, near nothing
+            rows.append((b, vec((uniq_dir, 1.0)), -1))
+            uniq_dir += 1
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    d = str(tmp_path)
+
+    res, nb = run_semantic_ingest_stream(spark, d, n_chunks=3)
+    assert nb >= 3, "expected one micro-batch per chunk"
+    got = {r["vec_id"]: r for r in res.collect()}
+    # chunk layout: lo=9, hi=99, step=31 -> {9..39}, {49..69}, {79..99}
+    assert got[9]["is_new_unique"] == 1 and got[9]["dup_of"] is None
+    assert got[59]["dup_of"] == 9 and got[59]["is_new_unique"] == 0
+    assert got[99]["dup_of"] == 9 and got[99]["is_new_unique"] == 0
+    assert got[19]["dup_of"] == 20  # standing-corpus hit, min corpus id
+    for b in (29, 39, 49, 69, 79, 89):
+        assert got[b]["is_new_unique"] == 1, b
+
+    batch = {r["vec_id"]: r for r in dedup_semantic_incremental(spark, d).collect()}
+    assert set(got) == set(batch)
+    for v in got:
+        assert tuple(got[v]) == tuple(batch[v]), v

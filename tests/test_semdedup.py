@@ -145,3 +145,69 @@ def test_streaming_ingest_state_carries_across_micro_batches(spark, tmp_path):
     assert set(got) == set(batch)
     for v in got:
         assert tuple(got[v]) == tuple(batch[v]), v
+
+
+@pytest.mark.parametrize("n_vectors", [16_000])
+def test_derived_subcells_hold_cell_load_on_8x_corpus(n_vectors):
+    """Sub-cell sizing beyond the shipped scales (r8 verdict ask #8):
+    on a generator-built corpus 8x the sf0.1 vector count, the derived
+    Q (= 5 at 16k, genuinely above the 0 the testbed clamps to) must
+    hold the mean within-cell load — and therefore the per-vector
+    candidate volume of the within-cell quadratic — at the same level
+    the sf0.1-sized corpus sees, while fixed label-only cells would
+    grow it linearly (~8x). Runs the SAME params/cent/assign/cells SQL
+    the oracle uses, so the property holds for exactly the shipped
+    derivation."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from bigdata_project_spark.operators.semdedup import (
+        _SQL_SEM_CELLS,
+        subcell_planes,
+    )
+    from bigdata_project_spark.operators.similarity import _SQL_NORMED
+
+    assert subcell_planes(n_vectors) == 5  # derived, not clamped
+
+    def cell_loads(n):
+        rng = np.random.default_rng(9)
+        emb = rng.standard_normal((n, 64)).astype(np.float32)
+        labels = rng.integers(0, 10, size=n)
+        pdf = pd.DataFrame(
+            {
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": [e.tolist() for e in emb],
+                "label": labels.astype(np.int32),
+            }
+        )
+        con = duckdb.connect()
+        try:
+            con.register("pdf", pdf)
+            con.execute(
+                "CREATE TABLE embeddings AS SELECT vec_id, "
+                "CAST(embedding AS FLOAT[]) AS embedding, label FROM pdf"
+            )
+            return con.sql(f"""
+                WITH {_SQL_NORMED},
+                {_SQL_SEM_CELLS},
+                loads AS (SELECT cell, COUNT(*) AS c FROM cells GROUP BY cell)
+                SELECT AVG(c), MAX(c),
+                       SUM(c * (c - 1) / 2.0) / SUM(c)  -- candidates per vector
+                FROM loads
+            """).fetchone()
+        finally:
+            con.close()
+
+    mean_small, _, cand_small = cell_loads(2_000)   # sf0.1-sized: Q = 2
+    mean_big, max_big, cand_big = cell_loads(n_vectors)  # 8x: Q = 5
+    # per-vector candidate volume must stay ~flat (an 8x corpus with
+    # FIXED label cells would multiply it by ~8)
+    assert cand_big < 3 * cand_small, (cand_small, cand_big)
+    # mean cell load ~ n / (n_labels * 2^Q): 50 at both scales
+    assert mean_big < 3 * mean_small, (mean_small, mean_big)
+    assert max_big < 20 * mean_big, "pathologically hot sub-cell"
+    print(
+        f"subcell sizing: n=2000 mean={mean_small:.1f} cand/vec={cand_small:.1f}; "
+        f"n={n_vectors} mean={mean_big:.1f} max={max_big} cand/vec={cand_big:.1f}"
+    )

@@ -115,6 +115,11 @@ HEADLINE = [
     "dedup_exact_substring_spans",
     "dedup_substring_rewrite",
     "multimodal_wav_decode",
+    # round-9 additions (timing loop unchanged since r4)
+    "dedup_selfrepeat_substring_spans",
+    "multimodal_png_decode",
+    "corpus_k_anonymize_release",
+    "stream_semantic_incremental_dedup",
 ]
 
 

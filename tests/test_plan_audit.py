@@ -56,6 +56,7 @@ BNLJ_WHITELIST: dict[str, str] = {
     "text_unigram_surprisal": "1-row corpus-token-total broadcast (code-length denominator)",
     "corpus_quality_gate": "inherits text_unigram_surprisal's 1-row corpus-total broadcast",
     "join_copurchase_lift": "1-row distinct-order-total broadcast (lift denominator)",
+    "corpus_k_anonymize_release": "1-row level-2-total broadcast (record-suppression guard)",
 }
 
 

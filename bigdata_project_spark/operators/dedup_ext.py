@@ -838,3 +838,154 @@ def dedup_selfrepeat_substring_spans(spark: SparkSession, sf_dir: str) -> DataFr
             .alias("dup_token_share"),
         )
     )
+
+
+@query(
+    "dedup_selfrepeat_rewrite",
+    oracle=f"""
+    WITH wo AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, words, unnest(range(len(words) - {_SUB_K} + 1)) AS i
+        FROM wo WHERE len(words) >= {_SUB_K}
+    ),
+    sh AS (
+        SELECT doc_id, i,
+               md5(lower(array_to_string(words[i + 1 : i + {_SUB_K}], ' '))) AS h
+        FROM pos
+    ),
+    per_hd AS (
+        SELECT h, doc_id, MAX(i) - MIN(i) AS pos_spread
+        FROM sh GROUP BY h, doc_id
+    ),
+    spread AS (
+        SELECT h FROM per_hd
+        GROUP BY h
+        HAVING COUNT(*) >= 2 OR MAX(pos_spread) >= {_SUB_K}
+    ),
+    dup AS (SELECT s.doc_id, s.i FROM sh s JOIN spread USING (h)),
+    flagged AS (
+        SELECT doc_id, i,
+               CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i) >= {_SUB_K}
+                      OR LAG(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+                    THEN 1 ELSE 0 END AS new_island
+        FROM dup
+    ),
+    isl AS (
+        SELECT doc_id, i,
+               SUM(new_island) OVER (PARTITION BY doc_id ORDER BY i) AS island
+        FROM flagged
+    ),
+    iv AS (
+        SELECT doc_id, island, MIN(i) AS s, MAX(i) + {_SUB_K} AS e
+        FROM isl GROUP BY doc_id, island
+    ),
+    tok AS (
+        SELECT doc_id, i.p AS p, words[i.p + 1] AS token
+        FROM wo, LATERAL (SELECT unnest(range(len(words))) AS p) i
+        WHERE len(words) > 0
+    ),
+    kept AS (
+        SELECT t.doc_id, t.p, t.token FROM tok t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM iv v
+            WHERE v.doc_id = t.doc_id AND t.p >= v.s AND t.p < v.e)
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(token, ' ' ORDER BY p) AS text_clean
+        FROM kept GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(COALESCE(len(w.words), 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(len(w.words), 0) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(a.text_clean, '') AS text_clean
+    FROM wo w LEFT JOIN agg a ON a.doc_id = w.doc_id
+    """,
+    tags=("llm", "dedup", "substring", "selfrepeat", "rewrite"),
+)
+def dedup_selfrepeat_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remove side of `dedup_selfrepeat_substring_spans`,
+    completing the self-repeat pair the way `dedup_substring_rewrite`
+    completes the cross-doc pair: every >= K-token run with a second
+    non-overlapping occurrence ANYWHERE (another doc, or >= K tokens
+    away in the same doc) is cut from every document — the
+    boilerplate-navigation/footer case a real corpus hits first.
+    Case-insensitive detection, original-case output; same qualifier
+    as the detect side (per-(hash, doc) position spread feeding the
+    hash-keyed HAVING), same interval anti-join + sorted-struct
+    reassembly as the cross-doc rewrite.
+
+    Scale: identical to `dedup_substring_rewrite` plus the one
+    map-side-combinable (hash, doc) aggregate the self-repeat
+    qualifier costs; tokens still travel exactly twice (explode,
+    reassemble) — the rewrite floor."""
+    from bigdata_project_spark.tables import load_spread
+
+    docs = load_spread(spark, sf_dir, "documents")
+    words_o = F.array_remove(F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"), "")
+    base = docs.select("doc_id", words_o.alias("words"))
+    pos = base.filter(F.size("words") >= _SUB_K).select(
+        "doc_id",
+        "words",
+        F.posexplode(F.sequence(F.lit(0), F.size("words") - _SUB_K)).alias("_p", "i"),
+    )
+    sh = pos.select(
+        "doc_id",
+        "i",
+        F.md5(F.lower(F.concat_ws(" ", F.slice("words", F.col("i") + 1, _SUB_K)))).alias("h"),
+    )
+    per_hd = sh.groupBy("h", "doc_id").agg(
+        (F.max("i") - F.min("i")).alias("pos_spread")
+    )
+    qual = (
+        per_hd.groupBy("h")
+        .agg(F.count("*").alias("nd"), F.max("pos_spread").alias("mx"))
+        .filter((F.col("nd") >= 2) | (F.col("mx") >= _SUB_K))
+    )
+    dup = sh.join(qual.select("h"), "h").select("doc_id", "i")
+    w_doc = Window.partitionBy("doc_id").orderBy("i")
+    lag_i = F.lag("i").over(w_doc)
+    isl = dup.select(
+        "doc_id",
+        "i",
+        F.sum(
+            F.when(lag_i.isNull() | (F.col("i") - lag_i >= _SUB_K), 1).otherwise(0)
+        )
+        .over(w_doc)
+        .alias("island"),
+    )
+    intervals = isl.groupBy("doc_id", "island").agg(
+        F.min("i").alias("s"), (F.max("i") + _SUB_K).alias("e")
+    )
+    tokens = base.filter(F.size("words") > 0).select(
+        "doc_id", F.posexplode("words").alias("p", "token")
+    )
+    kept = tokens.join(
+        intervals,
+        (tokens.doc_id == intervals.doc_id)
+        & (tokens.p >= intervals.s)
+        & (tokens.p < intervals.e),
+        "left_anti",
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "token"))), lambda x: x["token"]
+            ),
+        ).alias("text_clean"),
+    )
+    return (
+        base.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("words").cast("long").alias("n_tokens"),
+            (F.size("words") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )

@@ -147,6 +147,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "corpus_k_anonymize_release",
     "multimodal_png_decode",
     "stream_semantic_incremental_dedup",
+    "dedup_selfrepeat_rewrite",
     # --- re-confirmation: round 3 vintage (oldest driver rows) ---
     "join_hint_broadcast_sql",
     "sort_null_ordering",
@@ -187,7 +188,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "corpus_clean_pipeline",
     "graph_pagerank_neardup",
     "pack_sequences_by_source",
-    "contamination_ngram_overlap",
 )
 
 

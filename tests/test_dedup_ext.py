@@ -226,3 +226,58 @@ def test_selfrepeat_spans_semantics(spark, tmp_path_factory):
             r["n_dup_tokens"],
             r["dup_token_share"],
         ) == tuple(want[doc_id][1:]), doc_id
+
+
+def test_selfrepeat_rewrite_semantics(spark, tmp_path_factory):
+    """dedup_selfrepeat_rewrite: a doc's own duplicated run is cut
+    (both copies — consistent with the cross-doc rewrite's cut-every-
+    detected-run contract), a sub-2K periodic run is untouched, and
+    the whole output matches the DuckDB oracle, with removal counts
+    agreeing with the detect side."""
+    import duckdb
+
+    from bigdata_project_spark.registry import REGISTRY, all_queries
+
+    K = 20
+    uniq = iter(f"w{i}" for i in range(10_000))
+
+    def filler(n):
+        return [next(uniq) for _ in range(n)]
+
+    run = [f"q{i}" for i in range(K)]
+    texts = [
+        " ".join(filler(10) + run + filler(25) + run + filler(5)),  # self-repeat
+        " ".join(["loop"] * 30),  # sub-2K periodic: untouched
+        " ".join(filler(30)),  # clean
+    ]
+    d = _write_docs(spark, str(tmp_path_factory.mktemp("selfrw")), texts)
+    qs = all_queries()
+    rw = {r["doc_id"]: r for r in qs["dedup_selfrepeat_rewrite"](spark, d).collect()}
+    det = {
+        r["doc_id"]: r
+        for r in qs["dedup_selfrepeat_substring_spans"](spark, d).collect()
+    }
+    assert rw[0]["n_removed"] == 2 * K == det[0]["n_dup_tokens"]
+    assert "q0" not in rw[0]["text_clean"]
+    assert rw[0]["n_tokens"] == 80 and len(rw[0]["text_clean"].split()) == 40
+    assert rw[1]["n_removed"] == 0 and rw[1]["text_clean"] == " ".join(["loop"] * 30)
+    assert rw[2]["n_removed"] == 0
+    # detect/remove coherence holds corpus-wide on the twin
+    for doc_id in rw:
+        assert rw[doc_id]["n_removed"] == det[doc_id]["n_dup_tokens"], doc_id
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+        )
+        want = {
+            r[0]: r
+            for r in con.sql(REGISTRY["dedup_selfrepeat_rewrite"].oracle).fetchall()
+        }
+    finally:
+        con.close()
+    for doc_id, r in rw.items():
+        assert (r["n_tokens"], r["n_removed"], r["text_clean"]) == tuple(
+            want[doc_id][1:]
+        ), doc_id

@@ -16,6 +16,7 @@ from bigdata_project_spark.operators import (  # noqa: F401
     dsir,
     multimodal,
     quality_ext,
+    retrieval,
     rewrite,
     semdedup,
     similarity,

@@ -148,6 +148,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "multimodal_png_decode",
     "stream_semantic_incremental_dedup",
     "dedup_selfrepeat_rewrite",
+    "retrieval_hybrid_rrf",
     # --- re-confirmation: round 3 vintage (oldest driver rows) ---
     "join_hint_broadcast_sql",
     "sort_null_ordering",
@@ -187,7 +188,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "dedup_cluster_components",
     "corpus_clean_pipeline",
     "graph_pagerank_neardup",
-    "pack_sequences_by_source",
 )
 
 

@@ -57,6 +57,7 @@ BNLJ_WHITELIST: dict[str, str] = {
     "corpus_quality_gate": "inherits text_unigram_surprisal's 1-row corpus-total broadcast",
     "join_copurchase_lift": "1-row distinct-order-total broadcast (lift denominator)",
     "corpus_k_anonymize_release": "1-row level-2-total broadcast (record-suppression guard)",
+    "retrieval_hybrid_rrf": "1-row BM25 corpus stats + 1-row centroid query vector broadcasts",
 }
 
 

@@ -120,6 +120,8 @@ HEADLINE = [
     "multimodal_png_decode",
     "corpus_k_anonymize_release",
     "stream_semantic_incremental_dedup",
+    "dedup_selfrepeat_rewrite",
+    "retrieval_hybrid_rrf",
 ]
 
 

@@ -542,6 +542,8 @@ def run_semantic_ingest_stream(
         # delivers same-mtime files in path order; chunk0 < chunk1 ...)
         batch_members = emb.filter(is_batch).select("vec_id", "embedding", "norm_sq")
         lo, hi = batch_members.agg(F.min("vec_id"), F.max("vec_id")).first()
+        if lo is None:  # empty increment: stage schema-only chunks so the
+            lo, hi = 0, 0  # stream still runs and the result store exists
         step = max(1, (int(hi) - int(lo)) // n_chunks + 1)
         for i in range(n_chunks):
             chunk = batch_members.filter(

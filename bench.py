@@ -122,6 +122,8 @@ HEADLINE = [
     "stream_semantic_incremental_dedup",
     "dedup_selfrepeat_rewrite",
     "retrieval_hybrid_rrf",
+    "qa_split_leakage",
+    "corpus_quality_stratified_gate",
 ]
 
 

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from bigdata_project_spark.operators.clustering import _SQL_EDGES
 from bigdata_project_spark.operators.dedup import (
@@ -582,3 +583,143 @@ _REG_QX["corpus_quality_gate"].oracle = f"""
     LEFT JOIN dup USING (doc_id)
     LEFT JOIN surp USING (doc_id)
 """
+
+
+# ------------------------------------- split leakage + stratified gate
+
+
+@query(
+    "qa_split_leakage",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    {_SQL_SHINGLES_CAPPED},
+    {_SQL_EDGES},
+    sp AS (
+        SELECT doc_id,
+               CASE WHEN (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                         + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 230
+                         THEN 'train'
+                    WHEN (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                         + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 243
+                         THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT e.doc_a, e.doc_b, sa.split AS split_a, sb.split AS split_b,
+           CAST(sa.split <> sb.split AS INT) AS is_leak
+    FROM edges e
+    JOIN sp sa ON sa.doc_id = e.doc_a
+    JOIN sp sb ON sb.doc_id = e.doc_b
+    """,
+    tags=("qa", "llm", "split", "dedup", "leakage"),
+)
+def qa_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval LEAKAGE audit: every near-duplicate pair (the same
+    df-capped Jaccard >= 0.05 edge set the clustering family uses,
+    `clustering._edges_df`) tagged with both endpoints' hash-split
+    assignment (`split_train_val_test`'s md5-bucket thresholds) and
+    an is_leak bit for pairs that straddle splits. A near-dup of a
+    training document sitting in val/test inflates eval scores — the
+    leak a random split ALWAYS has at some rate on a deduplicated-
+    but-not-cluster-aware corpus, and the reason production splits
+    assign by cluster keeper, not by document. Emitting every edge
+    (not just leaks) makes the audit non-vacuous on clean corpora
+    and gives the leak RATE for free.
+
+    Scale: the edge build is the shared near-dup substrate (bounded
+    by the shingle df cap); the split tags are two doc_id-keyed
+    equi-joins against a scan-side codegen expression — no new wide
+    operator beyond the edge build itself."""
+    from bigdata_project_spark.operators.clustering import _edges_df
+    from bigdata_project_spark.operators.corpus import _split_bucket, _TRAIN_LT, _VAL_LT
+
+    edges_lazy, sh = _edges_df(spark, sf_dir)
+    edges = tracked_persist(edges_lazy)
+    tracked_persist(sh)
+    bucket = F.expr(_split_bucket("STRING"))
+    sp = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(bucket < _TRAIN_LT, "train")
+        .when(bucket < _VAL_LT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    sa = sp.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("split", "split_a")
+    sb = sp.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("split", "split_b")
+    return (
+        edges.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "split_a",
+            "split_b",
+            (F.col("split_a") != F.col("split_b")).cast("int").alias("is_leak"),
+        )
+    )
+
+
+@query(
+    "corpus_quality_stratified_gate",
+    oracle="""
+    WITH q AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    vc AS (SELECT lang, n_tokens, COUNT(*) AS c FROM q GROUP BY lang, n_tokens),
+    cum AS (
+        SELECT lang, n_tokens,
+               SUM(c) OVER (PARTITION BY lang ORDER BY n_tokens DESC) AS ge_count,
+               SUM(c) OVER (PARTITION BY lang) AS n_lang
+        FROM vc
+    )
+    SELECT q.doc_id, q.lang, q.n_tokens,
+           CAST(cum.ge_count AS BIGINT) AS ge_count,
+           CAST(cum.n_lang AS BIGINT) AS n_lang,
+           CAST(2 * cum.ge_count <= cum.n_lang AS INT) AS keep
+    FROM q JOIN cum ON cum.lang = q.lang AND cum.n_tokens = q.n_tokens
+    """,
+    tags=("llm", "quality", "curation", "stratified"),
+)
+def corpus_quality_stratified_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality curation WITHOUT a per-document sort:
+    keep the documents whose token count places them in their
+    language's top half (ties at the boundary excluded by the
+    threshold itself, so the kept share is <= 1/2 exactly). Per-
+    language thresholds are the standard fix for global quality
+    gates starving low-resource languages — a single corpus-wide
+    cutoff keeps only the verbose languages.
+
+    Scale shape (the point of this formulation): documents are never
+    sorted. The distribution compresses to per-(lang, n_tokens)
+    counts (map-side combinable), the descending cumulative count
+    runs over that TINY aggregate (|langs| x |distinct lengths|
+    rows), and each document joins back on (lang, n_tokens) — a
+    broadcastable key table. A rank-window version would sort every
+    document of the hottest language in one partition; this costs a
+    grouped count instead."""
+    docs = load(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        "lang",
+        F.size(words_col(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    vc = q.groupBy("lang", "n_tokens").agg(F.count("*").alias("c"))
+    w_desc = Window.partitionBy("lang").orderBy(F.desc("n_tokens"))
+    w_all = Window.partitionBy("lang")
+    cum = vc.select(
+        "lang",
+        "n_tokens",
+        F.sum("c").over(w_desc).cast("long").alias("ge_count"),
+        F.sum("c").over(w_all).cast("long").alias("n_lang"),
+    )
+    return q.join(F.broadcast(cum), ["lang", "n_tokens"]).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "ge_count",
+        "n_lang",
+        (2 * F.col("ge_count") <= F.col("n_lang")).cast("int").alias("keep"),
+    )

@@ -149,6 +149,8 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "stream_semantic_incremental_dedup",
     "dedup_selfrepeat_rewrite",
     "retrieval_hybrid_rrf",
+    "qa_split_leakage",
+    "corpus_quality_stratified_gate",
     # --- re-confirmation: round 3 vintage (oldest driver rows) ---
     "join_hint_broadcast_sql",
     "sort_null_ordering",
@@ -186,8 +188,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_cluster_components",
-    "corpus_clean_pipeline",
-    "graph_pagerank_neardup",
 )
 
 

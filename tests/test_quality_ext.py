@@ -211,3 +211,75 @@ def test_winsorized_mean_bounds_and_degenerate_identity(spark, sf_dir):
         }
         for st in small:
             assert out[st]["winsorized_mean"] == plain[st], st
+
+
+def test_split_leakage_flags_cross_split_neardup(spark, tmp_path_factory):
+    """An engineered near-dup pair whose md5-bucket split assignments
+    differ must surface with is_leak = 1; a same-split near-dup pair
+    must surface with is_leak = 0."""
+    import hashlib
+
+    from bigdata_project_spark.registry import all_queries
+
+    def bucket(doc_id: int) -> int:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        return int(h[:2], 16)
+
+    def split(doc_id: int) -> str:
+        b = bucket(doc_id)
+        return "train" if b < 230 else ("val" if b < 243 else "test")
+
+    train_ids = [i for i in range(400) if split(i) == "train"]
+    test_ids = [i for i in range(400) if split(i) == "test"]
+    assert len(train_ids) >= 2 and test_ids, "bucket thresholds drifted"
+    a, b, c = train_ids[0], test_ids[0], train_ids[1]
+    dup_text = " ".join(f"tok{i}" for i in range(12))  # >= one 5-gram shared
+    other = " ".join(f"zz{i}" for i in range(12))
+    rows = [
+        (a, dup_text),
+        (b, dup_text),  # near-dup of a, in ANOTHER split -> leak
+        (c, other),
+    ] + [(train_ids[2 + i], f"solo{i} " * 8) for i in range(3)]
+    d = tmp_path_factory.mktemp("leak")
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["is_leak"]
+        for r in all_queries()["qa_split_leakage"](spark, str(d)).collect()
+    }
+    assert got[(min(a, b), max(a, b))] == 1
+
+    # same-split dup -> reported, not a leak
+    d2 = tmp_path_factory.mktemp("noleak")
+    spark.createDataFrame(
+        [(a, dup_text, "en", "s", 1), (c, dup_text, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{d2}/documents.parquet")
+    got2 = {
+        (r["doc_a"], r["doc_b"]): r["is_leak"]
+        for r in all_queries()["qa_split_leakage"](spark, str(d2)).collect()
+    }
+    assert got2[(min(a, c), max(a, c))] == 0
+
+
+def test_stratified_gate_keeps_top_half_per_language(spark, sf_dir):
+    """Per language: kept share <= 1/2 exactly, and every kept doc has
+    >= tokens than every dropped doc (threshold semantics, ties at
+    the boundary excluded)."""
+    from collections import defaultdict
+
+    from bigdata_project_spark.registry import all_queries
+
+    rows = all_queries()["corpus_quality_stratified_gate"](spark, sf_dir).collect()
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append(r)
+    for lang, rs in by_lang.items():
+        kept = [r["n_tokens"] for r in rs if r["keep"] == 1]
+        dropped = [r["n_tokens"] for r in rs if r["keep"] == 0]
+        assert 2 * len(kept) <= len(rs), lang
+        if kept and dropped:
+            # strict threshold: no dropped doc has more tokens than a kept one
+            assert max(dropped) <= min(kept), lang

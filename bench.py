@@ -124,6 +124,7 @@ HEADLINE = [
     "retrieval_hybrid_rrf",
     "qa_split_leakage",
     "corpus_quality_stratified_gate",
+    "split_cluster_aware_assign",
 ]
 
 

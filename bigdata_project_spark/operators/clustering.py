@@ -584,3 +584,89 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clustering_coefficient"),
         )
     )
+
+
+@query(
+    "split_cluster_aware_assign",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    {_SQL_SHINGLES_CAPPED},
+    {_SQL_EDGES},
+    und AS (
+        SELECT doc_a AS src, doc_b AS dst FROM edges
+        UNION ALL SELECT doc_b, doc_a FROM edges
+    ),
+    reach(root, node) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.root, u.dst FROM reach r JOIN und u ON u.src = r.node
+    ),
+    comp AS (SELECT root AS doc_id, MIN(node) AS component FROM reach GROUP BY root),
+    sp AS (
+        SELECT doc_id,
+               CASE WHEN (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                         + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 230
+                         THEN 'train'
+                    WHEN (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                         + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 243
+                         THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT c.doc_id, c.component,
+           sd.split AS split_doc,
+           sc.split AS split_release,
+           CAST(sd.split <> sc.split AS INT) AS moved
+    FROM comp c
+    JOIN sp sd ON sd.doc_id = c.doc_id
+    JOIN sp sc ON sc.doc_id = c.component
+    """,
+    tags=("qa", "llm", "split", "clustering", "leakage"),
+)
+def split_cluster_aware_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENFORCE side of `qa_split_leakage` (the audit -> act
+    pattern of the k-anonymity pair): assign splits by near-dup
+    CLUSTER, not by document — every member inherits the hash-split
+    of its component's canonical keeper (the min doc_id, whose hash
+    bucket IS deterministic from the component label), so a near-dup
+    pair can never straddle train/eval by construction. Output per
+    doc: component, the document's own hash split, the release split
+    it actually gets, and a moved bit (the documents a naive split
+    would have leaked).
+
+    Scale: one near-dup component build (the shared
+    `connected_components_auto` substrate — (id, label) pairs only)
+    plus one scan-side split expression evaluated on the component
+    label; no join wider than the component build itself."""
+    from bigdata_project_spark.operators.corpus import _split_bucket, _TRAIN_LT, _VAL_LT
+
+    docs = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    edges_lazy, sh = _edges_df(spark, sf_dir)
+    edges = edges_lazy.persist()
+    endpoints = (
+        edges.select(F.col("doc_a").alias("id"))
+        .unionByName(edges.select(F.col("doc_b").alias("id")))
+        .distinct()
+    )
+    comp_conn = connected_components_auto(endpoints, edges)
+    comp = docs.join(comp_conn, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+    edges.unpersist()
+    sh.unpersist()
+
+    def split_expr(col: str):
+        bucket = F.expr(_split_bucket("STRING", col=col))
+        return (
+            F.when(bucket < _TRAIN_LT, "train")
+            .when(bucket < _VAL_LT, "val")
+            .otherwise("test")
+        )
+
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        split_expr("id").alias("split_doc"),
+        split_expr("component").alias("split_release"),
+        (split_expr("id") != split_expr("component")).cast("int").alias("moved"),
+    )

@@ -151,6 +151,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "retrieval_hybrid_rrf",
     "qa_split_leakage",
     "corpus_quality_stratified_gate",
+    "split_cluster_aware_assign",
     # --- re-confirmation: round 3 vintage (oldest driver rows) ---
     "join_hint_broadcast_sql",
     "sort_null_ordering",
@@ -187,7 +188,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     # --- re-confirmation: round 4 vintage head ---
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_cluster_components",
 )
 
 

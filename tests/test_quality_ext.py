@@ -283,3 +283,24 @@ def test_stratified_gate_keeps_top_half_per_language(spark, sf_dir):
         if kept and dropped:
             # strict threshold: no dropped doc has more tokens than a kept one
             assert max(dropped) <= min(kept), lang
+
+
+def test_cluster_aware_split_has_zero_leaks(spark, sf_dir):
+    """The enforce side must actually close the audit: after
+    cluster-aware assignment, every near-dup edge's endpoints share
+    split_release (zero leaks by construction), while the naive
+    per-document split leaks on the same corpus (non-vacuity)."""
+    from bigdata_project_spark.registry import all_queries
+
+    qs = all_queries()
+    release = {
+        r["doc_id"]: r for r in qs["split_cluster_aware_assign"](spark, sf_dir).collect()
+    }
+    edges = qs["qa_split_leakage"](spark, sf_dir).collect()
+    assert any(e["is_leak"] == 1 for e in edges), "corpus has no naive leaks — vacuous"
+    for e in edges:
+        assert (
+            release[e["doc_a"]]["split_release"] == release[e["doc_b"]]["split_release"]
+        ), (e["doc_a"], e["doc_b"])
+    moved = sum(r["moved"] for r in release.values())
+    assert moved > 0  # the naive leaks forced real moves

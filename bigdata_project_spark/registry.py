@@ -128,10 +128,15 @@ _LOADED = False
 # Round-10 rotation queue: FIRST any oracled queries registered after
 # this window froze (diff all_oracles() against CORRECTNESS_r01-r09
 # row names at r10 start to enumerate exactly), then
-# oldest-last-checked — the r4-vintage remainder trimmed from the tail
-# below (events_*, sample_*, scalar_array_*, lake_merge_upsert_
-# projection, multimodal_feature_knn, pack_sequences_global, ...),
-# then the r5 vintage.
+# oldest-last-checked — the r4-vintage names trimmed from this
+# window's tail during round 9 to make room for the nine r9
+# additions (dedup_cluster_components, corpus_clean_pipeline,
+# graph_pagerank_neardup, pack_sequences_by_source,
+# contamination_ngram_overlap, scrub_pii_stats, split_train_val_test,
+# quality_repetition_filter, dedup_incremental_merge) plus the
+# never-rotated r4 remainder (events_*, sample_*, scalar_array_*,
+# lake_merge_upsert_projection, multimodal_feature_knn,
+# pack_sequences_global, ...), then the r5 vintage.
 _DRIVER_FIRST: tuple[str, ...] = (
     # --- never driver-checked: post-r8-freeze additions ---
     "dedup_exact_substring_spans",

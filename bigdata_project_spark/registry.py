@@ -125,74 +125,81 @@ _LOADED = False
 # the r3-vintage setop/sort/sub/window/stream re-confirms, then the
 # head of the r4 vintage (registration order within vintage).
 #
-# Round-10 rotation queue: FIRST any oracled queries registered after
-# this window froze (diff all_oracles() against CORRECTNESS_r01-r09
-# row names at r10 start to enumerate exactly), then
-# oldest-last-checked — the r4-vintage names trimmed from this
-# window's tail during round 9 to make room for the nine r9
-# additions (dedup_cluster_components, corpus_clean_pipeline,
-# graph_pagerank_neardup, pack_sequences_by_source,
-# contamination_ngram_overlap, scrub_pii_stats, split_train_val_test,
-# quality_repetition_filter, dedup_incremental_merge) plus the
-# never-rotated r4 remainder (events_*, sample_*, scalar_array_*,
-# lake_merge_upsert_projection, multimodal_feature_knn,
-# pack_sequences_global, ...), then the r5 vintage.
+# Round-10 window (exactly 50): round-10 additions inserted at the
+# head as they land (tail trimmed to keep 50), then oldest-last-
+# checked — the nine r4-vintage names trimmed from the r9 tail, the
+# r4 remainder in registration order, then the r5 head.
+#
+# Round-11 rotation queue: FIRST any oracled queries registered after
+# this window froze (diff all_oracles() against CORRECTNESS_r01-r10
+# row names at r11 start), then oldest-last-checked — the r5-vintage
+# names (registration order: vocab_top_terms, sample_quality_weighted,
+# graph_triangle_stats, mixture_source_weights, quality_gopher_rules,
+# lake_zorder_key, multimodal_resize_plan, sim_recall_at_k,
+# sim_ann_ivf_nprobe2, sim_recall_ivf2_at_k, text_langid_confusion,
+# qa_referential_integrity, qa_column_profile, scd2_snapshot_diff,
+# agg_share_of_total, events_rollup_cascade, events_top_paths,
+# events_rfm_segments, events_interarrival_stats,
+# events_burst_detection, events_user_trend_slope,
+# join_market_basket_pairs, the tpch_q* sweep, stream_incremental_rollup,
+# plus any r4/r5 names trimmed from THIS window's tail during round
+# 10), then the r6 vintage.
 _DRIVER_FIRST: tuple[str, ...] = (
-    # --- never driver-checked: post-r8-freeze additions ---
-    "dedup_exact_substring_spans",
-    "dedup_substring_rewrite",
-    "corpus_dsir_importance",
-    "multimodal_wav_decode",
-    "dedup_semantic_incremental",
-    "qa_k_anonymity",
-    "stream_quarantine_gated_daily",
-    # --- never driver-checked: round-9 additions (inserted here as
-    # each lands; one r4-vintage tail name trimmed per insertion) ---
-    "dedup_selfrepeat_substring_spans",
-    "corpus_k_anonymize_release",
-    "multimodal_png_decode",
-    "stream_semantic_incremental_dedup",
-    "dedup_selfrepeat_rewrite",
-    "retrieval_hybrid_rrf",
-    "qa_split_leakage",
-    "corpus_quality_stratified_gate",
-    "split_cluster_aware_assign",
-    # --- re-confirmation: round 3 vintage (oldest driver rows) ---
-    "join_hint_broadcast_sql",
-    "sort_null_ordering",
-    "setop_union_all_nation_rows",
-    "setop_union_distinct",
-    "setop_intersect_buyers_building",
-    "setop_except_nonbuilding_buyers",
-    "setop_intersect_all_multiset",
-    "setop_except_all_multiset",
-    "sort_top100_orders",
-    "sort_multicol_limit",
-    "sub_exists_urgent_buyers",
-    "sub_not_exists_no_big_order",
-    "sub_in_top_nation_buyers",
-    "sub_scalar_correlated_max_item",
-    "join_lateral_top2_per_nation",
-    "cte_recursive_price_histogram",
-    "sql_group_by_all_daily",
-    "agg_listagg_nations_per_region",
-    "scalar_variant_props_extract",
-    "window_top3_per_segment",
-    "window_rank_family",
-    "window_lag_lead_price_delta",
-    "window_running_spend",
-    "window_range_frame_30d",
-    "window_first_last_nth",
-    "stream_tumbling_hourly",
-    "stream_dedup_user_type",
-    "stream_stream_interval_join",
-    "stream_sliding_30m_10m",
-    "stream_session_30m",
-    "stream_static_join_weighted",
-    "stream_stateful_max_jump",
-    # --- re-confirmation: round 4 vintage head ---
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
+    # --- never driver-checked: round-10 additions (inserted here as
+    # each lands; one tail name trimmed per insertion) ---
+    # --- oldest-last-checked: r4 vintage trimmed from the r9 tail ---
+    "dedup_cluster_components",
+    "corpus_clean_pipeline",
+    "graph_pagerank_neardup",
+    "pack_sequences_by_source",
+    "contamination_ngram_overlap",
+    "scrub_pii_stats",
+    "split_train_val_test",
+    "quality_repetition_filter",
+    "dedup_incremental_merge",
+    # --- r4 vintage remainder (registration order) ---
+    "training_corpus_manifest",
+    "pack_sequences_global",
+    "sample_fixed_k_per_stratum",
+    "text_rarity_score",
+    "multimodal_feature_knn",
+    "dedup_embedding_cosine",
+    "sim_ann_lsh_banded",
+    "sample_tablesample",
+    "scd2_user_status_history",
+    "lake_merge_upsert_projection",
+    "agg_boolean_family",
+    "scalar_array_set_algebra",
+    "scalar_date_construction",
+    "scalar_map_higher_order",
+    "events_tumbling_hourly",
+    "events_sliding_1h_15m",
+    "events_session_30m",
+    "events_dedup_first_arrival",
+    "events_rate_per_type_day",
+    "events_funnel_view_click_purchase",
+    "events_retention_cohort",
+    "join_null_safe_eq",
+    "scalar_try_functions",
+    "agg_bitwise",
+    "scalar_bit_binary_ops",
+    "events_gapfill_hourly",
+    "scalar_string_functions",
+    "scalar_date_functions",
+    "scalar_math_guarded",
+    "scalar_null_handling",
+    "scalar_array_functions",
+    "scalar_json_extraction",
+    "scalar_case_conversion",
+    "scalar_regexp_family",
+    "scalar_url_parse",
+    "scalar_csv_column_codec",
+    "scalar_interval_datetime",
+    "setop_union_by_name_missing",
+    "vn_listing_normalize",
+    # --- r5 vintage head (registration order) ---
+    "dedup_lsh_pair_recall",
+    "chunk_documents_overlap",
 )
 
 

@@ -39,6 +39,7 @@ from bigdata_project_spark.operators.dedup import (
     _SQL_SHINGLES_CAPPED,
     shingle_df_capped,
 )
+from bigdata_project_spark.operators.corpus import _SQL_SPLIT_CTE_BODY
 from bigdata_project_spark.registry import query
 from bigdata_project_spark.tables import load
 
@@ -88,6 +89,15 @@ def _edges_df(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         .select("doc_a", "doc_b")
     )
     return edges, sh
+
+
+class CCNotConverged(RuntimeError):
+    """Raised by a connected-components loop that hit its iteration
+    cap before reaching a fixpoint. A dedicated type so
+    connected_components_auto's probe→star fallback triggers ONLY on
+    genuine non-convergence — any other RuntimeError raised inside
+    the probe propagates instead of being masked by a silent full
+    star-contraction rerun (advisor r9)."""
 
 
 def _default_max_iter() -> int:
@@ -179,7 +189,7 @@ def connected_components_star(
             break
     if not converged:
         free_rdd_ids(spark, prev_ckpt_ids)
-        raise RuntimeError(
+        raise CCNotConverged(
             f"connected_components_star did not converge in {max_iter} rounds; "
             "raise max_iter (env SPARK_GRAFT_CC_MAX_ITER)"
         )
@@ -254,7 +264,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int | Non
         # algorithm, and |V|-row blocks from a dead loop must not
         # outlive the raise.
         free_rdd_ids(spark, prev_ckpt_ids)
-        raise RuntimeError(
+        raise CCNotConverged(
             f"connected_components did not converge in {max_iter} iterations "
             f"({n_changed} labels still changing); raise max_iter "
             f"(env SPARK_GRAFT_CC_MAX_ITER)"
@@ -292,9 +302,14 @@ def connected_components_auto(
     before it raises, so the fallback starts with a clean block
     store."""
     try:
-        probe = _probe_iters() if max_iter is None else min(max_iter, _probe_iters())
+        # clamp the explicit path too: max_iter=0 would make the probe
+        # RETURN its unconverged identity labels (n_changed stays 0)
+        # instead of raising (advisor r9)
+        probe = (
+            _probe_iters() if max_iter is None else max(1, min(max_iter, _probe_iters()))
+        )
         return connected_components(nodes, edges, max_iter=probe)
-    except RuntimeError:
+    except CCNotConverged:
         return connected_components_star(nodes, edges, max_iter=max_iter)
 
 
@@ -602,17 +617,7 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT r.root, u.dst FROM reach r JOIN und u ON u.src = r.node
     ),
     comp AS (SELECT root AS doc_id, MIN(node) AS component FROM reach GROUP BY root),
-    sp AS (
-        SELECT doc_id,
-               CASE WHEN (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-                         + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 230
-                         THEN 'train'
-                    WHEN (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-                         + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 243
-                         THEN 'val'
-                    ELSE 'test' END AS split
-        FROM documents
-    )
+    sp AS ({_SQL_SPLIT_CTE_BODY})
     SELECT c.doc_id, c.component,
            sd.split AS split_doc,
            sc.split AS split_release,

@@ -235,6 +235,20 @@ def _split_bucket(cast_type: str, col: str = "doc_id") -> str:
     )
 
 
+# shared oracle fragment: the hash-split assignment as a CTE body.
+# Downstream oracles (qa_split_leakage, split_cluster_aware_assign)
+# interpolate THIS instead of hand-inlining the bucket expression and
+# thresholds, so a threshold change cannot desynchronize oracle from
+# implementation (advisor r9).
+_SQL_SPLIT_CTE_BODY = f"""
+        SELECT doc_id,
+               CASE WHEN {_split_bucket("VARCHAR")} < {_TRAIN_LT} THEN 'train'
+                    WHEN {_split_bucket("VARCHAR")} < {_VAL_LT} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+"""
+
+
 @query(
     "split_train_val_test",
     oracle=f"""

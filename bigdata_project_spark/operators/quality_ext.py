@@ -494,6 +494,7 @@ def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from bigdata_project_spark.operators.corpus import (  # noqa: E402
     _REP_THRESHOLD_SQL,
+    _SQL_SPLIT_CTE_BODY,
     quality_repetition_filter,
 )
 from bigdata_project_spark.operators.corpus_ext import (  # noqa: E402
@@ -594,17 +595,7 @@ _REG_QX["corpus_quality_gate"].oracle = f"""
     WITH {_SQL_SHINGLES},
     {_SQL_SHINGLES_CAPPED},
     {_SQL_EDGES},
-    sp AS (
-        SELECT doc_id,
-               CASE WHEN (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-                         + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 230
-                         THEN 'train'
-                    WHEN (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-                         + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 243
-                         THEN 'val'
-                    ELSE 'test' END AS split
-        FROM documents
-    )
+    sp AS ({_SQL_SPLIT_CTE_BODY})
     SELECT e.doc_a, e.doc_b, sa.split AS split_a, sb.split AS split_b,
            CAST(sa.split <> sb.split AS INT) AS is_leak
     FROM edges e

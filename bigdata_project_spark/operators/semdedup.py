@@ -524,6 +524,7 @@ def run_semantic_ingest_stream(
     import os
     import shutil
     import tempfile
+    import time
 
     emb = with_norm(load(spark, sf_dir, "embeddings"))
     is_batch = F.col("vec_id") % _SEM_BATCH_MOD == _SEM_BATCH_MOD - 1
@@ -538,20 +539,26 @@ def run_semantic_ingest_stream(
     seen_store = os.path.join(work, "seen")
     out_store = os.path.join(work, "out")
     try:
-        # stage the increment as vec_id-ordered chunks (file source
-        # delivers same-mtime files in path order; chunk0 < chunk1 ...)
+        # stage the increment as vec_id-ordered chunks; the file
+        # source orders by mtime with UNSPECIFIED tie order, so pin
+        # delivery order with explicitly increasing mtimes per chunk
+        # (advisor r9) rather than relying on path-order ties
         batch_members = emb.filter(is_batch).select("vec_id", "embedding", "norm_sq")
         lo, hi = batch_members.agg(F.min("vec_id"), F.max("vec_id")).first()
         if lo is None:  # empty increment: stage schema-only chunks so the
             lo, hi = 0, 0  # stream still runs and the result store exists
         step = max(1, (int(hi) - int(lo)) // n_chunks + 1)
+        base_mtime = int(time.time()) - 3600 * n_chunks
         for i in range(n_chunks):
             chunk = batch_members.filter(
                 (F.col("vec_id") >= lo + i * step) & (F.col("vec_id") < lo + (i + 1) * step)
             )
-            chunk.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(src_dir, f"chunk{i}")
-            )
+            chunk_dir = os.path.join(src_dir, f"chunk{i}")
+            chunk.coalesce(1).write.mode("overwrite").parquet(chunk_dir)
+            t = base_mtime + i * 3600  # one hour apart: coarse-mtime-FS-proof
+            for root, _dirs, files in os.walk(chunk_dir):
+                for fn in files:
+                    os.utime(os.path.join(root, fn), (t, t))
         ccells.limit(0).write.parquet(seen_store)  # schema-only init
 
         def cos(x: str, y: str):
@@ -559,8 +566,24 @@ def run_semantic_ingest_stream(
                 F.sqrt(F.col(f"{x}.norm_sq")) * F.sqrt(F.col(f"{y}.norm_sq"))
             )
 
+        max_seen_vec = [-1]  # foreachBatch runs driver-side
+
         def probe(bdf: DataFrame, _bid: int) -> None:
             bcells = _sem_assign(bdf, cent, q).persist()
+            b_lo, b_hi = bcells.agg(F.min("vec_id"), F.max("vec_id")).first()
+            if b_lo is not None:
+                # oracle equality requires in-order delivery: every
+                # cross-batch dup_of hit assumes earlier vec_ids are
+                # already in the seen store. Fail loudly on an
+                # out-of-order micro-batch instead of silently
+                # dropping hits (advisor r9).
+                if int(b_lo) <= max_seen_vec[0]:
+                    raise RuntimeError(
+                        f"semantic ingest stream delivered out of order: "
+                        f"batch min vec_id {b_lo} <= max already seen "
+                        f"{max_seen_vec[0]}"
+                    )
+                max_seen_vec[0] = int(b_hi)
             b, c = bcells.alias("b"), ccells.alias("c")
             corpus_hits = (
                 b.join(c, F.col("b.cell") == F.col("c.cell"))

@@ -143,7 +143,7 @@ def test_consumers_stay_green_through_star_fallback(spark, sf_dir, name, monkeyp
     from tests.oracle import compare, duckdb_con
 
     def _refuse(nodes, edges, max_iter=None):
-        raise RuntimeError("forced: min-label probe cap (test twin)")
+        raise clustering.CCNotConverged("forced: min-label probe cap (test twin)")
 
     monkeypatch.setattr(clustering, "connected_components", _refuse)
     con = duckdb_con(sf_dir)
@@ -153,3 +153,41 @@ def test_consumers_stay_green_through_star_fallback(spark, sf_dir, name, monkeyp
         assert res.ok, res.detail
     finally:
         con.close()
+
+
+def test_auto_does_not_mask_unrelated_runtime_error(spark, monkeypatch):
+    """Advisor r9: auto must catch ONLY CCNotConverged. An unrelated
+    RuntimeError raised inside the min-label probe (OOM, a broken
+    plan, a checkpoint failure) must propagate, not silently trigger
+    a full star-contraction rerun that masks the original failure."""
+    from bigdata_project_spark.operators import clustering
+
+    def _boom(nodes, edges, max_iter=None):
+        raise RuntimeError("unrelated failure (test twin)")
+
+    monkeypatch.setattr(clustering, "connected_components", _boom)
+    nodes = spark.createDataFrame([(0,), (1,)], "id long")
+    edges = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="unrelated failure"):
+        clustering.connected_components_auto(nodes, edges)
+
+
+def test_auto_refuses_explicit_zero_max_iter(spark):
+    """Advisor r9: an explicit max_iter=0 must not make the probe
+    run zero min-label rounds and RETURN its unconverged identity
+    labels (n_changed never set). Auto clamps the probe to >= 1
+    round, so an unconverged path now REFUSES (CCNotConverged from
+    the star fallback, which honors the caller's 0-round cap) —
+    never silently wrong labels."""
+    from bigdata_project_spark.operators.clustering import (
+        CCNotConverged,
+        connected_components_auto,
+    )
+
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "doc_a long, doc_b long")
+    with pytest.raises(CCNotConverged):
+        connected_components_auto(nodes, edges, max_iter=0)
+    # and a sane explicit cap still converges through the same path
+    labels = _labels(connected_components_auto(nodes, edges, max_iter=5))
+    assert labels == {0: 0, 1: 0, 2: 0}

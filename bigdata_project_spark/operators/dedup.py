@@ -424,18 +424,20 @@ def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_simhash_hamming_pairs",
-    oracle=f"""
-    WITH {_SQL_SIMHASH_SIGS},
-    blocks AS (
-        SELECT doc_id, simhash64, b.b AS b,
-               substring(simhash64, 4 * b.b + 1, 4) AS bk
+def sql_pigeonhole_hamming(sig_col: str, radius: int = 3) -> str:
+    """Oracle tail shared by every 64-bit-signature near-dup query
+    (SimHash docs, dHash images): pigeonhole blocking + exact
+    nibble-wise popcount(xor), over a preceding CTE named `sigs`
+    with columns (doc_id, {sig_col}). One SQL source of truth so the
+    blocking/verify arithmetic cannot desynchronize across consumers."""
+    return f"""blocks AS (
+        SELECT doc_id, {sig_col}, b.b AS b,
+               substring({sig_col}, 4 * b.b + 1, 4) AS bk
         FROM sigs, LATERAL (SELECT unnest(range(4)) AS b) b
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, x.doc_id AS doc_b,
-               a.simhash64 AS sig_a, x.simhash64 AS sig_b
+               a.{sig_col} AS sig_a, x.{sig_col} AS sig_b
         FROM blocks a
         JOIN blocks x ON a.b = x.b AND a.bk = x.bk AND a.doc_id < x.doc_id
     )
@@ -446,7 +448,63 @@ def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
                     instr('{_HEX}', substring(sig_b, i.i, 1)) - 1)))
                 FROM (SELECT unnest(range(1, 17)) AS i) i) AS BIGINT) AS hamming
         FROM cand
-    ) WHERE hamming <= 3
+    ) WHERE hamming <= {radius}"""
+
+
+def pigeonhole_hamming_pairs(sigs: DataFrame, sig_col: str, radius: int = 3) -> DataFrame:
+    """All (doc_a < doc_b) pairs of 64-bit hex signatures within
+    Hamming distance `radius` — EXACT for radius <= 3 by the
+    pigeonhole bound (Manku et al.): a pair differing in <= 3 bits
+    agrees exactly on at least one of 4 16-bit blocks, so candidates
+    are a plain equi-join on (block index, block value), never an
+    all-pairs scan. Callers persist `sigs` (both self-join sides
+    read it). Shared by SimHash text near-dup and dHash image
+    near-dup."""
+    blocks = sigs.select(
+        "doc_id",
+        sig_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.substring(sig_col, 4 * b + 1, 4).alias("bk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("o"),
+    ).select("doc_id", sig_col, F.col("o.b").alias("b"), F.col("o.bk").alias("bk"))
+    a = blocks.select(
+        F.col("doc_id").alias("doc_a"), F.col(sig_col).alias("sig_a"), "b", "bk"
+    )
+    x = blocks.select(
+        F.col("doc_id").alias("doc_b"), F.col(sig_col).alias("sig_b"), "b", "bk"
+    )
+    cand = (
+        a.join(x, ["b", "bk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = F.expr(
+        f"aggregate(sequence(1, 16), 0, (acc, i) -> acc + bit_count("
+        f"(instr('{_HEX}', substring(sig_a, i, 1)) - 1) ^ "
+        f"(instr('{_HEX}', substring(sig_b, i, 1)) - 1)))"
+    )
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= radius)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "dedup_simhash_hamming_pairs",
+    oracle=f"""
+    WITH {_SQL_SIMHASH_SIGS},
+    {sql_pigeonhole_hamming("simhash64")}
     """,
     tags=("dedup", "llm", "simhash", "hamming"),
 )
@@ -471,44 +529,7 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_project_spark.caching import tracked_persist
 
     sigs = tracked_persist(dedup_simhash64(spark, sf_dir))
-    blocks = sigs.select(
-        "doc_id",
-        "simhash64",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("b"),
-                        F.substring("simhash64", 4 * b + 1, 4).alias("bk"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("o"),
-    ).select("doc_id", "simhash64", F.col("o.b").alias("b"), F.col("o.bk").alias("bk"))
-    a = blocks.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash64").alias("sig_a"), "b", "bk"
-    )
-    x = blocks.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash64").alias("sig_b"), "b", "bk"
-    )
-    cand = (
-        a.join(x, ["b", "bk"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .distinct()
-    )
-    ham = F.expr(
-        f"aggregate(sequence(1, 16), 0, (acc, i) -> acc + bit_count("
-        f"(instr('{_HEX}', substring(sig_a, i, 1)) - 1) ^ "
-        f"(instr('{_HEX}', substring(sig_b, i, 1)) - 1)))"
-    )
-    return (
-        cand.withColumn("hamming", ham)
-        .filter(F.col("hamming") <= 3)
-        .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
-    )
+    return pigeonhole_hamming_pairs(sigs, "simhash64")
 
 
 @query(

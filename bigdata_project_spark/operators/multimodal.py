@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from bigdata_project_spark.operators.dedup import sql_pigeonhole_hamming
 from bigdata_project_spark.registry import query
 from bigdata_project_spark.tables import load
 
@@ -603,6 +604,118 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(decode, _WAV_SCHEMA)
 
 
+def _encode_png(arr) -> bytes:
+    """Genuine PNG bytes for an h x w x 3 uint8 numpy array: PNG
+    signature, CRC32-checksummed IHDR/IDAT/IEND chunks,
+    zlib-deflated scanlines with CYCLING filter types (None/Sub/Up
+    by row) so every decoder that reads these bytes must implement
+    real unfilter arithmetic. Shared by the PNG-decode proof and the
+    dHash image near-dup synthesizer."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    h, w, _ = arr.shape
+    stride = w * 3
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        row = bytes(arr[y].reshape(-1))
+        f = y % 3
+        raw.append(f)
+        if f == 0:
+            raw += row
+        elif f == 1:  # Sub: store cur - left (bpp = 3)
+            raw += bytes(
+                (row[i] - (row[i - 3] if i >= 3 else 0)) & 255 for i in range(stride)
+            )
+        else:  # Up: store cur - above
+            raw += bytes((row[i] - prev[i]) & 255 for i in range(stride))
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _parse_png(buf: bytes):
+    """Parse genuine PNG bytes back to (w, h, h x w x 3 uint8 array):
+    signature check, per-chunk CRC verification, IHDR validation,
+    zlib inflate, and the COMPLETE five-filter unfilter set
+    (None/Sub/Up/Average/Paeth). Shared by the PNG-decode proof and
+    the dHash image near-dup decoder."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if buf[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("bad PNG signature")
+    pos, idat, w, h = 8, b"", None, None
+    while pos < len(buf):
+        (ln,) = struct.unpack(">I", buf[pos : pos + 4])
+        typ = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", buf[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError("PNG chunk CRC mismatch")
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, ilace = struct.unpack(">IIBBBBB", data)
+            if (depth, ctype, comp, filt, ilace) != (8, 2, 0, 0, 0):
+                raise ValueError("unsupported PNG variant")
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    stride = w * 3
+    out = bytearray()
+    prev = bytearray(stride)
+    p = 0
+    for _y in range(h):
+        f = raw[p]
+        p += 1
+        row = bytearray(raw[p : p + stride])
+        p += stride
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for i in range(3, stride):
+                row[i] = (row[i] + row[i - 3]) & 255
+        elif f == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 255
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = row[i - 3] if i >= 3 else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 255
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - 3] if i >= 3 else 0
+                b = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pr) & 255
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out += row
+        prev = row
+    return w, h, np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, 3)
+
+
 _PNG_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -680,122 +793,26 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id")
 
     def synthesize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-        import zlib
-
-        def chunk(typ: bytes, data: bytes) -> bytes:
-            return (
-                struct.pack(">I", len(data))
-                + typ
-                + data
-                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
-            )
-
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
                 did = int(doc_id)
                 w, h = 8 + did % 8, 8 + (did // 8) % 8
-                stride = w * 3
-                raw = bytearray()
-                prev = bytes(stride)
-                for y in range(h):
-                    row = bytes(
-                        c
-                        for x in range(w)
-                        for c in (
-                            (did * 7 + x * 3 + y * 5) % 256,
-                            (did * 11 + x * 13 + y * 2) % 256,
-                            (did * 3 + x + y * 19) % 256,
-                        )
-                    )
-                    f = y % 3
-                    raw.append(f)
-                    if f == 0:
-                        raw += row
-                    elif f == 1:  # Sub: store cur - left (bpp = 3)
-                        raw += bytes(
-                            (row[i] - (row[i - 3] if i >= 3 else 0)) & 255
-                            for i in range(stride)
-                        )
-                    else:  # Up: store cur - above
-                        raw += bytes(
-                            (row[i] - prev[i]) & 255 for i in range(stride)
-                        )
-                    prev = row
-                ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-                png = (
-                    b"\x89PNG\r\n\x1a\n"
-                    + chunk(b"IHDR", ihdr)
-                    + chunk(b"IDAT", zlib.compress(bytes(raw)))
-                    + chunk(b"IEND", b"")
-                )
-                rows.append((did, png))
+                xs = np.arange(w).reshape(1, w)
+                ys = np.arange(h).reshape(h, 1)
+                arr = np.stack(
+                    [
+                        (did * 7 + xs * 3 + ys * 5) % 256,
+                        (did * 11 + xs * 13 + ys * 2) % 256,
+                        (did * 3 + xs + ys * 19) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                rows.append((did, _encode_png(arr)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-        import zlib
-
-        def parse(buf: bytes):
-            if buf[:8] != b"\x89PNG\r\n\x1a\n":
-                raise ValueError("bad PNG signature")
-            pos, idat, w, h = 8, b"", None, None
-            while pos < len(buf):
-                (ln,) = struct.unpack(">I", buf[pos : pos + 4])
-                typ = buf[pos + 4 : pos + 8]
-                data = buf[pos + 8 : pos + 8 + ln]
-                (crc,) = struct.unpack(">I", buf[pos + 8 + ln : pos + 12 + ln])
-                if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
-                    raise ValueError("PNG chunk CRC mismatch")
-                if typ == b"IHDR":
-                    w, h, depth, ctype, comp, filt, ilace = struct.unpack(
-                        ">IIBBBBB", data
-                    )
-                    if (depth, ctype, comp, filt, ilace) != (8, 2, 0, 0, 0):
-                        raise ValueError("unsupported PNG variant")
-                elif typ == b"IDAT":
-                    idat += data
-                elif typ == b"IEND":
-                    break
-                pos += 12 + ln
-            raw = zlib.decompress(idat)
-            stride = w * 3
-            out = bytearray()
-            prev = bytearray(stride)
-            p = 0
-            for _y in range(h):
-                f = raw[p]
-                p += 1
-                row = bytearray(raw[p : p + stride])
-                p += stride
-                if f == 0:
-                    pass
-                elif f == 1:  # Sub
-                    for i in range(3, stride):
-                        row[i] = (row[i] + row[i - 3]) & 255
-                elif f == 2:  # Up
-                    for i in range(stride):
-                        row[i] = (row[i] + prev[i]) & 255
-                elif f == 3:  # Average
-                    for i in range(stride):
-                        left = row[i - 3] if i >= 3 else 0
-                        row[i] = (row[i] + ((left + prev[i]) >> 1)) & 255
-                elif f == 4:  # Paeth
-                    for i in range(stride):
-                        a = row[i - 3] if i >= 3 else 0
-                        b = prev[i]
-                        c = prev[i - 3] if i >= 3 else 0
-                        pp = a + b - c
-                        pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
-                        pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                        row[i] = (row[i] + pr) & 255
-                else:
-                    raise ValueError(f"unknown PNG filter {f}")
-                out += row
-                prev = row
-            return w, h, np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, 3)
-
+        parse = _parse_png
         cols = [
             "doc_id", "width", "height", "n_pixels",
             "sum_r", "sum_g", "sum_b", "n_bright",
@@ -821,3 +838,191 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payloads = docs.mapInPandas(synthesize, "doc_id long, payload binary")
     return payloads.mapInPandas(decode, _PNG_SCHEMA)
+
+
+# dHash geometry: fixed 18x16 RGB images -> 9x8 grid of 2x2-box
+# gray sums -> 8 left>right compares per grid row = 64 bits. All
+# integer arithmetic (luma = 299r + 587g + 114b, UNdivided box SUMS
+# compared instead of averages) so DuckDB replays the hash bit-exactly.
+_DHASH_W, _DHASH_H = 18, 16
+_DHASH_GROUP = 4  # docs per synthetic near-dup group (doc_id // 4)
+
+
+def _dhash_pixels(doc_id: int):
+    """The deterministic image-generating formula for the dHash
+    testbed: every doc in a group of _DHASH_GROUP shares a base
+    image whose pixels are md5-derived per (group, x, y) — i.i.d.
+    noise ACROSS groups, so unrelated images land a Binomial(64, 1/2)
+    Hamming distance apart and the <=3 radius captures exactly the
+    within-group structure. Variants v > 0 perturb ONE pixel
+    ((x, y) = (v, v), red channel + 128 mod 256), a sub-percent pixel
+    change that moves at most two dHash bits — the "re-encoded /
+    slightly retouched image" case perceptual hashing exists for.
+    (A linear gradient formula was tried first and rejected: mod-256
+    pixels make any polynomial in the group id periodic with period
+    256, so alias groups collide once the corpus exceeds 256 groups.)
+    Mirrored term-for-term in the SQL oracle."""
+    import hashlib
+
+    import numpy as np
+
+    g, v = doc_id // _DHASH_GROUP, doc_id % _DHASH_GROUP
+    arr = np.empty((_DHASH_H, _DHASH_W, 3), np.uint8)
+    for y in range(_DHASH_H):
+        for x in range(_DHASH_W):
+            hd = hashlib.md5(f"{g}:{x}:{y}".encode()).hexdigest()
+            arr[y, x] = (int(hd[0:2], 16), int(hd[2:4], 16), int(hd[4:6], 16))
+    if v > 0:
+        arr[v, v, 0] = (int(arr[v, v, 0]) + 128) % 256
+    return arr
+
+
+def _dhash64(arr) -> str:
+    """64-bit difference hash of an h x w x 3 uint8 array as 16 hex
+    chars (nibble p = bits 4p..4p+3, MSB first) — the same signature
+    representation as dedup_simhash64, so the pigeonhole Hamming
+    machinery is shared verbatim."""
+    import numpy as np
+
+    px = arr.astype(np.int64)
+    gray = 299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+    cells = gray.reshape(8, _DHASH_H // 8, 9, _DHASH_W // 9).sum(axis=(1, 3))
+    bits = (cells[:, :-1] > cells[:, 1:]).astype(np.int64).reshape(-1)
+    nib = bits.reshape(16, 4)
+    nv = nib[:, 0] * 8 + nib[:, 1] * 4 + nib[:, 2] * 2 + nib[:, 3]
+    return "".join("0123456789abcdef"[int(x)] for x in nv)
+
+
+_SQL_DHASH_SIGS = f"""
+    d AS (
+        SELECT doc_id, doc_id // {_DHASH_GROUP} AS g,
+               doc_id % {_DHASH_GROUP} AS v
+        FROM documents
+    ),
+    pxh AS (
+        SELECT doc_id, v, x.r AS x, y.r AS y,
+               md5(CAST(g AS VARCHAR) || ':' || CAST(x.r AS VARCHAR)
+                   || ':' || CAST(y.r AS VARCHAR)) AS hh
+        FROM d,
+             LATERAL (SELECT unnest(range({_DHASH_W})) AS r) x,
+             LATERAL (SELECT unnest(range({_DHASH_H})) AS r) y
+    ),
+    px AS (
+        SELECT doc_id, x, y,
+               CASE WHEN v > 0 AND x = v AND y = v
+                    THEN ((instr('0123456789abcdef', substring(hh, 1, 1)) - 1) * 16
+                          + (instr('0123456789abcdef', substring(hh, 2, 1)) - 1)
+                          + 128) % 256
+                    ELSE (instr('0123456789abcdef', substring(hh, 1, 1)) - 1) * 16
+                         + (instr('0123456789abcdef', substring(hh, 2, 1)) - 1)
+                    END AS r,
+               (instr('0123456789abcdef', substring(hh, 3, 1)) - 1) * 16
+               + (instr('0123456789abcdef', substring(hh, 4, 1)) - 1) AS gc,
+               (instr('0123456789abcdef', substring(hh, 5, 1)) - 1) * 16
+               + (instr('0123456789abcdef', substring(hh, 6, 1)) - 1) AS bc
+        FROM pxh
+    ),
+    cells AS (
+        SELECT doc_id, x // 2 AS cx, y // 2 AS cy,
+               SUM(299 * r + 587 * gc + 114 * bc) AS gsum
+        FROM px GROUP BY doc_id, x // 2, y // 2
+    ),
+    bits AS (
+        SELECT a.doc_id, a.cy * 8 + a.cx AS i,
+               CASE WHEN a.gsum > b.gsum THEN 1 ELSE 0 END AS bit
+        FROM cells a
+        JOIN cells b ON b.doc_id = a.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+        WHERE a.cx < 8
+    ),
+    nibs AS (
+        SELECT doc_id, i // 4 AS p,
+               SUM(bit * CASE CAST(i % 4 AS INT)
+                         WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2
+                         ELSE 1 END) AS nv
+        FROM bits GROUP BY doc_id, i // 4
+    ),
+    sigs AS (
+        SELECT doc_id,
+               string_agg(substring('0123456789abcdef', CAST(nv AS INT) + 1, 1),
+                          '' ORDER BY p) AS dhash64
+        FROM nibs GROUP BY doc_id
+    )"""
+
+
+@query(
+    "multimodal_dhash_neardup",
+    # the oracle replays pixel formula -> box gray sums -> difference
+    # bits -> hex signature -> pigeonhole blocking -> exact Hamming,
+    # all in integer SQL; the Spark side must recover the SAME bits
+    # from genuine PNG bytes (encode -> CRC'd parse -> unfilter ->
+    # dHash), so any codec or hash-arithmetic defect breaks the match
+    oracle=f"""
+    WITH {_SQL_DHASH_SIGS},
+    {sql_pigeonhole_hamming("dhash64")}
+    """,
+    tags=("multimodal", "dedup", "llm", "udf", "image", "hamming"),
+)
+def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup (round 10) — the missing cross of
+    the multimodal and dedup pillars. The reference collapses each
+    listing's `images` field to a bare count (CrawlData.py:87); a
+    training-data pipeline needs the images themselves deduped, and
+    byte-level hashing misses re-encoded/retouched copies, so the
+    standard tool is a perceptual difference hash: shrink to a 9x8
+    gray grid, emit one bit per horizontal neighbor compare. Pixel
+    changes that don't flip brightness GRADIENTS leave the 64-bit
+    signature within a few bits of the original.
+
+    Pipeline: (1) Arrow stage synthesizes a genuine PNG per document
+    — groups of {_DHASH_GROUP} docs share a base image, variants
+    perturb one pixel — via the shared `_encode_png` (CRC'd chunks,
+    mixed row filters); (2) a second state-free Arrow stage decodes
+    the container with the shared `_parse_png` and computes the
+    dHash from recovered pixels (integer box sums, no float resize);
+    (3) Hamming-<=3 pairs come from the SAME pigeonhole blocking as
+    SimHash text near-dup (`pigeonhole_hamming_pairs`, dedup.py) —
+    an equi-join on 16-bit signature blocks with exact popcount
+    verification, recall 1.0 at the declared radius by construction.
+
+    Scale: image bytes never shuffle (both Arrow stages are map-side;
+    only (doc_id, 16-char signature) rows move); the pair stage is
+    the proven bounded-bucket block join. A 100 TB image corpus swaps
+    the synthesize stage for a binary-column scan and keeps stages
+    2-3 as-is."""
+    from bigdata_project_spark.caching import tracked_persist
+    from bigdata_project_spark.operators.dedup import pigeonhole_hamming_pairs
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synthesize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base_cache: dict = {}  # group id -> base pixels (4 docs share one)
+
+        def img(did: int):
+            g, v = did // _DHASH_GROUP, did % _DHASH_GROUP
+            if g not in base_cache:
+                base_cache[g] = _dhash_pixels(g * _DHASH_GROUP)
+            arr = base_cache[g].copy()
+            if v > 0:
+                arr[v, v, 0] = (int(arr[v, v, 0]) + 128) % 256
+            return arr
+
+        for pdf in batches:
+            rows = [
+                (int(doc_id), _encode_png(img(int(doc_id))))
+                for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, arr = _parse_png(bytes(payload))
+                if (w, h) != (_DHASH_W, _DHASH_H):
+                    raise ValueError(f"unexpected dHash image geometry {w}x{h}")
+                rows.append((int(doc_id), _dhash64(arr)))
+            yield pd.DataFrame(rows, columns=["doc_id", "dhash64"])
+
+    payloads = docs.mapInPandas(synthesize, "doc_id long, payload binary")
+    sigs = tracked_persist(payloads.mapInPandas(decode, "doc_id long, dhash64 string"))
+    return pigeonhole_hamming_pairs(sigs, "dhash64")

@@ -147,6 +147,7 @@ _LOADED = False
 _DRIVER_FIRST: tuple[str, ...] = (
     # --- never driver-checked: round-10 additions (inserted here as
     # each lands; one tail name trimmed per insertion) ---
+    "multimodal_dhash_neardup",
     # --- oldest-last-checked: r4 vintage trimmed from the r9 tail ---
     "dedup_cluster_components",
     "corpus_clean_pipeline",
@@ -199,7 +200,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "vn_listing_normalize",
     # --- r5 vintage head (registration order) ---
     "dedup_lsh_pair_recall",
-    "chunk_documents_overlap",
 )
 
 

@@ -148,6 +148,11 @@ _DRIVER_FIRST: tuple[str, ...] = (
     # --- never driver-checked: round-10 additions (inserted here as
     # each lands; one tail name trimmed per insertion) ---
     "multimodal_dhash_neardup",
+    "sim_pq_codes",
+    "sim_knn_pq_adc",
+    "sim_knn_pq_rerank",
+    "sim_recall_pq_at_k",
+    "sim_recall_pq_rerank_at_k",
     # --- oldest-last-checked: r4 vintage trimmed from the r9 tail ---
     "dedup_cluster_components",
     "corpus_clean_pipeline",
@@ -194,12 +199,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "scalar_case_conversion",
     "scalar_regexp_family",
     "scalar_url_parse",
-    "scalar_csv_column_codec",
-    "scalar_interval_datetime",
-    "setop_union_by_name_missing",
-    "vn_listing_normalize",
-    # --- r5 vintage head (registration order) ---
-    "dedup_lsh_pair_recall",
 )
 
 

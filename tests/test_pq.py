@@ -1,0 +1,56 @@
+"""Product-quantization index (operators/pq.py) quality properties.
+
+The oracle gate proves codes, ADC ranking, rerank, and both recall
+evals bit-exactly against the SQL replay; these pin what the hash
+can't:
+
+- the refine stage can only help: rerank recall >= raw-ADC recall
+  per query is a THEOREM (ADC top-k is a subset of the shortlist,
+  and exact rescoring surfaces every ground-truth member the
+  shortlist contains), so a violation means the pipeline is wired
+  wrong even if each stage hashes clean;
+- the shipped two-stage search clears a recall floor on the
+  deterministic testbed (quality regression guard);
+- the codebook is actually used: every (subspace, codeword) bin is
+  populated at sf0.01, so the argmin isn't degenerate.
+"""
+
+from __future__ import annotations
+
+
+def _rows(df):
+    return {r["query_id"]: (r["n_hits"], r["recall"]) for r in df.collect()}
+
+
+def test_rerank_recall_dominates_adc_recall(spark, sf_dir):
+    from bigdata_project_spark.registry import all_queries
+
+    qs = all_queries()
+    adc = _rows(qs["sim_recall_pq_at_k"](spark, sf_dir))
+    rr = _rows(qs["sim_recall_pq_rerank_at_k"](spark, sf_dir))
+    assert set(adc) == set(rr)
+    for q in adc:
+        assert rr[q][0] >= adc[q][0], (q, adc[q], rr[q])
+
+
+def test_rerank_recall_floor(spark, sf_dir):
+    """Observed 0.6/0.9/0.7 at sf0.01 and 0.6/0.4/0.5 at sf0.001
+    (different data draws); the testbeds are deterministic, so pin a
+    conservative floor as a quality-regression guard."""
+    from bigdata_project_spark.registry import all_queries
+
+    rr = _rows(all_queries()["sim_recall_pq_rerank_at_k"](spark, sf_dir))
+    assert all(rec >= 0.4 for _n, rec in rr.values()), rr
+
+
+def test_codes_populate_every_bin(spark, sf_dir):
+    """All 4 subspaces x 16 codewords appear among the encoded
+    corpus at sf0.01 — the codebook isn't collapsing to a few
+    degenerate cells."""
+    from bigdata_project_spark.registry import all_queries
+
+    rows = all_queries()["sim_pq_codes"](spark, sf_dir).collect()
+    assert len(rows) == 500
+    for j in range(4):
+        vals = {r[f"c{j}"] for r in rows}
+        assert vals == set(range(16)), (j, sorted(vals))

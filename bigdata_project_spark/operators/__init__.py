@@ -23,4 +23,5 @@ from bigdata_project_spark.operators import (  # noqa: F401
     similarity,
     skew,
     text,
+    urlcanon,
 )

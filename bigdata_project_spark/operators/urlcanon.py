@@ -1,0 +1,218 @@
+"""URL canonicalization + crawl-frontier dedup (SURVEY.md §2.10).
+
+The reference constructs listing URLs with volatile query parameters
+(offset/limit, CrawlData.py:17-20) and dedups listing IDs only
+(CrawlData.py:12,34); a real crawl frontier dedups URLs — and raw
+URLs for the same resource differ in scheme/host case, default
+ports, query-parameter order, tracking parameters, and fragments.
+`crawl_url_canonical_dedup` is the frontier's admission filter:
+canonicalize, key by md5(canonical), keep the first-seen fetch.
+
+Everything is JVM-side string machinery (regexp_extract /
+regexp_replace / split / filter / array_sort / concat_ws) — no
+Python in the hot path — and mirrored term-for-term in the DuckDB
+oracle, so the canonical STRINGS are value-verified, not just
+counts.
+
+The testbed synthesizes deterministic mess from doc_id: groups of 5
+docs share a listing id, with variants exercising each rule —
+scrambled parameter order, utm_/fbclid tracking params, cased
+host/scheme, explicit default port, a fragment, and a no-query form
+(which collapses across ALL groups into one frontier entry — the
+cross-group case). Docs with doc_id % 97 == 0 get an
+internationalized (non-ASCII) host, pinning unicode case-folding
+cross-engine.
+
+Scale: canonicalization is a pure map over the frontier scan; the
+keeper is one hash-partitioned window by canonical key (equivalently
+a groupBy MIN + equi-join) — the same shuffle discipline as exact
+content dedup. At 100 TB of frontier the canonical key is also the
+natural partition/bucket column for incremental frontier merges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from bigdata_project_spark.registry import query
+from bigdata_project_spark.tables import load
+
+_TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=")
+_DEFAULT_PORTS = {"https": "443", "http": "80"}
+
+
+def canonicalize_url(url):
+    """Canonical form of a URL column: drop fragment, lowercase
+    scheme and host, strip the scheme's default port (keep explicit
+    non-default ports), drop tracking parameters, sort the remaining
+    query parameters, re-assemble. Pure built-in string expressions."""
+    nofrag = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, "^([A-Za-z]+)://", 1))
+    hostport = F.regexp_extract(nofrag, "^[A-Za-z]+://([^/?#]+)", 1)
+    host = F.lower(F.regexp_replace(hostport, ":[0-9]+$", ""))
+    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    default_port = (
+        F.when(scheme == "https", F.lit(_DEFAULT_PORTS["https"]))
+        .when(scheme == "http", F.lit(_DEFAULT_PORTS["http"]))
+        .otherwise(F.lit(""))
+    )
+    keep_port = (port != "") & (port != default_port)
+    path = F.regexp_extract(nofrag, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    qs = F.regexp_extract(nofrag, "[?]([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(qs, "&"),
+            lambda x: (x != "")
+            & ~x.startswith(_TRACKING_PREFIXES[0])
+            & ~x.startswith(_TRACKING_PREFIXES[1])
+            & ~x.startswith(_TRACKING_PREFIXES[2]),
+        )
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(
+            F.size(params) > 0, F.concat(F.lit("?"), F.concat_ws("&", params))
+        ).otherwise(F.lit("")),
+    )
+
+
+def _sql_canonical(url: str) -> str:
+    """The DuckDB twin of canonicalize_url, term for term."""
+    nofrag = f"regexp_replace({url}, '#.*$', '')"
+    scheme = f"lower(regexp_extract({nofrag}, '^([A-Za-z]+)://', 1))"
+    hostport = f"regexp_extract({nofrag}, '^[A-Za-z]+://([^/?#]+)', 1)"
+    host = f"lower(regexp_replace({hostport}, ':[0-9]+$', ''))"
+    port = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
+    default_port = (
+        f"CASE WHEN {scheme} = 'https' THEN '443'"
+        f" WHEN {scheme} = 'http' THEN '80' ELSE '' END"
+    )
+    path = f"regexp_extract({nofrag}, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)"
+    qs = f"regexp_extract({nofrag}, '[?]([^#]*)', 1)"
+    not_tracking = " AND ".join(
+        f"NOT starts_with(x, '{p}')" for p in _TRACKING_PREFIXES
+    )
+    params = (
+        f"list_sort(list_filter(string_split({qs}, '&'),"
+        f" x -> x <> '' AND {not_tracking}))"
+    )
+    return (
+        f"{scheme} || '://' || {host}"
+        f" || CASE WHEN {port} <> '' AND {port} <> {default_port}"
+        f"         THEN ':' || {port} ELSE '' END"
+        f" || {path}"
+        f" || CASE WHEN len({params}) > 0"
+        f"         THEN '?' || array_to_string({params}, '&') ELSE '' END"
+    )
+
+
+# raw-URL synthesis: L = listing id shared by a group of 5 docs,
+# v = which messy form this doc saw. Mirrored exactly in SQL below.
+_BASE_PATH = "/v1/public/ad-listing"
+
+
+def _raw_url_col():
+    ls = F.expr("CAST(doc_id div 5 AS STRING)")
+    v = F.col("doc_id") % 5
+    idn = F.col("doc_id") % 97 == 0
+    host = (
+        F.when(idn, F.lit("GÄTEWAY.chotot.com"))
+        .when(v == 0, F.lit("GATEWAY.chotot.com:443"))
+        .when(v == 1, F.lit("gateway.chotot.com"))
+        .when(v == 2, F.lit("Gateway.Chotot.Com"))
+        .when(v == 3, F.lit("gateway.chotot.com:443"))
+        .otherwise(F.lit("gateway.chotot.com"))
+    )
+    scheme = F.when(v == 3, F.lit("HTTPS")).otherwise(F.lit("https"))
+    tail = (
+        F.when(v == 0, F.concat(F.lit("?cg=1000&region_v2=12000&o="), ls))
+        .when(v == 1, F.concat(F.lit("?region_v2=12000&o="), ls, F.lit("&cg=1000")))
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("?o="), ls, F.lit("&cg=1000&region_v2=12000&utm_source=fb&fbclid=XYZ")
+            ),
+        )
+        .when(
+            v == 3,
+            F.concat(F.lit("?utm_campaign=x&cg=1000&o="), ls, F.lit("&region_v2=12000")),
+        )
+        .otherwise(F.lit("#top"))  # v=4: no query, fragment only
+    )
+    return F.concat(scheme, F.lit("://"), host, F.lit(_BASE_PATH), tail)
+
+
+_SQL_RAW_URL = f"""
+    raw AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 3 THEN 'HTTPS' ELSE 'https' END
+               || '://'
+               || CASE WHEN doc_id % 97 = 0 THEN 'GÄTEWAY.chotot.com'
+                       WHEN doc_id % 5 = 0 THEN 'GATEWAY.chotot.com:443'
+                       WHEN doc_id % 5 = 1 THEN 'gateway.chotot.com'
+                       WHEN doc_id % 5 = 2 THEN 'Gateway.Chotot.Com'
+                       WHEN doc_id % 5 = 3 THEN 'gateway.chotot.com:443'
+                       ELSE 'gateway.chotot.com' END
+               || '{_BASE_PATH}'
+               || CASE WHEN doc_id % 5 = 0
+                       THEN '?cg=1000&region_v2=12000&o=' || CAST(doc_id // 5 AS VARCHAR)
+                       WHEN doc_id % 5 = 1
+                       THEN '?region_v2=12000&o=' || CAST(doc_id // 5 AS VARCHAR) || '&cg=1000'
+                       WHEN doc_id % 5 = 2
+                       THEN '?o=' || CAST(doc_id // 5 AS VARCHAR)
+                            || '&cg=1000&region_v2=12000&utm_source=fb&fbclid=XYZ'
+                       WHEN doc_id % 5 = 3
+                       THEN '?utm_campaign=x&cg=1000&o=' || CAST(doc_id // 5 AS VARCHAR)
+                            || '&region_v2=12000'
+                       ELSE '#top' END AS url
+        FROM documents
+    )
+"""
+
+
+@query(
+    "crawl_url_canonical_dedup",
+    # the canonical strings themselves are in the output, so a single
+    # mis-handled rule (port kept, tracking param surviving, unsorted
+    # params, unfolded case) fails the value hash
+    oracle=f"""
+    WITH {_SQL_RAW_URL},
+    canon AS (
+        SELECT doc_id, url, {_sql_canonical("url")} AS canonical
+        FROM raw
+    )
+    SELECT doc_id, url, canonical,
+           MIN(doc_id) OVER (PARTITION BY md5(canonical)) AS keeper_doc,
+           CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY md5(canonical)) AS INT)
+             AS is_dup
+    FROM canon
+    """,
+    tags=("crawl", "dedup", "url", "scalar", "llm"),
+)
+def crawl_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL dedup: canonicalize every raw URL, key by
+    md5(canonical), keep the first-seen doc per key (module
+    docstring). Variants v=0..3 of each listing group collapse to
+    one canonical URL; the fragment-only v=4 form collapses ACROSS
+    groups; IDN hosts (doc_id % 97 == 0) fold to their lowercase
+    form and stay distinct from the ASCII host. Every raw doc keeps
+    a row (the frontier needs the verdict per URL, not only the
+    survivors), with keeper_doc pointing at the fetch that wins."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    raw = docs.select("doc_id", _raw_url_col().alias("url"))
+    canon = raw.select("doc_id", "url", canonicalize_url(F.col("url")).alias("canonical"))
+    w = W.partitionBy(F.md5("canonical"))
+    keeper = F.min("doc_id").over(w)
+    return canon.select(
+        "doc_id",
+        "url",
+        "canonical",
+        keeper.alias("keeper_doc"),
+        (F.col("doc_id") != keeper).cast("int").alias("is_dup"),
+    )

@@ -153,6 +153,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "sim_knn_pq_rerank",
     "sim_recall_pq_at_k",
     "sim_recall_pq_rerank_at_k",
+    "crawl_url_canonical_dedup",
     # --- oldest-last-checked: r4 vintage trimmed from the r9 tail ---
     "dedup_cluster_components",
     "corpus_clean_pipeline",
@@ -198,7 +199,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "scalar_json_extraction",
     "scalar_case_conversion",
     "scalar_regexp_family",
-    "scalar_url_parse",
 )
 
 

@@ -1,0 +1,64 @@
+"""URL canonicalization rules (operators/urlcanon.py).
+
+The oracle gate proves the registered query's canonical strings
+value-for-value; these pin each rule in isolation on hand-written
+URLs the synthesis doesn't generate — non-default ports survive,
+tracking-only queries collapse to no '?', IDN hosts case-fold, and
+canonicalization is idempotent (canon(canon(u)) == canon(u))."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_project_spark.operators.urlcanon import canonicalize_url
+
+CASES = [
+    # (raw, canonical)
+    ("https://Example.COM/a?b=2&a=1", "https://example.com/a?a=1&b=2"),
+    ("HTTPS://example.com:443/a", "https://example.com/a"),
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("https://example.com:8443/a", "https://example.com:8443/a"),  # non-default kept
+    ("http://example.com:443/a", "http://example.com:443/a"),  # 443 not http's default
+    ("https://example.com/a?utm_source=x&utm_medium=y", "https://example.com/a"),
+    ("https://example.com/a?b=1&fbclid=Z&gclid=Q", "https://example.com/a?b=1"),
+    ("https://example.com/a#frag", "https://example.com/a"),
+    ("https://example.com/a?", "https://example.com/a"),  # empty query
+    ("https://example.com/a?b=1&&c=2", "https://example.com/a?b=1&c=2"),  # empty param
+    ("https://GÄTEWAY.example.com/a", "https://gäteway.example.com/a"),  # IDN fold
+    ("https://example.com/A/B?x=1#f", "https://example.com/A/B?x=1"),  # path case kept
+]
+
+
+def _canon_all(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r["c"] for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+
+
+def test_rules(spark):
+    got = _canon_all(spark, [raw for raw, _ in CASES])
+    for (raw, want), g in zip(CASES, got):
+        assert g == want, (raw, g, want)
+
+
+def test_idempotent(spark):
+    once = _canon_all(spark, [raw for raw, _ in CASES])
+    twice = _canon_all(spark, once)
+    assert once == twice
+
+
+@pytest.mark.parametrize("name", ["crawl_url_canonical_dedup"])
+def test_first_seen_keeper_is_min(spark, sf_dir, name):
+    """Every group's keeper is its minimum doc_id and is the one
+    non-dup row of the group."""
+    from bigdata_project_spark.registry import all_queries
+
+    rows = all_queries()[name](spark, sf_dir).collect()
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r["canonical"], []).append(r)
+    for canon, members in groups.items():
+        lo = min(m["doc_id"] for m in members)
+        for m in members:
+            assert m["keeper_doc"] == lo, canon
+            assert m["is_dup"] == (0 if m["doc_id"] == lo else 1), canon

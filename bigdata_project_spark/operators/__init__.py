@@ -15,6 +15,7 @@ from bigdata_project_spark.operators import (  # noqa: F401
     dedup_ext,
     dsir,
     multimodal,
+    packing,
     pq,
     quality_ext,
     retrieval,

@@ -154,6 +154,8 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "sim_recall_pq_at_k",
     "sim_recall_pq_rerank_at_k",
     "crawl_url_canonical_dedup",
+    "pack_sequences_ffd",
+    "pack_ffd_waste_audit",
     # --- oldest-last-checked: r4 vintage trimmed from the r9 tail ---
     "dedup_cluster_components",
     "corpus_clean_pipeline",
@@ -197,8 +199,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "scalar_null_handling",
     "scalar_array_functions",
     "scalar_json_extraction",
-    "scalar_case_conversion",
-    "scalar_regexp_family",
 )
 
 

@@ -125,6 +125,13 @@ HEADLINE = [
     "qa_split_leakage",
     "corpus_quality_stratified_gate",
     "split_cluster_aware_assign",
+    # round-10 additions (timing loop unchanged since r4)
+    "multimodal_dhash_neardup",
+    "sim_pq_codes",
+    "sim_knn_pq_rerank",
+    "crawl_url_canonical_dedup",
+    "pack_sequences_ffd",
+    "pack_ffd_waste_audit",
 ]
 
 

@@ -228,3 +228,55 @@ def pack_ffd_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("nextfit_pad_tokens"),
     )
+
+
+@query(
+    "pack_ffd_global_ids",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_TOKS_BLOCKED},
+    {_SQL_FFD_FIT},
+    per_block AS (
+        SELECT source, block_id, MAX(pack_id) + 1 AS n_packs
+        FROM fit GROUP BY source, block_id
+    ),
+    offsets AS (
+        SELECT source, block_id,
+               CAST(COALESCE(SUM(n_packs) OVER (
+                   ORDER BY source, block_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS pack_offset
+        FROM per_block
+    )
+    SELECT f.doc_id, f.source, f.block_id, f.pack_id,
+           CAST(o.pack_offset + f.pack_id AS BIGINT) AS global_pack_id
+    FROM fit f JOIN offsets o
+      ON o.source = f.source AND o.block_id = f.block_id
+    """,
+    tags=("llm", "packing", "udf"),
+)
+def pack_ffd_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide window numbering over the FFD packing — what a
+    training-manifest writer needs (one flat pack id space) — via
+    the same two-stage pattern as pack_sequences_global: blocks pack
+    in parallel, per-block pack COUNTS reduce to a tiny table, a
+    running offset over that table (the only SinglePartition work:
+    #blocks rows) broadcasts back. global_pack_id = block offset +
+    local pack id — exactly the numbering a serial corpus-wide FFD
+    block sweep would emit, with zero global sorts of documents."""
+    packed = _ffd_packed(spark, sf_dir)
+    per_block = packed.groupBy("source", "block_id").agg(
+        (F.max("pack_id") + 1).cast("long").alias("n_packs")
+    )
+    w = W.orderBy("source", "block_id").rowsBetween(W.unboundedPreceding, -1)
+    offsets = per_block.select(
+        "source",
+        "block_id",
+        F.coalesce(F.sum("n_packs").over(w), F.lit(0)).cast("long").alias("pack_offset"),
+    )
+    return packed.join(F.broadcast(offsets), ["source", "block_id"]).select(
+        "doc_id",
+        "source",
+        "block_id",
+        "pack_id",
+        (F.col("pack_offset") + F.col("pack_id")).cast("long").alias("global_pack_id"),
+    )

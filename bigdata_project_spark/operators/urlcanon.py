@@ -216,3 +216,90 @@ def crawl_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         keeper.alias("keeper_doc"),
         (F.col("doc_id") != keeper).cast("int").alias("is_dup"),
     )
+
+
+# ----------------------------------------------- politeness scheduler
+
+_N_WORKERS = 8
+_SQL_HOST_BUCKET = (
+    "(instr('0123456789abcdef', substring(md5(host), 1, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substring(md5(host), 2, 1)) - 1)"
+)
+
+
+@query(
+    "crawl_politeness_schedule",
+    oracle=f"""
+    WITH {_SQL_RAW_URL},
+    canon AS (
+        SELECT doc_id, {_sql_canonical("url")} AS canonical FROM raw
+    ),
+    uniq AS (
+        SELECT doc_id, canonical FROM (
+            SELECT doc_id, canonical,
+                   MIN(doc_id) OVER (PARTITION BY md5(canonical)) AS keeper
+            FROM canon
+        ) WHERE doc_id = keeper
+    ),
+    hosted AS (
+        SELECT doc_id, canonical,
+               regexp_extract(canonical, '^[a-z]+://([^/?#]+)', 1) AS host
+        FROM uniq
+    ),
+    policy AS (
+        SELECT doc_id, canonical, host,
+               CAST(500 + 250 * (({_SQL_HOST_BUCKET}) % 3) AS BIGINT) AS delay_ms,
+               CAST(({_SQL_HOST_BUCKET}) % {_N_WORKERS} AS BIGINT) AS worker
+        FROM hosted
+    )
+    SELECT doc_id, canonical, host, worker, delay_ms,
+           CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) - 1 AS BIGINT)
+             AS slot,
+           CAST((ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) - 1)
+                * delay_ms AS BIGINT) AS scheduled_ms
+    FROM policy
+    """,
+    tags=("crawl", "url", "scheduling", "window"),
+)
+def crawl_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed crawl politeness: the reference throttles with
+    driver-side sleeps (time.sleep(0.3)/(0.2), CrawlData.py:39,136) —
+    correct single-process, meaningless on a cluster where 1000
+    executors would each sleep independently and still hammer one
+    host. The distributed-safe discipline: (1) HOST AFFINITY — every
+    URL of a host goes to one worker (md5-bucket of the host), so
+    per-host pacing needs no coordination; (2) a per-host fetch SLOT
+    (arrival order within host) times each fetch at
+    slot * crawl_delay. Synthetic robots diversity: delay is 500 /
+    750 / 1000 ms by host hash. Everything is integer window
+    arithmetic over the deduped frontier — partition-parallel by
+    host, no driver-side loop anywhere.
+
+    Scale: the frontier dedup upstream bounds the rows; the schedule
+    is one hash-partitioned window per host — the same shape at 100
+    TB, where hosts are the natural skew unit (a giant host just
+    gets a long slot sequence on its one worker, which is exactly
+    the politeness constraint)."""
+    frontier = crawl_url_canonical_dedup(spark, sf_dir).filter(
+        F.col("is_dup") == 0
+    )
+    host = F.regexp_extract("canonical", "^[a-z]+://([^/?#]+)", 1)
+    hosted = frontier.select("doc_id", "canonical", host.alias("host"))
+    bucket = F.expr(_SQL_HOST_BUCKET)
+    policy = hosted.select(
+        "doc_id",
+        "canonical",
+        "host",
+        (F.lit(500) + 250 * (bucket % 3)).cast("long").alias("delay_ms"),
+        (bucket % _N_WORKERS).cast("long").alias("worker"),
+    )
+    slot = F.row_number().over(W.partitionBy("host").orderBy("doc_id")) - 1
+    return policy.select(
+        "doc_id",
+        "canonical",
+        "host",
+        "worker",
+        "delay_ms",
+        slot.cast("long").alias("slot"),
+        (slot * F.col("delay_ms")).cast("long").alias("scheduled_ms"),
+    )

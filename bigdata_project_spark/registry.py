@@ -156,6 +156,8 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "crawl_url_canonical_dedup",
     "pack_sequences_ffd",
     "pack_ffd_waste_audit",
+    "pack_ffd_global_ids",
+    "crawl_politeness_schedule",
     # --- oldest-last-checked: r4 vintage trimmed from the r9 tail ---
     "dedup_cluster_components",
     "corpus_clean_pipeline",
@@ -197,8 +199,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "scalar_date_functions",
     "scalar_math_guarded",
     "scalar_null_handling",
-    "scalar_array_functions",
-    "scalar_json_extraction",
 )
 
 

@@ -51,3 +51,20 @@ def test_ffd_beats_or_ties_nextfit_everywhere(spark, sf_dir):
     total_ffd = sum(r["ffd_packs"] for r in rows)
     total_nf = sum(r["nextfit_packs"] for r in rows)
     assert total_ffd < total_nf, (total_ffd, total_nf)  # the win is real, not vacuous
+
+
+def test_global_ids_are_a_bijection_onto_blocks(spark, sf_dir):
+    """pack_ffd_global_ids must renumber (source, block, pack) tuples
+    into one contiguous 0..N-1 global id space, preserving each
+    block's local structure."""
+    from bigdata_project_spark.registry import all_queries
+
+    rows = all_queries()["pack_ffd_global_ids"](spark, sf_dir).collect()
+    pairs = {(r["source"], r["block_id"], r["pack_id"]): r["global_pack_id"] for r in rows}
+    gids = sorted(set(pairs.values()))
+    assert gids == list(range(len(gids)))  # contiguous, no gaps
+    assert len(gids) == len(pairs)  # one global id per (block, pack)
+    # order-preserving within a block
+    for (s, b, p), g in pairs.items():
+        if (s, b, p + 1) in pairs:
+            assert pairs[(s, b, p + 1)] == g + 1

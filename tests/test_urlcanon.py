@@ -62,3 +62,24 @@ def test_first_seen_keeper_is_min(spark, sf_dir, name):
         for m in members:
             assert m["keeper_doc"] == lo, canon
             assert m["is_dup"] == (0 if m["doc_id"] == lo else 1), canon
+
+
+def test_politeness_host_affinity_and_slots(spark, sf_dir):
+    """Politeness invariants: every host maps to exactly one worker,
+    per-host slots are contiguous from 0 in doc_id order, and
+    scheduled_ms == slot * the host's crawl delay."""
+    from bigdata_project_spark.registry import all_queries
+
+    rows = all_queries()["crawl_politeness_schedule"](spark, sf_dir).collect()
+    by_host: dict = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    assert len(by_host) >= 2  # ascii + IDN hosts at least
+    for host, members in by_host.items():
+        assert len({m["worker"] for m in members}) == 1, host
+        assert len({m["delay_ms"] for m in members}) == 1, host
+        members.sort(key=lambda m: m["doc_id"])
+        for i, m in enumerate(members):
+            assert m["slot"] == i, (host, i, m["slot"])
+            assert m["scheduled_ms"] == i * m["delay_ms"]
+        assert members[0]["delay_ms"] in (500, 750, 1000)

@@ -92,8 +92,13 @@ def _fit_block(pdf: pd.DataFrame) -> pd.DataFrame:
 
 def _ffd_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    # coalesce BEFORE tokenizing: the fit emits a row for every doc,
+    # and a NULL text must pack as a 0-token doc, not crash the Arrow
+    # fit with a NaN token count (null-twin gate)
     toks = docs.select(
-        "doc_id", "source", F.size(words_col(F.col("text"))).cast("long").alias("n_tokens")
+        "doc_id",
+        "source",
+        F.size(words_col(F.coalesce(F.col("text"), F.lit("")))).cast("long").alias("n_tokens"),
     )
     wb = W.partitionBy("source").orderBy("doc_id")
     blocked = toks.withColumn(
@@ -107,7 +112,8 @@ def _ffd_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_TOKS_BLOCKED = f"""
     toks AS (
         SELECT doc_id, source,
-               len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_tokens
+               len(list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                               x -> x <> '')) AS n_tokens
         FROM documents
     ),
     blocked AS (

@@ -64,11 +64,14 @@ _PQ_SUB = DIM // _PQ_M  # dims per subspace
 _PQ_Q = 1048576  # 2^20 quantizer (exponent shift: exact on doubles)
 
 
-def _sql_unit() -> str:
-    """CTE: unit-normalized vectors (zero vector -> all-zero unit)."""
+def _sql_unit(with_label: bool = False) -> str:
+    """CTE: unit-normalized vectors (zero vector -> all-zero unit).
+    with_label additionally carries the IVF cell column for the
+    composed IVF-PQ search."""
+    lab = ", label" if with_label else ""
     return f"""
     normed AS (
-        SELECT vec_id, embedding,
+        SELECT vec_id, embedding{lab},
                {_sql_dot("embedding", "embedding")} AS norm_sq
         FROM embeddings
     ),
@@ -77,7 +80,7 @@ def _sql_unit() -> str:
                list_transform(embedding,
                    x -> CASE WHEN norm_sq = 0 THEN 0.0
                              ELSE CAST(x AS DOUBLE) / SQRT(norm_sq) END) AS u,
-               embedding
+               embedding{lab}
         FROM normed
     )"""
 
@@ -494,4 +497,177 @@ _REG["sim_recall_pq_at_k"].oracle = _REG["sim_recall_pq_at_k"].oracle.format(
 )
 _REG["sim_recall_pq_rerank_at_k"].oracle = _REG["sim_recall_pq_rerank_at_k"].oracle.format(
     BF=_REG["sim_knn_bruteforce"].oracle, PQ=_REG["sim_knn_pq_rerank"].oracle
+)
+
+
+# --------------------------------------------- IVF + PQ, composed
+
+# The full FAISS-style IVF-PQ search: the coarse inverted file
+# (sim_ann_ivf_probe's label cells + quantized-mean centroids) prunes
+# the corpus to ONE cell per query, and the PQ/ADC machinery scores
+# only that cell's code bytes. At 100 TB both pruning axes multiply:
+# the scan touches cell_fraction x 4 bytes per vector.
+
+from bigdata_project_spark.operators.similarity import (  # noqa: E402
+    _SQL_CNORM,
+    _SQL_DOT_QC,
+)
+
+_SQL_IVF_CELLS = f"""
+    ivf_cdim AS (
+        SELECT label, i.r AS pos,
+               CAST(SUM(CAST(ROUND(CAST(embedding[i.r + 1] AS DOUBLE) * 1048576, 0) AS BIGINT)) AS DOUBLE)
+                 / (1048576.0 * COUNT(*)) AS c
+        FROM embeddings, LATERAL (SELECT unnest(range({DIM})) AS r) i
+        GROUP BY label, i.r
+    ),
+    ivf_cent AS (SELECT label, list(c ORDER BY pos) AS c_arr FROM ivf_cdim GROUP BY label),
+    qv AS (SELECT vec_id AS query_id, embedding AS q_emb, norm_sq AS q_norm
+           FROM normed WHERE vec_id IN {_QUERY_IDS}),
+    qassign AS (
+        SELECT query_id, label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ({_SQL_DOT_QC}) / SQRT({_SQL_CNORM}) DESC, label) AS arn
+        FROM qv, ivf_cent
+    ),
+    qprobe AS (SELECT query_id, label AS cell FROM qassign WHERE arn = 1)
+"""
+
+
+@query(
+    "sim_ivfpq_search",
+    oracle=f"""
+    WITH {_sql_unit(with_label=True)},
+    {_SQL_SUBS},
+    {_SQL_CODES},
+    {_SQL_LUT},
+    {_SQL_IVF_CELLS}
+    SELECT query_id, neighbor_id, adc, rnk FROM (
+        SELECT l0.query_id, c.vec_id AS neighbor_id,
+               l0.pd + l1.pd + l2.pd + l3.pd AS adc,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l0.query_id
+                   ORDER BY l0.pd + l1.pd + l2.pd + l3.pd, c.vec_id) AS rnk
+        FROM codes c
+        JOIN normed n ON n.vec_id = c.vec_id
+        JOIN qprobe p ON p.cell = n.label
+        JOIN lut l0 ON l0.j = 0 AND l0.b = c.c0 AND l0.query_id = p.query_id
+        JOIN lut l1 ON l1.j = 1 AND l1.b = c.c1 AND l1.query_id = p.query_id
+        JOIN lut l2 ON l2.j = 2 AND l2.b = c.c2 AND l2.query_id = p.query_id
+        JOIN lut l3 ON l3.j = 3 AND l3.b = c.c3 AND l3.query_id = p.query_id
+        WHERE c.vec_id <> p.query_id
+    ) WHERE rnk <= {_TOP_K}
+    """,
+    tags=("similarity", "llm", "ann", "pq", "ivf", "topk"),
+)
+def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVF-PQ index — what production vector stores
+    actually run at 100 TB: the coarse inverted file prunes to one
+    cell per query (broadcast centroid assign, equi-join on the cell
+    id — sim_ann_ivf_probe's machinery), and the PQ/ADC stage scores
+    only that cell's 4-byte codes against the per-query LUT. The two
+    compressions multiply: a 1/#cells scan fraction times 64x byte
+    compression. Recall is the product of both stages' losses,
+    measured (not assumed) by sim_recall_ivfpq_at_k — compare with
+    sim_recall_pq_at_k (full-scan ADC) to read off exactly what the
+    cell pruning costs."""
+    from bigdata_project_spark.caching import tracked_persist
+
+    emb = with_norm(load(spark, sf_dir, "embeddings"))
+    subs = tracked_persist(_pq_subs(spark, sf_dir))
+    cb = tracked_persist(_pq_codebook(subs))
+    codes = _pq_encode(subs, cb)
+    lut = (
+        subs.filter(F.col("vec_id").isin(*_QUERY_IDS))
+        .select(F.col("vec_id").alias("query_id"), "j", F.col("u_sub").alias("q_sub"))
+        .join(F.broadcast(cb), "j")
+        .select("query_id", "j", "b", _dist16_col("q_sub", "m_arr").alias("pd"))
+    )
+    # coarse stage: quantized-mean centroid per label cell, broadcast
+    # assign of the 3 queries (sim_ann_ivf_probe's construction)
+    exploded = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    qvq = F.round(F.col("val").cast("double") * 1048576, 0).cast("long")
+    cdim = exploded.groupBy("label", "pos").agg(
+        (F.sum(qvq).cast("double") / (1048576.0 * F.count("*"))).alias("c")
+    )
+    cent = cdim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("c_arr")
+    )
+    q = emb.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm_sq").alias("q_norm"),
+    )
+    dot_qc = F.aggregate(
+        F.zip_with("q_emb", "c_arr", lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    c_norm = F.aggregate(
+        F.transform("c_arr", lambda y: y * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    qassign = q.crossJoin(F.broadcast(cent)).select(
+        "query_id", "label", (dot_qc / F.sqrt(c_norm)).alias("score")
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("score"), "label")
+    probe = (
+        qassign.select("*", F.row_number().over(wq).alias("arn"))
+        .filter(F.col("arn") == 1)
+        .select("query_id", F.col("label").alias("cell"))
+    )
+    # fine stage: ADC over the probed cell's codes only
+    labeled = codes.join(emb.select("vec_id", "label"), "vec_id")
+    cand = labeled.join(
+        F.broadcast(probe), F.col("label") == F.col("cell")
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    for j in range(_PQ_M):
+        lj = lut.filter(F.col("j") == j).select(
+            F.col("query_id").alias(f"qid{j}"),
+            F.col("b").alias(f"b{j}"),
+            F.col("pd").alias(f"pd{j}"),
+        )
+        cand = cand.join(
+            F.broadcast(lj),
+            (F.col(f"c{j}") == F.col(f"b{j}")) & (F.col("query_id") == F.col(f"qid{j}")),
+        ).drop(f"b{j}", f"qid{j}")
+    adc = F.col("pd0") + F.col("pd1") + F.col("pd2") + F.col("pd3")
+    scored = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc")
+    )
+    wr = W.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return scored.select("*", F.row_number().over(wr).alias("rnk")).filter(
+        F.col("rnk") <= _TOP_K
+    )
+
+
+@query(
+    "sim_recall_ivfpq_at_k",
+    oracle=f"""
+    SELECT b.query_id,
+           CAST(COUNT(i.neighbor_id) AS INT) AS n_hits,
+           COUNT(i.neighbor_id) / {_TOP_K}.0 AS recall
+    FROM ({{BF}}) b
+    LEFT JOIN ({{PQ}}) i
+      ON b.query_id = i.query_id AND b.vec_id = i.neighbor_id
+    GROUP BY b.query_id
+    """,
+    tags=("similarity", "llm", "eval", "pq", "ivf"),
+)
+def sim_recall_ivfpq_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the composed IVF-PQ search vs brute force. Read
+    alongside sim_recall_at_k (IVF alone) and sim_recall_pq_at_k
+    (PQ alone): the composed figure decomposes into the two stages'
+    losses, which is how a production index gets TUNED (raise nprobe
+    vs raise codebook bits)."""
+    bf = sim_knn_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    iv = sim_ivfpq_search(spark, sf_dir).select(
+        F.col("query_id").alias("i_qid"), F.col("neighbor_id").alias("i_vid")
+    )
+    return _recall_join(bf, iv)
+
+
+_REG["sim_recall_ivfpq_at_k"].oracle = _REG["sim_recall_ivfpq_at_k"].oracle.format(
+    BF=_REG["sim_knn_bruteforce"].oracle, PQ=_REG["sim_ivfpq_search"].oracle
 )

@@ -158,6 +158,8 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "pack_ffd_waste_audit",
     "pack_ffd_global_ids",
     "crawl_politeness_schedule",
+    "sim_ivfpq_search",
+    "sim_recall_ivfpq_at_k",
     # --- oldest-last-checked: r4 vintage trimmed from the r9 tail ---
     "dedup_cluster_components",
     "corpus_clean_pipeline",
@@ -197,8 +199,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "events_gapfill_hourly",
     "scalar_string_functions",
     "scalar_date_functions",
-    "scalar_math_guarded",
-    "scalar_null_handling",
 )
 
 

@@ -54,3 +54,27 @@ def test_codes_populate_every_bin(spark, sf_dir):
     for j in range(4):
         vals = {r[f"c{j}"] for r in rows}
         assert vals == set(range(16)), (j, sorted(vals))
+
+
+def test_ivfpq_candidates_confined_to_probed_cell(spark, sf_dir):
+    """The composed search must never score a vector outside the
+    query's probed cell — the scan-fraction claim is structural, not
+    statistical. Re-derive each query's probed cell from the
+    registered IVF probe and check every IVF-PQ neighbor lives there."""
+    from bigdata_project_spark.registry import all_queries
+    from bigdata_project_spark.tables import load
+
+    qs = all_queries()
+    # probed cell per query via the IVF probe's candidates' labels
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    }
+    ivf = qs["sim_ann_ivf_probe"](spark, sf_dir).collect()
+    cell_of = {}
+    for r in ivf:
+        cell_of.setdefault(r["query_id"], labels[r["vec_id"]])
+    got = qs["sim_ivfpq_search"](spark, sf_dir).collect()
+    assert got
+    for r in got:
+        assert labels[r["neighbor_id"]] == cell_of[r["query_id"]], dict(r.asDict())

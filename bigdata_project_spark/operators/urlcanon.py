@@ -303,3 +303,159 @@ def crawl_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         slot.cast("long").alias("slot"),
         (slot * F.col("delay_ms")).cast("long").alias("scheduled_ms"),
     )
+
+
+# ------------------------------------------ streaming frontier dedup
+
+
+def run_frontier_stream(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 3
+) -> tuple[DataFrame, int]:
+    """The crawl frontier as it actually exists in production: a
+    STREAM of raw URLs. Staged as `n_chunks` doc_id-ordered file
+    micro-batches (availableNow + maxFilesPerTrigger=1); a
+    foreachBatch stage canonicalizes the batch, resolves each URL's
+    keeper against (1) the cross-batch SEEN store — canonical-key ->
+    keeper rows persisted from earlier micro-batches — and (2) the
+    batch's own first-seen MIN, then appends only NEW keys to the
+    store. Returns (per-URL verdicts, n_micro_batches).
+
+    Because chunks are doc_id-ordered, the first batch containing a
+    canonical key holds that key's global minimum doc_id — so the
+    union of per-batch results is EXACTLY crawl_url_canonical_dedup's
+    batch answer, and the streaming form shares its oracle (the
+    cross-batch dup verdicts are only reachable through the restored
+    seen store, so the oracle equality is a real state-carry check).
+    Delivery order is pinned with explicitly increasing mtimes AND
+    asserted per batch (the semdedup-stream discipline).
+
+    Scale: per micro-batch work is a pure canonicalize map + one
+    equi-join against the seen store on the canonical key — the
+    store grows with the DISTINCT frontier, is keyed for pruning,
+    and in production is the frontier table's upsert surface (the
+    foreachBatch body is unchanged under a Kafka source)."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    raw = docs.select("doc_id", _raw_url_col().alias("url"))
+
+    work = tempfile.mkdtemp(prefix="frontier_stream_")
+    src_dir = os.path.join(work, "src")
+    seen_store = os.path.join(work, "seen")
+    out_store = os.path.join(work, "out")
+    try:
+        lo, hi = raw.agg(F.min("doc_id"), F.max("doc_id")).first()
+        if lo is None:
+            lo, hi = 0, 0
+        step = max(1, (int(hi) - int(lo)) // n_chunks + 1)
+        base_mtime = int(time.time()) - 3600 * n_chunks
+        for i in range(n_chunks):
+            chunk = raw.filter(
+                (F.col("doc_id") >= lo + i * step) & (F.col("doc_id") < lo + (i + 1) * step)
+            )
+            chunk_dir = os.path.join(src_dir, f"chunk{i}")
+            chunk.coalesce(1).write.mode("overwrite").parquet(chunk_dir)
+            t = base_mtime + i * 3600
+            for root, _dirs, files in os.walk(chunk_dir):
+                for fn in files:
+                    os.utime(os.path.join(root, fn), (t, t))
+
+        # schema-only seen-store init: (key, keeper_doc)
+        raw.limit(0).select(
+            F.md5(canonicalize_url(F.col("url"))).alias("key"),
+            F.col("doc_id").alias("keeper_doc"),
+        ).write.parquet(seen_store)
+
+        max_seen_doc = [-1]  # foreachBatch runs driver-side
+
+        def probe(bdf: DataFrame, _bid: int) -> None:
+            canon = bdf.select(
+                "doc_id", "url", canonicalize_url(F.col("url")).alias("canonical")
+            ).withColumn("key", F.md5("canonical")).persist()
+            b_lo, b_hi = canon.agg(F.min("doc_id"), F.max("doc_id")).first()
+            if b_lo is not None:
+                if int(b_lo) <= max_seen_doc[0]:
+                    raise RuntimeError(
+                        f"frontier stream delivered out of order: batch min "
+                        f"doc_id {b_lo} <= max already seen {max_seen_doc[0]}"
+                    )
+                max_seen_doc[0] = int(b_hi)
+            seen = spark.read.parquet(seen_store)
+            batch_min = canon.groupBy("key").agg(
+                F.min("doc_id").alias("batch_keeper")
+            )
+            resolved = (
+                canon.join(F.broadcast(batch_min), "key")
+                .join(seen.withColumnRenamed("keeper_doc", "stored_keeper"), "key", "left")
+                .select(
+                    "doc_id",
+                    "url",
+                    "canonical",
+                    "key",
+                    F.coalesce("stored_keeper", "batch_keeper").alias("keeper_doc"),
+                )
+            )
+            out = resolved.select(
+                "doc_id",
+                "url",
+                "canonical",
+                "keeper_doc",
+                (F.col("doc_id") != F.col("keeper_doc")).cast("int").alias("is_dup"),
+            )
+            out.write.mode("append").parquet(out_store)
+            # first-writer-wins upsert: append only the keys this batch
+            # introduced (anti-join the store)
+            new_keys = batch_min.join(seen, "key", "left_anti").select(
+                "key", F.col("batch_keeper").alias("keeper_doc")
+            )
+            new_keys.write.mode("append").parquet(seen_store)
+            canon.unpersist()
+
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+        )
+        sq = (
+            stream.writeStream.foreachBatch(probe)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+        n_batches = len(sq.recentProgress)
+        res = (
+            spark.read.parquet(out_store)
+            .select("doc_id", "url", "canonical", "keeper_doc", "is_dup")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return res, n_batches
+
+
+@query(
+    "stream_url_frontier_dedup",
+    oracle=None,  # set below: shares crawl_url_canonical_dedup's oracle
+    tags=("streaming", "crawl", "dedup", "url", "foreachBatch", "incremental"),
+)
+def stream_url_frontier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`crawl_url_canonical_dedup` in its production home: a
+    foreachBatch streaming ingest over three doc_id-ordered
+    micro-batches with a cross-batch canonical-key seen store (see
+    run_frontier_stream). Shares the batch form's oracle because the
+    ordered chunked replay provably reassembles the batch answer —
+    a cross-batch duplicate's keeper is only recoverable through the
+    persisted store, so the equality is a real multi-batch
+    state-carry check."""
+    res, _ = run_frontier_stream(spark, sf_dir, n_chunks=3)
+    return res
+
+
+from bigdata_project_spark.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["stream_url_frontier_dedup"].oracle = _REG["crawl_url_canonical_dedup"].oracle

@@ -83,3 +83,30 @@ def test_politeness_host_affinity_and_slots(spark, sf_dir):
             assert m["slot"] == i, (host, i, m["slot"])
             assert m["scheduled_ms"] == i * m["delay_ms"]
         assert members[0]["delay_ms"] in (500, 750, 1000)
+
+
+def test_frontier_stream_state_carry(spark, sf_dir):
+    """The streaming form must resolve cross-batch duplicates through
+    the persisted seen store: the fragment-only canonical (one key
+    shared by every 5th doc corpus-wide) appears in every micro-batch,
+    so docs in batches 2 and 3 can only learn keeper_doc=4 from state
+    written by batch 1."""
+    from bigdata_project_spark.operators.urlcanon import run_frontier_stream
+
+    res, n_batches = run_frontier_stream(spark, sf_dir, n_chunks=3)
+    assert n_batches == 3
+    rows = res.collect()
+    # fragment-form docs, minus the IDN subset (doc_id % 97 == 0 owns
+    # its own host and therefore its own canonical key)
+    frag = [
+        r for r in rows if "?" not in r["canonical"] and r["doc_id"] % 97 != 0
+    ]
+    assert len(frag) == len(
+        [r for r in rows if r["doc_id"] % 5 == 4 and r["doc_id"] % 97 != 0]
+    )
+    keeper = min(r["doc_id"] for r in frag)
+    late = [r for r in frag if r["doc_id"] > max(r2["doc_id"] for r2 in rows) // 3]
+    assert late, "no fragment-form docs beyond the first micro-batch"
+    for r in frag:
+        assert r["keeper_doc"] == keeper
+        assert r["is_dup"] == (0 if r["doc_id"] == keeper else 1)

@@ -424,12 +424,10 @@ def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sql_pigeonhole_hamming(sig_col: str, radius: int = 3) -> str:
-    """Oracle tail shared by every 64-bit-signature near-dup query
-    (SimHash docs, dHash images): pigeonhole blocking + exact
-    nibble-wise popcount(xor), over a preceding CTE named `sigs`
-    with columns (doc_id, {sig_col}). One SQL source of truth so the
-    blocking/verify arithmetic cannot desynchronize across consumers."""
+def sql_pigeonhole_ctes(sig_col: str) -> str:
+    """The blocking half of the shared pigeonhole oracle: `blocks` and
+    `cand` CTEs over a preceding CTE named `sigs` with columns
+    (doc_id, {sig_col})."""
     return f"""blocks AS (
         SELECT doc_id, {sig_col}, b.b AS b,
                substring({sig_col}, 4 * b.b + 1, 4) AS bk
@@ -440,8 +438,13 @@ def sql_pigeonhole_hamming(sig_col: str, radius: int = 3) -> str:
                a.{sig_col} AS sig_a, x.{sig_col} AS sig_b
         FROM blocks a
         JOIN blocks x ON a.b = x.b AND a.bk = x.bk AND a.doc_id < x.doc_id
-    )
-    SELECT doc_a, doc_b, hamming FROM (
+    )"""
+
+
+def sql_pigeonhole_verify(radius: int = 3) -> str:
+    """The verify half: exact nibble-wise popcount(xor) over `cand`,
+    usable as a bare SELECT or wrapped into an `edges` CTE."""
+    return f"""SELECT doc_a, doc_b, hamming FROM (
         SELECT doc_a, doc_b,
                CAST((SELECT SUM(bit_count(xor(
                     instr('{_HEX}', substring(sig_a, i.i, 1)) - 1,
@@ -449,6 +452,16 @@ def sql_pigeonhole_hamming(sig_col: str, radius: int = 3) -> str:
                 FROM (SELECT unnest(range(1, 17)) AS i) i) AS BIGINT) AS hamming
         FROM cand
     ) WHERE hamming <= {radius}"""
+
+
+def sql_pigeonhole_hamming(sig_col: str, radius: int = 3) -> str:
+    """Oracle tail shared by every 64-bit-signature near-dup query
+    (SimHash docs, dHash images): pigeonhole blocking + exact
+    nibble-wise popcount(xor), over a preceding CTE named `sigs`
+    with columns (doc_id, {sig_col}). One SQL source of truth so the
+    blocking/verify arithmetic cannot desynchronize across consumers."""
+    return f"""{sql_pigeonhole_ctes(sig_col)}
+    {sql_pigeonhole_verify(radius)}"""
 
 
 def pigeonhole_hamming_pairs(sigs: DataFrame, sig_col: str, radius: int = 3) -> DataFrame:

@@ -29,7 +29,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from bigdata_project_spark.operators.dedup import sql_pigeonhole_hamming
+from bigdata_project_spark.operators.dedup import (
+    sql_pigeonhole_ctes,
+    sql_pigeonhole_hamming,
+    sql_pigeonhole_verify,
+)
 from bigdata_project_spark.registry import query
 from bigdata_project_spark.tables import load
 
@@ -1026,3 +1030,102 @@ def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = docs.mapInPandas(synthesize, "doc_id long, payload binary")
     sigs = tracked_persist(payloads.mapInPandas(decode, "doc_id long, dhash64 string"))
     return pigeonhole_hamming_pairs(sigs, "dhash64")
+
+
+@query(
+    "multimodal_dhash_dedup_keeper",
+    # full-pipeline oracle: pixel formula -> dHash -> pigeonhole
+    # edges -> recursive transitive closure -> keeper verdict
+    oracle=f"""
+    WITH RECURSIVE {_SQL_DHASH_SIGS},
+    {sql_pigeonhole_ctes("dhash64")},
+    edges AS ({sql_pigeonhole_verify()}),
+    und AS (
+        SELECT doc_a AS src, doc_b AS dst FROM edges
+        UNION ALL SELECT doc_b, doc_a FROM edges
+    ),
+    reach(root, node) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.root, u.dst FROM reach r JOIN und u ON u.src = r.node
+    ),
+    comp AS (
+        SELECT root AS doc_id, MIN(node) AS component,
+               COUNT(DISTINCT node) AS component_reach
+        FROM reach GROUP BY root
+    )
+    SELECT doc_id, component, component_reach,
+           CAST(doc_id <> component AS INT) AS is_dup
+    FROM comp
+    """,
+    tags=("multimodal", "dedup", "llm", "clustering", "image", "iterative"),
+)
+def multimodal_dhash_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-level dedup VERDICT — the act-on-audit half of
+    multimodal_dhash_neardup, closing the same audit->enforce pattern
+    as qa_split_leakage -> split_cluster_aware_assign: perceptual
+    near-dup pairs become transitive clusters via the shared
+    production CC substrate (connected_components_auto over edge
+    endpoints only, star fallback at any diameter), each image
+    inherits its component keeper (min doc_id), and is_dup marks the
+    copies a training manifest drops. Singleton images take their own
+    id via the left join — every image gets a verdict row.
+
+    Scale: the pair stage is the bounded pigeonhole block join; CC
+    iterates over edge endpoints only (sparse graph), never the image
+    corpus; the rejoin is one equi-join."""
+    from bigdata_project_spark.caching import tracked_persist
+    from bigdata_project_spark.operators.clustering import connected_components_auto
+    from bigdata_project_spark.operators.dedup import pigeonhole_hamming_pairs
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synthesize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base_cache: dict = {}
+
+        def img(did: int):
+            g, v = did // _DHASH_GROUP, did % _DHASH_GROUP
+            if g not in base_cache:
+                base_cache[g] = _dhash_pixels(g * _DHASH_GROUP)
+            arr = base_cache[g].copy()
+            if v > 0:
+                arr[v, v, 0] = (int(arr[v, v, 0]) + 128) % 256
+            return arr
+
+        for pdf in batches:
+            rows = [
+                (int(doc_id), _encode_png(img(int(doc_id))))
+                for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(doc_id), _dhash64(_parse_png(bytes(payload))[2]))
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "dhash64"])
+
+    payloads = docs.mapInPandas(synthesize, "doc_id long, payload binary")
+    sigs = tracked_persist(payloads.mapInPandas(decode, "doc_id long, dhash64 string"))
+    edges = tracked_persist(pigeonhole_hamming_pairs(sigs, "dhash64"))
+    endpoints = (
+        edges.select(F.col("doc_a").alias("id"))
+        .unionByName(edges.select(F.col("doc_b").alias("id")))
+        .distinct()
+    )
+    comp_conn = connected_components_auto(endpoints, edges.select("doc_a", "doc_b"))
+    ids = docs.select(F.col("doc_id").alias("id"))
+    comp = ids.join(comp_conn, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+    edges.unpersist()
+    sigs.unpersist()
+    sizes = comp.groupBy("component").agg(F.count("*").alias("component_reach"))
+    return comp.join(sizes, "component").select(
+        F.col("id").alias("doc_id"),
+        "component",
+        "component_reach",
+        (F.col("id") != F.col("component")).cast("int").alias("is_dup"),
+    )

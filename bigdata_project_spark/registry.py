@@ -161,6 +161,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "sim_ivfpq_search",
     "sim_recall_ivfpq_at_k",
     "stream_url_frontier_dedup",
+    "multimodal_dhash_dedup_keeper",
     # --- oldest-last-checked: r4 vintage trimmed from the r9 tail ---
     "dedup_cluster_components",
     "corpus_clean_pipeline",
@@ -198,7 +199,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "agg_bitwise",
     "scalar_bit_binary_ops",
     "events_gapfill_hourly",
-    "scalar_string_functions",
 )
 
 

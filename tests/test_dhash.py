@@ -96,3 +96,43 @@ def test_operator_equals_bruteforce_hamming(spark, sf_dir):
         for off in np.nonzero(d <= 3)[0]:
             want.add((i, i + 1 + int(off), int(d[off])))
     assert got == want
+
+
+def test_keeper_verdict_consistent_with_pairs(spark, sf_dir):
+    """The keeper query must be exactly the transitive closure of the
+    pair query: every pair's two docs share a component, every
+    component's keeper is its min member, component_reach counts
+    members, and docs in no pair are singletons."""
+    from bigdata_project_spark.registry import all_queries
+
+    qs = all_queries()
+    pairs = [(r["doc_a"], r["doc_b"]) for r in qs["multimodal_dhash_neardup"](spark, sf_dir).collect()]
+    rows = qs["multimodal_dhash_dedup_keeper"](spark, sf_dir).collect()
+    comp = {r["doc_id"]: r["component"] for r in rows}
+    reach = {r["doc_id"]: r["component_reach"] for r in rows}
+    # union-find ground truth from the pairs
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want_members: dict = {}
+    for d in comp:
+        root = find(d) if d in parent else d
+        want_members.setdefault(root, set()).add(d)
+    # min-relabel roots
+    for root, members in want_members.items():
+        m = min(members)
+        for d in members:
+            assert comp[d] == m, (d, comp[d], m)
+            assert reach[d] == len(members)
+    for r in rows:
+        assert r["is_dup"] == (0 if r["doc_id"] == r["component"] else 1)

@@ -132,6 +132,12 @@ HEADLINE = [
     "crawl_url_canonical_dedup",
     "pack_sequences_ffd",
     "pack_ffd_waste_audit",
+    # late round-10 additions
+    "sim_ivfpq_search",
+    "stream_url_frontier_dedup",
+    "multimodal_dhash_dedup_keeper",
+    "pack_ffd_global_ids",
+    "crawl_politeness_schedule",
 ]
 
 

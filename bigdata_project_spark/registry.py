@@ -132,18 +132,26 @@ _LOADED = False
 #
 # Round-11 rotation queue: FIRST any oracled queries registered after
 # this window froze (diff all_oracles() against CORRECTNESS_r01-r10
-# row names at r11 start), then oldest-last-checked — the r5-vintage
-# names (registration order: vocab_top_terms, sample_quality_weighted,
-# graph_triangle_stats, mixture_source_weights, quality_gopher_rules,
-# lake_zorder_key, multimodal_resize_plan, sim_recall_at_k,
-# sim_ann_ivf_nprobe2, sim_recall_ivf2_at_k, text_langid_confusion,
+# row names at r11 start), then oldest-last-checked — the 15 r4/r5
+# names trimmed from THIS window's tail during round 10 to make room
+# for the fifteen r10 additions (scalar_string_functions,
+# scalar_date_functions, scalar_math_guarded, scalar_null_handling,
+# scalar_array_functions, scalar_json_extraction,
+# scalar_case_conversion, scalar_regexp_family, scalar_url_parse,
+# scalar_csv_column_codec, scalar_interval_datetime,
+# setop_union_by_name_missing, vn_listing_normalize,
+# dedup_lsh_pair_recall, chunk_documents_overlap), then the r5
+# vintage (registration order: vocab_top_terms,
+# sample_quality_weighted, graph_triangle_stats,
+# mixture_source_weights, quality_gopher_rules, lake_zorder_key,
+# multimodal_resize_plan, sim_recall_at_k, sim_ann_ivf_nprobe2,
+# sim_recall_ivf2_at_k, text_langid_confusion,
 # qa_referential_integrity, qa_column_profile, scd2_snapshot_diff,
 # agg_share_of_total, events_rollup_cascade, events_top_paths,
 # events_rfm_segments, events_interarrival_stats,
 # events_burst_detection, events_user_trend_slope,
-# join_market_basket_pairs, the tpch_q* sweep, stream_incremental_rollup,
-# plus any r4/r5 names trimmed from THIS window's tail during round
-# 10), then the r6 vintage.
+# join_market_basket_pairs, the tpch_q* sweep,
+# stream_incremental_rollup), then the r6 vintage.
 _DRIVER_FIRST: tuple[str, ...] = (
     # --- never driver-checked: round-10 additions (inserted here as
     # each lands; one tail name trimmed per insertion) ---

@@ -953,6 +953,47 @@ _SQL_DHASH_SIGS = f"""
     )"""
 
 
+def _dhash_sigs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dhash64): the shared two-Arrow-stage signature build —
+    synthesize genuine PNGs (group-shared base image, memoized per
+    group; variants perturb one pixel) and decode them back through
+    the real codec path to the 64-bit difference hash. Consumed by
+    the pair query and the keeper query."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synthesize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base_cache: dict = {}  # group id -> base pixels (4 docs share one)
+
+        def img(did: int):
+            g, v = did // _DHASH_GROUP, did % _DHASH_GROUP
+            if g not in base_cache:
+                base_cache[g] = _dhash_pixels(g * _DHASH_GROUP)
+            arr = base_cache[g].copy()
+            if v > 0:
+                arr[v, v, 0] = (int(arr[v, v, 0]) + 128) % 256
+            return arr
+
+        for pdf in batches:
+            rows = [
+                (int(doc_id), _encode_png(img(int(doc_id))))
+                for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, arr = _parse_png(bytes(payload))
+                if (w, h) != (_DHASH_W, _DHASH_H):
+                    raise ValueError(f"unexpected dHash image geometry {w}x{h}")
+                rows.append((int(doc_id), _dhash64(arr)))
+            yield pd.DataFrame(rows, columns=["doc_id", "dhash64"])
+
+    payloads = docs.mapInPandas(synthesize, "doc_id long, payload binary")
+    return payloads.mapInPandas(decode, "doc_id long, dhash64 string")
+
+
 @query(
     "multimodal_dhash_neardup",
     # the oracle replays pixel formula -> box gray sums -> difference
@@ -996,39 +1037,7 @@ def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_project_spark.caching import tracked_persist
     from bigdata_project_spark.operators.dedup import pigeonhole_hamming_pairs
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
-
-    def synthesize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        base_cache: dict = {}  # group id -> base pixels (4 docs share one)
-
-        def img(did: int):
-            g, v = did // _DHASH_GROUP, did % _DHASH_GROUP
-            if g not in base_cache:
-                base_cache[g] = _dhash_pixels(g * _DHASH_GROUP)
-            arr = base_cache[g].copy()
-            if v > 0:
-                arr[v, v, 0] = (int(arr[v, v, 0]) + 128) % 256
-            return arr
-
-        for pdf in batches:
-            rows = [
-                (int(doc_id), _encode_png(img(int(doc_id))))
-                for doc_id in pdf["doc_id"]
-            ]
-            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, arr = _parse_png(bytes(payload))
-                if (w, h) != (_DHASH_W, _DHASH_H):
-                    raise ValueError(f"unexpected dHash image geometry {w}x{h}")
-                rows.append((int(doc_id), _dhash64(arr)))
-            yield pd.DataFrame(rows, columns=["doc_id", "dhash64"])
-
-    payloads = docs.mapInPandas(synthesize, "doc_id long, payload binary")
-    sigs = tracked_persist(payloads.mapInPandas(decode, "doc_id long, dhash64 string"))
+    sigs = tracked_persist(_dhash_sigs_df(spark, sf_dir))
     return pigeonhole_hamming_pairs(sigs, "dhash64")
 
 
@@ -1079,36 +1088,7 @@ def multimodal_dhash_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame
     from bigdata_project_spark.operators.dedup import pigeonhole_hamming_pairs
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
-
-    def synthesize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        base_cache: dict = {}
-
-        def img(did: int):
-            g, v = did // _DHASH_GROUP, did % _DHASH_GROUP
-            if g not in base_cache:
-                base_cache[g] = _dhash_pixels(g * _DHASH_GROUP)
-            arr = base_cache[g].copy()
-            if v > 0:
-                arr[v, v, 0] = (int(arr[v, v, 0]) + 128) % 256
-            return arr
-
-        for pdf in batches:
-            rows = [
-                (int(doc_id), _encode_png(img(int(doc_id))))
-                for doc_id in pdf["doc_id"]
-            ]
-            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = [
-                (int(doc_id), _dhash64(_parse_png(bytes(payload))[2]))
-                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
-            ]
-            yield pd.DataFrame(rows, columns=["doc_id", "dhash64"])
-
-    payloads = docs.mapInPandas(synthesize, "doc_id long, payload binary")
-    sigs = tracked_persist(payloads.mapInPandas(decode, "doc_id long, dhash64 string"))
+    sigs = tracked_persist(_dhash_sigs_df(spark, sf_dir))
     edges = tracked_persist(pigeonhole_hamming_pairs(sigs, "dhash64"))
     endpoints = (
         edges.select(F.col("doc_a").alias("id"))

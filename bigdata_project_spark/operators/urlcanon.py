@@ -459,3 +459,114 @@ def stream_url_frontier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 from bigdata_project_spark.registry import REGISTRY as _REG  # noqa: E402
 
 _REG["stream_url_frontier_dedup"].oracle = _REG["crawl_url_canonical_dedup"].oracle
+
+
+# ------------------------------------------------- robots.txt gate
+
+# synthetic per-host robots rules (host, rule_path, allow) — the
+# longest-prefix-match semantics of the robots exclusion standard:
+# the MOST SPECIFIC (longest) matching rule wins; on a length tie,
+# Allow wins. The '/' rule guarantees every URL matches something.
+_ROBOTS_RULES: tuple[tuple[str, str, int], ...] = (
+    ("gateway.chotot.com", "/ads/private", 0),
+    ("gateway.chotot.com", "/ads", 1),
+    ("gateway.chotot.com", "/api", 0),
+    ("gateway.chotot.com", "/api/public", 1),
+    ("gateway.chotot.com", "/", 1),
+    ("static.chotot.com", "/img", 0),
+    ("static.chotot.com", "/img/thumbs", 1),
+    ("static.chotot.com", "/", 1),
+)
+
+_ROBOTS_PATH_PREFIXES = ("/ads", "/ads/private", "/img", "/img/thumbs", "/api", "/api/public", "")
+
+
+def _sql_robots_values() -> str:
+    rows = ", ".join(f"('{h}', '{p}', {a})" for h, p, a in _ROBOTS_RULES)
+    return f"(VALUES {rows}) AS rules(host, rule_path, allow)"
+
+
+@query(
+    "crawl_robots_gate",
+    oracle=f"""
+    WITH urls AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'gateway.chotot.com'
+                    ELSE 'static.chotot.com' END AS host,
+               CASE CAST(doc_id % 7 AS INT)
+                    WHEN 0 THEN '/ads' WHEN 1 THEN '/ads/private'
+                    WHEN 2 THEN '/img' WHEN 3 THEN '/img/thumbs'
+                    WHEN 4 THEN '/api' WHEN 5 THEN '/api/public'
+                    ELSE '' END || '/item' || CAST(doc_id AS VARCHAR) AS path
+        FROM documents
+    ),
+    matched AS (
+        SELECT u.doc_id, u.host, u.path, rules.rule_path, rules.allow,
+               ROW_NUMBER() OVER (
+                   PARTITION BY u.doc_id
+                   ORDER BY length(rules.rule_path) DESC, rules.allow DESC,
+                            rules.rule_path
+               ) AS rn
+        FROM urls u
+        JOIN {_sql_robots_values()}
+          ON rules.host = u.host AND starts_with(u.path, rules.rule_path)
+    )
+    SELECT doc_id, host, path,
+           rule_path AS matched_rule,
+           CAST(allow AS INT) AS allowed
+    FROM matched WHERE rn = 1
+    """,
+    tags=("crawl", "url", "scalar", "window"),
+)
+def crawl_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt admission gate — the politeness rule the reference's
+    crawler never checks before hammering the API: every frontier URL
+    is matched against its host's Allow/Disallow prefix rules with
+    the robots-exclusion-standard resolution order (LONGEST matching
+    rule wins; Allow wins a length tie). Rules are a tiny broadcast
+    table; the match is a BroadcastHashJoin on host with the prefix
+    test as a residual, then one per-URL window picks the winning
+    rule — no UDF, no per-URL loop.
+
+    Scale: rules tables are kilobytes per host (broadcast); the URL
+    side is one scan + map-side match. The synthetic path mix drives
+    every resolution case: nested Allow under Disallow (/api/public
+    under /api), nested Disallow under Allow (/ads/private under
+    /ads), and the '/' catch-all."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    host = F.when(
+        F.col("doc_id") % 2 == 0, F.lit("gateway.chotot.com")
+    ).otherwise(F.lit("static.chotot.com"))
+    seg = F.element_at(
+        F.array(*[F.lit(p) for p in _ROBOTS_PATH_PREFIXES]),
+        (F.col("doc_id") % 7).cast("int") + 1,
+    )
+    urls = docs.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(seg, F.lit("/item"), F.col("doc_id").cast("string")).alias("path"),
+    )
+    rules = F.broadcast(
+        spark.createDataFrame(
+            list(_ROBOTS_RULES), "host string, rule_path string, allow int"
+        )
+    )
+    matched = urls.join(
+        rules.withColumnRenamed("host", "r_host"),
+        (F.col("r_host") == F.col("host"))
+        & F.col("path").startswith(F.col("rule_path")),
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.length("rule_path").desc(), F.col("allow").desc(), "rule_path"
+    )
+    return (
+        matched.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "host",
+            "path",
+            F.col("rule_path").alias("matched_rule"),
+            F.col("allow").cast("int").alias("allowed"),
+        )
+    )

@@ -132,15 +132,15 @@ _LOADED = False
 #
 # Round-11 rotation queue: FIRST any oracled queries registered after
 # this window froze (diff all_oracles() against CORRECTNESS_r01-r10
-# row names at r11 start), then oldest-last-checked — the 15 r4/r5
+# row names at r11 start), then oldest-last-checked — the 16 r4
 # names trimmed from THIS window's tail during round 10 to make room
-# for the fifteen r10 additions (scalar_string_functions,
-# scalar_date_functions, scalar_math_guarded, scalar_null_handling,
-# scalar_array_functions, scalar_json_extraction,
-# scalar_case_conversion, scalar_regexp_family, scalar_url_parse,
-# scalar_csv_column_codec, scalar_interval_datetime,
-# setop_union_by_name_missing, vn_listing_normalize,
-# dedup_lsh_pair_recall, chunk_documents_overlap), then the r5
+# for the sixteen r10 additions (in original order:
+# events_gapfill_hourly, scalar_string_functions, scalar_date_functions,
+# scalar_math_guarded, scalar_null_handling, scalar_array_functions,
+# scalar_json_extraction, scalar_case_conversion, scalar_regexp_family,
+# scalar_url_parse, scalar_csv_column_codec, scalar_interval_datetime,
+# setop_union_by_name_missing, vn_listing_normalize, dedup_lsh_pair_recall,
+# chunk_documents_overlap), then the r5
 # vintage (registration order: vocab_top_terms,
 # sample_quality_weighted, graph_triangle_stats,
 # mixture_source_weights, quality_gopher_rules, lake_zorder_key,
@@ -170,6 +170,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "sim_recall_ivfpq_at_k",
     "stream_url_frontier_dedup",
     "multimodal_dhash_dedup_keeper",
+    "crawl_robots_gate",
     # --- oldest-last-checked: r4 vintage trimmed from the r9 tail ---
     "dedup_cluster_components",
     "corpus_clean_pipeline",
@@ -206,7 +207,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "scalar_try_functions",
     "agg_bitwise",
     "scalar_bit_binary_ops",
-    "events_gapfill_hourly",
 )
 
 

@@ -110,3 +110,28 @@ def test_frontier_stream_state_carry(spark, sf_dir):
     for r in frag:
         assert r["keeper_doc"] == keeper
         assert r["is_dup"] == (0 if r["doc_id"] == keeper else 1)
+
+
+def test_robots_longest_match_semantics(spark, sf_dir):
+    """Pin the resolution order on hand-checkable cases: nested Allow
+    under Disallow, nested Disallow under Allow, and the '/'
+    catch-all — plus a full re-derivation of every verdict from the
+    rule table."""
+    from bigdata_project_spark.operators.urlcanon import _ROBOTS_RULES
+    from bigdata_project_spark.registry import all_queries
+
+    rows = all_queries()["crawl_robots_gate"](spark, sf_dir).collect()
+    rules: dict = {}
+    for h, p, a in _ROBOTS_RULES:
+        rules.setdefault(h, []).append((p, a))
+    for r in rows:
+        cands = [(p, a) for p, a in rules[r["host"]] if r["path"].startswith(p)]
+        # longest wins; Allow wins a length tie
+        best = max(cands, key=lambda pa: (len(pa[0]), pa[1]))
+        assert r["matched_rule"] == best[0], dict(r.asDict())
+        assert r["allowed"] == best[1]
+    # the interesting nestings actually occur on the testbed
+    seen = {(r["matched_rule"], r["allowed"]) for r in rows}
+    assert ("/ads/private", 0) in seen  # Disallow nested under Allow
+    assert ("/api/public", 1) in seen  # Allow nested under Disallow
+    assert ("/", 1) in seen  # catch-all

@@ -138,6 +138,7 @@ HEADLINE = [
     "multimodal_dhash_dedup_keeper",
     "pack_ffd_global_ids",
     "crawl_politeness_schedule",
+    "crawl_robots_gate",
 ]
 
 

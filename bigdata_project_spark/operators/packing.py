@@ -29,8 +29,6 @@ number. tests/test_packing.py pins ffd <= next-fit on every block.
 
 from __future__ import annotations
 
-from collections.abc import Iterator  # noqa: F401  (doc parity with sibling modules)
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

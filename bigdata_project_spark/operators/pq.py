@@ -534,15 +534,10 @@ _SQL_IVF_CELLS = f"""
 """
 
 
-@query(
-    "sim_ivfpq_search",
-    oracle=f"""
-    WITH {_sql_unit(with_label=True)},
-    {_SQL_SUBS},
-    {_SQL_CODES},
-    {_SQL_LUT},
-    {_SQL_IVF_CELLS}
-    SELECT query_id, neighbor_id, adc, rnk FROM (
+# every in-cell candidate ADC-scored and ranked per query — shared by
+# the direct top-k and the in-cell rerank shortlist
+_SQL_IVFPQ_RANKED = """
+    ivfpq_ranked AS (
         SELECT l0.query_id, c.vec_id AS neighbor_id,
                l0.pd + l1.pd + l2.pd + l3.pd AS adc,
                ROW_NUMBER() OVER (
@@ -556,21 +551,18 @@ _SQL_IVF_CELLS = f"""
         JOIN lut l2 ON l2.j = 2 AND l2.b = c.c2 AND l2.query_id = p.query_id
         JOIN lut l3 ON l3.j = 3 AND l3.b = c.c3 AND l3.query_id = p.query_id
         WHERE c.vec_id <> p.query_id
-    ) WHERE rnk <= {_TOP_K}
-    """,
-    tags=("similarity", "llm", "ann", "pq", "ivf", "topk"),
+    )
+"""
+
+_SQL_IVFPQ_PRELUDE = (
+    f"WITH {_sql_unit(with_label=True)},\n{_SQL_SUBS},\n{_SQL_CODES},\n"
+    f"{_SQL_LUT},\n{_SQL_IVF_CELLS},\n{_SQL_IVFPQ_RANKED}"
 )
-def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed IVF-PQ index — what production vector stores
-    actually run at 100 TB: the coarse inverted file prunes to one
-    cell per query (broadcast centroid assign, equi-join on the cell
-    id — sim_ann_ivf_probe's machinery), and the PQ/ADC stage scores
-    only that cell's 4-byte codes against the per-query LUT. The two
-    compressions multiply: a 1/#cells scan fraction times 64x byte
-    compression. Recall is the product of both stages' losses,
-    measured (not assumed) by sim_recall_ivfpq_at_k — compare with
-    sim_recall_pq_at_k (full-scan ADC) to read off exactly what the
-    cell pruning costs."""
+
+
+def _ivfpq_adc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, adc, rnk) for every candidate in the
+    query's probed cell — the Spark twin of _SQL_IVFPQ_RANKED."""
     from bigdata_project_spark.caching import tracked_persist
 
     emb = with_norm(load(spark, sf_dir, "embeddings"))
@@ -637,9 +629,112 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc")
     )
     wr = W.partitionBy("query_id").orderBy("adc", "neighbor_id")
-    return scored.select("*", F.row_number().over(wr).alias("rnk")).filter(
+    return scored.select("*", F.row_number().over(wr).alias("rnk"))
+
+
+@query(
+    "sim_ivfpq_search",
+    oracle=f"""
+    {_SQL_IVFPQ_PRELUDE}
+    SELECT query_id, neighbor_id, adc, rnk
+    FROM ivfpq_ranked WHERE rnk <= {_TOP_K}
+    """,
+    tags=("similarity", "llm", "ann", "pq", "ivf", "topk"),
+)
+def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVF-PQ index — what production vector stores
+    actually run at 100 TB: the coarse inverted file prunes to one
+    cell per query (broadcast centroid assign, equi-join on the cell
+    id — sim_ann_ivf_probe's machinery), and the PQ/ADC stage scores
+    only that cell's 4-byte codes against the per-query LUT. The two
+    compressions multiply: a 1/#cells scan fraction times 64x byte
+    compression. Recall is the product of both stages' losses,
+    measured (not assumed) by sim_recall_ivfpq_at_k — compare with
+    sim_recall_pq_at_k (full-scan ADC) to read off exactly what the
+    cell pruning costs, and with sim_recall_ivfpq_rerank_at_k to see
+    the refine stage recover the PQ half of the loss."""
+    return _ivfpq_adc_ranked(spark, sf_dir).filter(F.col("rnk") <= _TOP_K)
+
+
+@query(
+    "sim_ivfpq_rerank",
+    oracle=f"""
+    {_SQL_IVFPQ_PRELUDE},
+    short AS (
+        SELECT query_id, neighbor_id FROM ivfpq_ranked
+        WHERE rnk <= {_PQ_SHORTLIST}
+    ),
+    rr AS (
+        SELECT s.query_id, s.neighbor_id,
+               ({_sql_dot_u("uq.u", "un.u")}) AS cosine
+        FROM short s
+        JOIN unit uq ON uq.vec_id = s.query_id
+        JOIN unit un ON un.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM rr
+    ) WHERE rnk <= {_TOP_K}
+    """,
+    tags=("similarity", "llm", "ann", "pq", "ivf", "rerank", "topk"),
+)
+def sim_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production stack: IVF cell pruning -> compressed ADC
+    shortlist (top-100 in cell) -> exact rescoring of shortlist rows
+    only. Since the probed cell holds well under 100 candidates at
+    test scale, the refine recovers EVERY ground-truth neighbor the
+    cell contains — so sim_recall_ivfpq_rerank_at_k measures the cell
+    stage's loss in isolation, pinning that the PQ half of the
+    composed loss is fully refundable for a bounded point-lookup
+    cost. That is the tuning dial: raise nprobe for cell loss, raise
+    the shortlist for quantization loss."""
+    short = _ivfpq_adc_ranked(spark, sf_dir).filter(
+        F.col("rnk") <= _PQ_SHORTLIST
+    ).select("query_id", "neighbor_id")
+    unit = _pq_unit(spark, sf_dir).select("vec_id", "u")
+    uq = unit.select(F.col("vec_id").alias("q_vid"), F.col("u").alias("u_q"))
+    un = unit.select(F.col("vec_id").alias("n_vid"), F.col("u").alias("u_n"))
+    dot = F.aggregate(
+        F.zip_with("u_q", "u_n", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    rr = (
+        short.join(F.broadcast(uq), F.col("query_id") == F.col("q_vid"))
+        .join(un, F.col("neighbor_id") == F.col("n_vid"))
+        .select("query_id", "neighbor_id", dot.alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return rr.select("*", F.row_number().over(w).alias("rnk")).filter(
         F.col("rnk") <= _TOP_K
     )
+
+
+@query(
+    "sim_recall_ivfpq_rerank_at_k",
+    oracle=f"""
+    SELECT b.query_id,
+           CAST(COUNT(i.neighbor_id) AS INT) AS n_hits,
+           COUNT(i.neighbor_id) / {_TOP_K}.0 AS recall
+    FROM ({{BF}}) b
+    LEFT JOIN ({{PQ}}) i
+      ON b.query_id = i.query_id AND b.vec_id = i.neighbor_id
+    GROUP BY b.query_id
+    """,
+    tags=("similarity", "llm", "eval", "pq", "ivf", "rerank"),
+)
+def sim_recall_ivfpq_rerank_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the full IVF-PQ + refine stack vs brute force —
+    with the in-cell shortlist covering the whole cell at test scale,
+    this equals the cell stage's recall ceiling, so the gap to
+    sim_recall_ivfpq_at_k is exactly the quantization loss the refine
+    stage refunds."""
+    bf = sim_knn_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    rr = sim_ivfpq_rerank(spark, sf_dir).select(
+        F.col("query_id").alias("i_qid"), F.col("neighbor_id").alias("i_vid")
+    )
+    return _recall_join(bf, rr)
 
 
 @query(
@@ -670,4 +765,7 @@ def sim_recall_ivfpq_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REG["sim_recall_ivfpq_at_k"].oracle = _REG["sim_recall_ivfpq_at_k"].oracle.format(
     BF=_REG["sim_knn_bruteforce"].oracle, PQ=_REG["sim_ivfpq_search"].oracle
+)
+_REG["sim_recall_ivfpq_rerank_at_k"].oracle = _REG["sim_recall_ivfpq_rerank_at_k"].oracle.format(
+    BF=_REG["sim_knn_bruteforce"].oracle, PQ=_REG["sim_ivfpq_rerank"].oracle
 )

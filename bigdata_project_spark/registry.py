@@ -171,6 +171,8 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "stream_url_frontier_dedup",
     "multimodal_dhash_dedup_keeper",
     "crawl_robots_gate",
+    "sim_ivfpq_rerank",
+    "sim_recall_ivfpq_rerank_at_k",
     # --- oldest-last-checked: r4 vintage trimmed from the r9 tail ---
     "dedup_cluster_components",
     "corpus_clean_pipeline",
@@ -205,8 +207,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "events_retention_cohort",
     "join_null_safe_eq",
     "scalar_try_functions",
-    "agg_bitwise",
-    "scalar_bit_binary_ops",
 )
 
 

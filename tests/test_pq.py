@@ -78,3 +78,34 @@ def test_ivfpq_candidates_confined_to_probed_cell(spark, sf_dir):
     assert got
     for r in got:
         assert labels[r["neighbor_id"]] == cell_of[r["query_id"]], dict(r.asDict())
+
+
+def test_ivfpq_rerank_recovers_cell_ceiling(spark, sf_dir):
+    """With the in-cell shortlist covering the whole cell at test
+    scale, the refined IVF-PQ recall must (a) dominate the raw
+    composed recall and (b) equal the IVF-alone cell ceiling: every
+    ground-truth neighbor the probed cell contains is recovered, so
+    the PQ quantization loss is fully refunded by the refine stage."""
+    from bigdata_project_spark.registry import all_queries
+    from bigdata_project_spark.tables import load
+
+    qs = all_queries()
+    raw = _rows(qs["sim_recall_ivfpq_at_k"](spark, sf_dir))
+    ref = _rows(qs["sim_recall_ivfpq_rerank_at_k"](spark, sf_dir))
+    assert set(raw) == set(ref)
+    for q in raw:
+        assert ref[q][0] >= raw[q][0], (q, raw[q], ref[q])
+    # cell ceiling: |probed cell ∩ GT top-10| per query, re-derived
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    }
+    gt = {}
+    for r in qs["sim_knn_bruteforce"](spark, sf_dir).collect():
+        gt.setdefault(r["query_id"], set()).add(r["vec_id"])
+    cell_of = {}
+    for r in qs["sim_ann_ivf_probe"](spark, sf_dir).collect():
+        cell_of.setdefault(r["query_id"], labels[r["vec_id"]])
+    for q, (n_hits, _rec) in ref.items():
+        ceiling = sum(1 for v in gt[q] if labels[v] == cell_of[q])
+        assert n_hits == ceiling, (q, n_hits, ceiling)

@@ -225,6 +225,12 @@ def main() -> None:
     summary = {k: primary[k] for k in ("metric", "value", "unit", "sf", "repeats")}
     summary["n_queries"] = len(primary["queries"])
     print(json.dumps(summary))
+    # durable per-query map (r11): the driver records only the summary
+    # line, so the full per-query timings are persisted to a tracked
+    # file — each round's bench becomes diffable query-by-query against
+    # the previous round's file in git history.
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path.write_text(json.dumps({"lines": lines, "summary": summary}, indent=1) + "\n")
     spark.stop()
 
 

@@ -1019,7 +1019,7 @@ def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature within a few bits of the original.
 
     Pipeline: (1) Arrow stage synthesizes a genuine PNG per document
-    — groups of {_DHASH_GROUP} docs share a base image, variants
+    — groups of 4 docs (`_DHASH_GROUP`) share a base image, variants
     perturb one pixel — via the shared `_encode_png` (CRC'd chunks,
     mixed row filters); (2) a second state-free Arrow stage decodes
     the container with the shared `_parse_png` and computes the

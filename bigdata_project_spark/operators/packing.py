@@ -12,7 +12,7 @@ place each into the first window it fits, open a new one otherwise —
 is the classic 11/9-OPT heuristic and packs measurably tighter.
 
 Scale design: a sequential fit over 100 TB would serialize, so docs
-are packed within BOUNDED blocks — {_FFD_BLOCK} docs per (source,
+are packed within BOUNDED blocks — 128 docs (`_FFD_BLOCK`) per (source,
 block), the source being the natural shard key the corpus is already
 laid out by. Each block's fit is one Arrow `applyInPandas` group
 (tiny: a few hundred rows, integer arithmetic), all blocks run in

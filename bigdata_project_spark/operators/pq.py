@@ -513,7 +513,12 @@ from bigdata_project_spark.operators.similarity import (  # noqa: E402
     _SQL_DOT_QC,
 )
 
-_SQL_IVF_CELLS = f"""
+def _sql_ivf_cells(nprobe: int = 1) -> str:
+    """Coarse-stage CTEs: quantized-mean centroid per label cell and
+    the query -> probed-cell assignment, keeping the `nprobe` nearest
+    cells per query (nprobe=1 is the single-cell composed search;
+    nprobe=2 turns the cell-recall dial the refine stage can't)."""
+    return f"""
     ivf_cdim AS (
         SELECT label, i.r AS pos,
                CAST(SUM(CAST(ROUND(CAST(embedding[i.r + 1] AS DOUBLE) * 1048576, 0) AS BIGINT)) AS DOUBLE)
@@ -530,8 +535,11 @@ _SQL_IVF_CELLS = f"""
                                   ORDER BY ({_SQL_DOT_QC}) / SQRT({_SQL_CNORM}) DESC, label) AS arn
         FROM qv, ivf_cent
     ),
-    qprobe AS (SELECT query_id, label AS cell FROM qassign WHERE arn = 1)
+    qprobe AS (SELECT query_id, label AS cell FROM qassign WHERE arn <= {nprobe})
 """
+
+
+_SQL_IVF_CELLS = _sql_ivf_cells(1)
 
 
 # every in-cell candidate ADC-scored and ranked per query — shared by
@@ -560,9 +568,12 @@ _SQL_IVFPQ_PRELUDE = (
 )
 
 
-def _ivfpq_adc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivfpq_adc_ranked(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame:
     """(query_id, neighbor_id, adc, rnk) for every candidate in the
-    query's probed cell — the Spark twin of _SQL_IVFPQ_RANKED."""
+    query's `nprobe` probed cells — the Spark twin of
+    _SQL_IVFPQ_RANKED. Each corpus vector has exactly one cell label,
+    so even with nprobe > 1 a candidate matches at most one of the
+    query's probed cells — the probe join never duplicates rows."""
     from bigdata_project_spark.caching import tracked_persist
 
     emb = with_norm(load(spark, sf_dir, "embeddings"))
@@ -606,7 +617,7 @@ def _ivfpq_adc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     wq = W.partitionBy("query_id").orderBy(F.desc("score"), "label")
     probe = (
         qassign.select("*", F.row_number().over(wq).alias("arn"))
-        .filter(F.col("arn") == 1)
+        .filter(F.col("arn") <= nprobe)
         .select("query_id", F.col("label").alias("cell"))
     )
     # fine stage: ADC over the probed cell's codes only
@@ -689,7 +700,14 @@ def sim_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     composed loss is fully refundable for a bounded point-lookup
     cost. That is the tuning dial: raise nprobe for cell loss, raise
     the shortlist for quantization loss."""
-    short = _ivfpq_adc_ranked(spark, sf_dir).filter(
+    return _ivfpq_reranked(spark, sf_dir, nprobe=1)
+
+
+def _ivfpq_reranked(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """Shared refine stage: the ADC shortlist (top rows across the
+    probed cells) exact-rescored against the raw unit vectors — the
+    only thing the nprobe dial changes is the candidate pool."""
+    short = _ivfpq_adc_ranked(spark, sf_dir, nprobe=nprobe).filter(
         F.col("rnk") <= _PQ_SHORTLIST
     ).select("query_id", "neighbor_id")
     unit = _pq_unit(spark, sf_dir).select("vec_id", "u")
@@ -768,4 +786,87 @@ _REG["sim_recall_ivfpq_at_k"].oracle = _REG["sim_recall_ivfpq_at_k"].oracle.form
 )
 _REG["sim_recall_ivfpq_rerank_at_k"].oracle = _REG["sim_recall_ivfpq_rerank_at_k"].oracle.format(
     BF=_REG["sim_knn_bruteforce"].oracle, PQ=_REG["sim_ivfpq_rerank"].oracle
+)
+
+
+# ------------------------------------------ IVF-PQ, nprobe = 2
+
+# Round 10 PROVED (tests/test_pq.py: cell-ceiling equality) that the
+# composed search's residual recall loss lives entirely in the coarse
+# cell stage — the refine stage refunds the PQ half. nprobe is the
+# dial for the cell half: probe the 2 nearest cells, run the SAME
+# shared ADC-ranked CTE over the doubled candidate pool, refine the
+# shortlist. Scan fraction doubles (2/#cells x 4 bytes/vector) and
+# recall rises to the 2-cell ceiling — the classic IVF trade.
+
+_SQL_IVFPQ2_PRELUDE = (
+    f"WITH {_sql_unit(with_label=True)},\n{_SQL_SUBS},\n{_SQL_CODES},\n"
+    f"{_SQL_LUT},\n{_sql_ivf_cells(2)},\n{_SQL_IVFPQ_RANKED}"
+)
+
+
+@query(
+    "sim_ivfpq_nprobe2",
+    oracle=f"""
+    {_SQL_IVFPQ2_PRELUDE},
+    short AS (
+        SELECT query_id, neighbor_id FROM ivfpq_ranked
+        WHERE rnk <= {_PQ_SHORTLIST}
+    ),
+    rr AS (
+        SELECT s.query_id, s.neighbor_id,
+               ({_sql_dot_u("uq.u", "un.u")}) AS cosine
+        FROM short s
+        JOIN unit uq ON uq.vec_id = s.query_id
+        JOIN unit un ON un.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM rr
+    ) WHERE rnk <= {_TOP_K}
+    """,
+    tags=("similarity", "llm", "ann", "pq", "ivf", "nprobe", "rerank", "topk"),
+)
+def sim_ivfpq_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with multi-cell probing (nprobe=2) + refine — turning
+    the one dial the r10 decomposition left pinned: the coarse stage
+    keeps the TWO nearest centroids per query, the shared ADC path
+    scores both cells' 4-byte codes against the same per-query LUT,
+    and the shortlist is exact-rescored. Every corpus vector still
+    matches at most one of a query's probed cells (one label each),
+    so no dedup stage is needed; at 100 TB the scan fraction is
+    2/#cells x 4 bytes/vector — linear in nprobe, and recall climbs
+    to the 2-cell ceiling (pinned by tests/test_pq.py)."""
+    return _ivfpq_reranked(spark, sf_dir, nprobe=2)
+
+
+@query(
+    "sim_recall_ivfpq_nprobe2_at_k",
+    oracle=f"""
+    SELECT b.query_id,
+           CAST(COUNT(i.neighbor_id) AS INT) AS n_hits,
+           COUNT(i.neighbor_id) / {_TOP_K}.0 AS recall
+    FROM ({{BF}}) b
+    LEFT JOIN ({{PQ}}) i
+      ON b.query_id = i.query_id AND b.vec_id = i.neighbor_id
+    GROUP BY b.query_id
+    """,
+    tags=("similarity", "llm", "eval", "pq", "ivf", "nprobe", "rerank"),
+)
+def sim_recall_ivfpq_nprobe2_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the nprobe=2 refined IVF-PQ search vs brute
+    force. Read against sim_recall_ivfpq_rerank_at_k (nprobe=1,
+    refined): the delta is pure cell-stage recovery — the second
+    probed cell's ground-truth members — since the refine stage
+    already refunds quantization loss at both settings."""
+    bf = sim_knn_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    rr = sim_ivfpq_nprobe2(spark, sf_dir).select(
+        F.col("query_id").alias("i_qid"), F.col("neighbor_id").alias("i_vid")
+    )
+    return _recall_join(bf, rr)
+
+
+_REG["sim_recall_ivfpq_nprobe2_at_k"].oracle = _REG["sim_recall_ivfpq_nprobe2_at_k"].oracle.format(
+    BF=_REG["sim_knn_bruteforce"].oracle, PQ=_REG["sim_ivfpq_nprobe2"].oracle
 )

@@ -153,60 +153,62 @@ _LOADED = False
 # join_market_basket_pairs, the tpch_q* sweep,
 # stream_incremental_rollup), then the r6 vintage.
 _DRIVER_FIRST: tuple[str, ...] = (
-    # --- never driver-checked: round-10 additions (inserted here as
+    # --- never driver-checked: round-11 additions (inserted here as
     # each lands; one tail name trimmed per insertion) ---
-    "multimodal_dhash_neardup",
-    "sim_pq_codes",
-    "sim_knn_pq_adc",
-    "sim_knn_pq_rerank",
-    "sim_recall_pq_at_k",
-    "sim_recall_pq_rerank_at_k",
-    "crawl_url_canonical_dedup",
-    "pack_sequences_ffd",
-    "pack_ffd_waste_audit",
-    "pack_ffd_global_ids",
-    "crawl_politeness_schedule",
-    "sim_ivfpq_search",
-    "sim_recall_ivfpq_at_k",
-    "stream_url_frontier_dedup",
-    "multimodal_dhash_dedup_keeper",
-    "crawl_robots_gate",
-    "sim_ivfpq_rerank",
-    "sim_recall_ivfpq_rerank_at_k",
-    # --- oldest-last-checked: r4 vintage trimmed from the r9 tail ---
-    "dedup_cluster_components",
-    "corpus_clean_pipeline",
-    "graph_pagerank_neardup",
-    "pack_sequences_by_source",
-    "contamination_ngram_overlap",
-    "scrub_pii_stats",
-    "split_train_val_test",
-    "quality_repetition_filter",
-    "dedup_incremental_merge",
-    # --- r4 vintage remainder (registration order) ---
-    "training_corpus_manifest",
-    "pack_sequences_global",
-    "sample_fixed_k_per_stratum",
-    "text_rarity_score",
-    "multimodal_feature_knn",
-    "dedup_embedding_cosine",
-    "sim_ann_lsh_banded",
-    "sample_tablesample",
-    "scd2_user_status_history",
-    "lake_merge_upsert_projection",
-    "agg_boolean_family",
-    "scalar_array_set_algebra",
-    "scalar_date_construction",
-    "scalar_map_higher_order",
-    "events_tumbling_hourly",
-    "events_sliding_1h_15m",
-    "events_session_30m",
-    "events_dedup_first_arrival",
-    "events_rate_per_type_day",
-    "events_funnel_view_click_purchase",
-    "events_retention_cohort",
-    "join_null_safe_eq",
-    "scalar_try_functions",
+    "sim_ivfpq_nprobe2",
+    "sim_recall_ivfpq_nprobe2_at_k",
+    # --- oldest-last-checked: the 16 r4-vintage names trimmed from
+    # the r10 window's tail (original order) ---
+    "events_gapfill_hourly",
+    "scalar_string_functions",
+    "scalar_date_functions",
+    "scalar_math_guarded",
+    "scalar_null_handling",
+    "scalar_array_functions",
+    "scalar_json_extraction",
+    "scalar_case_conversion",
+    "scalar_regexp_family",
+    "scalar_url_parse",
+    "scalar_csv_column_codec",
+    "scalar_interval_datetime",
+    "setop_union_by_name_missing",
+    "vn_listing_normalize",
+    "dedup_lsh_pair_recall",
+    "chunk_documents_overlap",
+    # --- r5 vintage head (registration order; trimmed from the tail
+    # as r11 additions land) ---
+    "vocab_top_terms",
+    "sample_quality_weighted",
+    "graph_triangle_stats",
+    "mixture_source_weights",
+    "quality_gopher_rules",
+    "lake_zorder_key",
+    "multimodal_resize_plan",
+    "sim_recall_at_k",
+    "sim_ann_ivf_nprobe2",
+    "sim_recall_ivf2_at_k",
+    "text_langid_confusion",
+    "qa_referential_integrity",
+    "qa_column_profile",
+    "scd2_snapshot_diff",
+    "agg_share_of_total",
+    "events_rollup_cascade",
+    "events_top_paths",
+    "events_rfm_segments",
+    "events_interarrival_stats",
+    "events_burst_detection",
+    "events_user_trend_slope",
+    "join_market_basket_pairs",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q12_late_priority",
+    "tpch_q15_top_supplier",
 )
 
 

@@ -109,3 +109,47 @@ def test_ivfpq_rerank_recovers_cell_ceiling(spark, sf_dir):
     for q, (n_hits, _rec) in ref.items():
         ceiling = sum(1 for v in gt[q] if labels[v] == cell_of[q])
         assert n_hits == ceiling, (q, n_hits, ceiling)
+
+
+def test_nprobe2_recall_dominates_nprobe1(spark, sf_dir):
+    """Probing a second cell can only add candidates (each corpus
+    vector lives in exactly one cell, so the nprobe=1 pool is a
+    subset of the nprobe=2 pool), and the refine stage rescores
+    exactly — so refined recall at nprobe=2 must dominate nprobe=1
+    per query. A violation means the probe stage is wired wrong."""
+    from bigdata_project_spark.registry import all_queries
+
+    qs = all_queries()
+    p1 = _rows(qs["sim_recall_ivfpq_rerank_at_k"](spark, sf_dir))
+    p2 = _rows(qs["sim_recall_ivfpq_nprobe2_at_k"](spark, sf_dir))
+    assert set(p1) == set(p2)
+    for q in p1:
+        assert p2[q][0] >= p1[q][0], (q, p1[q], p2[q])
+
+
+def test_nprobe2_rerank_recovers_two_cell_ceiling(spark, sf_dir):
+    """The r10 single-cell ceiling theorem, at nprobe=2: with the
+    shortlist covering both probed cells at test scale, refined
+    recall must EQUAL the 2-cell ceiling — every ground-truth
+    neighbor living in either probed cell is recovered. The probed
+    cell pair is re-derived independently from the plain-IVF nprobe=2
+    probe (same centroid construction), so the equality also pins
+    that the composed search probes the same cells as IVF alone."""
+    from bigdata_project_spark.registry import all_queries
+    from bigdata_project_spark.tables import load
+
+    qs = all_queries()
+    ref = _rows(qs["sim_recall_ivfpq_nprobe2_at_k"](spark, sf_dir))
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    }
+    gt = {}
+    for r in qs["sim_knn_bruteforce"](spark, sf_dir).collect():
+        gt.setdefault(r["query_id"], set()).add(r["vec_id"])
+    cells_of = {}
+    for r in qs["sim_ann_ivf_nprobe2"](spark, sf_dir).collect():
+        cells_of.setdefault(r["query_id"], set()).add(labels[r["vec_id"]])
+    for q, (n_hits, _rec) in ref.items():
+        ceiling = sum(1 for v in gt[q] if labels[v] in cells_of[q])
+        assert n_hits == ceiling, (q, n_hits, ceiling)

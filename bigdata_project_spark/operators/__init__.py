@@ -14,6 +14,7 @@ from bigdata_project_spark.operators import (  # noqa: F401
     dedup,
     dedup_ext,
     dsir,
+    lm,
     multimodal,
     packing,
     pq,

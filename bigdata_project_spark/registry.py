@@ -157,6 +157,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     # each lands; one tail name trimmed per insertion) ---
     "sim_ivfpq_nprobe2",
     "sim_recall_ivfpq_nprobe2_at_k",
+    "corpus_lm_perplexity_gate",
     # --- oldest-last-checked: the 16 r4-vintage names trimmed from
     # the r10 window's tail (original order) ---
     "events_gapfill_hourly",
@@ -208,7 +209,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "tpch_q10_returned_items",
     "tpch_q11_important_parts",
     "tpch_q12_late_priority",
-    "tpch_q15_top_supplier",
 )
 
 

@@ -62,6 +62,7 @@ BNLJ_WHITELIST: dict[str, str] = {
     "join_cross_region_status": "deliberate cross join operator (tiny x tiny)",
     "dedup_lsh_band_tuning": "1-row ground-truth-count broadcast onto the 3-config curve",
     "text_unigram_surprisal": "1-row corpus-token-total broadcast (code-length denominator)",
+    "corpus_lm_perplexity_gate": "1-row vocab-size broadcast (Laplace denominator)",
     "corpus_quality_gate": "inherits text_unigram_surprisal's 1-row corpus-total broadcast",
     "join_copurchase_lift": "1-row distinct-order-total broadcast (lift denominator)",
     "corpus_k_anonymize_release": "1-row level-2-total broadcast (record-suppression guard)",

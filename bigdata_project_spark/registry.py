@@ -158,6 +158,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "sim_ivfpq_nprobe2",
     "sim_recall_ivfpq_nprobe2_at_k",
     "corpus_lm_perplexity_gate",
+    "contamination_decontam_rewrite",
     # --- oldest-last-checked: the 16 r4-vintage names trimmed from
     # the r10 window's tail (original order) ---
     "events_gapfill_hourly",
@@ -208,7 +209,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "tpch_q9_product_type_profit",
     "tpch_q10_returned_items",
     "tpch_q11_important_parts",
-    "tpch_q12_late_priority",
 )
 
 

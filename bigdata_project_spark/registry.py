@@ -159,6 +159,8 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "sim_recall_ivfpq_nprobe2_at_k",
     "corpus_lm_perplexity_gate",
     "contamination_decontam_rewrite",
+    "join_bloom_prefilter",
+    "join_bloom_fp_audit",
     # --- oldest-last-checked: the 16 r4-vintage names trimmed from
     # the r10 window's tail (original order) ---
     "events_gapfill_hourly",
@@ -207,8 +209,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_type_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
 )
 
 

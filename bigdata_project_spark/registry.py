@@ -161,6 +161,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "contamination_decontam_rewrite",
     "join_bloom_prefilter",
     "join_bloom_fp_audit",
+    "multimodal_png_resize",
     # --- oldest-last-checked: the 16 r4-vintage names trimmed from
     # the r10 window's tail (original order) ---
     "events_gapfill_hourly",
@@ -208,7 +209,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
-    "tpch_q9_product_type_profit",
 )
 
 

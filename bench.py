@@ -139,6 +139,12 @@ HEADLINE = [
     "pack_ffd_global_ids",
     "crawl_politeness_schedule",
     "crawl_robots_gate",
+    # round-11 additions (timing loop unchanged since r4)
+    "sim_ivfpq_nprobe2",
+    "corpus_lm_perplexity_gate",
+    "contamination_decontam_rewrite",
+    "join_bloom_prefilter",
+    "multimodal_png_resize",
 ]
 
 

@@ -8,6 +8,7 @@ column plumbing. Importing this package registers their queries.
 
 from bigdata_project_spark.operators import (  # noqa: F401
     bloom,
+    bpe,
     chunking,
     clustering,
     corpus,

@@ -51,6 +51,8 @@ BNLJ_WHITELIST: dict[str, str] = {
     "sim_recall_ivfpq_nprobe2_at_k": "nested centroid cross + brute-force query-set broadcast",
     "join_bloom_prefilter": "1-row bloom-filter map broadcast onto the probe side",
     "join_bloom_fp_audit": "1-row bloom-filter map broadcast onto the probe side",
+    "vocab_bpe_merges": "six 1-row best-pair broadcasts (one per BPE iteration)",
+    "vocab_bpe_token_count": "six 1-row best-pair broadcasts (one per BPE iteration)",
     "dedup_semantic_cells": "fixed-k centroid table cross to assign cells",
     "dedup_semantic_incremental": "fixed-k centroid table cross to assign cells",
     "corpus_dsir_importance": "two 1-row model-total broadcasts (code-length denominators)",

@@ -145,6 +145,8 @@ HEADLINE = [
     "contamination_decontam_rewrite",
     "join_bloom_prefilter",
     "multimodal_png_resize",
+    "vocab_bpe_merges",
+    "corpus_source_kl_audit",
 ]
 
 

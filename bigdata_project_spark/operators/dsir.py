@@ -126,3 +126,99 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "corpus_source_kl_audit",
+    oracle="""
+    WITH toks AS (
+        SELECT source,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS token
+        FROM documents
+    ),
+    tf_g AS (SELECT token, COUNT(*) AS n_g FROM toks GROUP BY token),
+    tf_s AS (SELECT source, token, COUNT(*) AS n_s FROM toks GROUP BY source, token),
+    tot_g AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n_total_g,
+               CAST(COUNT(*) AS BIGINT) AS vocab
+        FROM tf_g
+    ),
+    tot_s AS (
+        SELECT source, CAST(SUM(n_s) AS BIGINT) AS n_total_s
+        FROM tf_s GROUP BY source
+    ),
+    scored AS (
+        SELECT t.source,
+               length(bin((g2.n_total_g + g2.vocab) // (g.n_g + 1))) - 1 AS bits_g,
+               length(bin((s2.n_total_s + g2.vocab) // (s.n_s + 1))) - 1 AS bits_o
+        FROM toks t
+        JOIN tf_g g USING (token)
+        JOIN tf_s s ON s.source = t.source AND s.token = t.token
+        JOIN tot_s s2 ON s2.source = t.source
+        CROSS JOIN tot_g g2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(bits_g) AS BIGINT) AS bits_global,
+           CAST(SUM(bits_o) AS BIGINT) AS bits_own,
+           CAST(SUM(bits_g) - SUM(bits_o) AS DOUBLE) / COUNT(*) AS kl_bits_per_token
+    FROM scored
+    GROUP BY source
+    """,
+    tags=("llm", "quality", "mixture", "kl", "audit"),
+)
+def corpus_source_kl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source domain-shift audit: how many extra whole Shannon
+    bits per token the corpus-GLOBAL unigram model pays over the
+    source's OWN model on that source's token stream — the
+    code-length form of KL(P_source || P_corpus), the number a
+    mixture designer reads to see which source the blended model
+    fits worst (CCNet/DSIR lineage; `corpus_dsir_importance` is the
+    per-document view against a target model, this is the per-source
+    view against the blend).
+
+    Determinism: the same whole-bit Laplace code length as the DSIR
+    and bigram-LM operators — bits_m(tok) = bitlen((N_m + V) div
+    (tf_m(tok) + 1)) with the GLOBAL vocab V smoothing both models
+    (same alphabet, so the comparison is apples-to-apples); integer
+    sums are order-free, one exact int-to-double divide per source.
+    Flooring makes tiny negative per-token values possible on a
+    source indistinguishable from the blend — that reads as
+    "no measurable shift", which is the honest answer at whole-bit
+    resolution.
+
+    Scale: two token-keyed tf aggregates (map-side combined), the
+    occurrence->tf joins shuffle on token / (source, token) with NO
+    vocabulary broadcast, totals are a 1-row and a #sources-row
+    broadcast, and the rollup keys on the handful of sources."""
+    docs = load_spread(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(words_col(F.col("text"))).alias("token")
+    )
+    tf_g = toks.groupBy("token").agg(F.count("*").alias("n_g"))
+    tf_s = toks.groupBy("source", "token").agg(F.count("*").alias("n_s"))
+    tot_g = tf_g.agg(
+        F.sum("n_g").cast("long").alias("n_total_g"),
+        F.count("*").cast("long").alias("vocab"),
+    )
+    tot_s = tf_s.groupBy("source").agg(
+        F.sum("n_s").cast("long").alias("n_total_s")
+    )
+    bits_g = F.length(F.bin(F.expr("(n_total_g + vocab) div (n_g + 1)"))) - 1
+    bits_o = F.length(F.bin(F.expr("(n_total_s + vocab) div (n_s + 1)"))) - 1
+    scored = (
+        toks.join(tf_g, "token")
+        .join(tf_s, ["source", "token"])
+        .join(F.broadcast(tot_s), "source")
+        .join(F.broadcast(tot_g))
+        .select("source", bits_g.alias("bits_g"), bits_o.alias("bits_o"))
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("bits_g").cast("long").alias("bits_global"),
+        F.sum("bits_o").cast("long").alias("bits_own"),
+        (
+            (F.sum("bits_g") - F.sum("bits_o")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("kl_bits_per_token"),
+    )

@@ -154,9 +154,10 @@ _LOADED = False
 # stream_incremental_rollup), then the r6 vintage.
 # Round-12 rotation queue: FIRST any oracled queries registered after
 # this window froze (diff all_oracles() against CORRECTNESS_r01-r11
-# row names at r12 start), then oldest-last-checked — the 9 r11
+# row names at r12 start), then oldest-last-checked — the 10 r11
 # additions pushed out these tail names during round 11 (re-queue in
-# original window order: tpch_q7_volume_shipping, tpch_q8_market_share,
+# original window order: tpch_q6_forecast_revenue,
+# tpch_q7_volume_shipping, tpch_q8_market_share,
 # tpch_q9_product_type_profit, tpch_q10_returned_items,
 # tpch_q11_important_parts, tpch_q12_late_priority), then the r5
 # vintage remainder (registration order: tpch_q13 onward through
@@ -173,6 +174,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "multimodal_png_resize",
     "vocab_bpe_merges",
     "vocab_bpe_token_count",
+    "corpus_source_kl_audit",
     # --- oldest-last-checked: the 16 r4-vintage names trimmed from
     # the r10 window's tail (original order) ---
     "events_gapfill_hourly",
@@ -217,7 +219,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "join_market_basket_pairs",
     "tpch_q2_min_cost_supplier",
     "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
 )
 
 

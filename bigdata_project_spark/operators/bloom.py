@@ -22,7 +22,7 @@ deterministically so a DuckDB oracle can replay every bit:
   2048-row (word, bits) table folded into ONE map row and broadcast.
 - Probe: a 1-row BroadcastNestedLoopJoin (whitelisted pattern) gives
   every probe row the map; membership is four `element_at` lookups
-  and bit tests, entirely in whole-stage codegen. A word absent from
+  and bit tests over the row's position array. A word absent from
   the map coalesces to 0 — bit not set, row fails.
 
 Why this matters at 100 TB: an exact semi join shuffles BOTH sides on
@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_project_spark.registry import REGISTRY, query
-from bigdata_project_spark.tables import load
+from bigdata_project_spark.tables import load_spread
 
 _M_BITS = 1 << 16  # filter width: 2^16 bits = 2048 32-bit words
 _K = 4  # hash functions = disjoint 4-hex-char md5 slices
@@ -71,6 +71,24 @@ def _pos_sql(key_sql: str, j: int) -> str:
 
 _POS = [_pos_sql("l_orderkey", j) for j in range(_K)]
 _OPOS = [_pos_sql("o_orderkey", j) for j in range(_K)]
+
+# Spark-side position array, md5 bound ONCE per row: a naive per-nibble
+# expression re-evaluates md5(key) 16-32 times per row (Catalyst's
+# CollapseProject inlines a projected hash column straight back into
+# every consumer). Wrapping the hash in a single-element array and
+# decoding through the LAMBDA VARIABLE forces one evaluation. This
+# plus the load_spread parallelism gate (see _bloom_candidates) took
+# the query from the slowest headline entry (17.6s at sf0.1 in the
+# first r11 slope probe) to ~2.3s warm. The oracle keeps the plain
+# per-nibble form — DuckDB's CSE handles it.
+_POS_ARRAY = """
+    transform(array(md5(CAST({key} AS STRING))), h ->
+      transform(sequence(0, 3), j ->
+        (instr('0123456789abcdef', substring(h, j * 4 + 1, 1)) - 1) * 4096
+        + (instr('0123456789abcdef', substring(h, j * 4 + 2, 1)) - 1) * 256
+        + (instr('0123456789abcdef', substring(h, j * 4 + 3, 1)) - 1) * 16
+        + (instr('0123456789abcdef', substring(h, j * 4 + 4, 1)) - 1)))[0]
+"""
 
 # DuckDB replay of the filter build + probe, shared by both oracles.
 # `keys` = distinct build keys; `bits` = the word table; `probe` =
@@ -106,16 +124,26 @@ def _bloom_candidates(spark: SparkSession, sf_dir: str):
     """(keys, orders-with-pass-bit): the shared build + probe stages.
 
     Returns the distinct build-key relation and the full orders
-    relation extended with an integer `pass` column."""
-    lineitem = load(spark, sf_dir, "lineitem")
-    orders = load(spark, sf_dir, "orders")
+    relation extended with an integer `pass` column.
+
+    Both scans route through `load_spread`: the md5 decode + map
+    probe is CPU-bound per row, and the testbed's single-row-group
+    files would otherwise run it on ONE task (measured 12s of the
+    query's 17.6s in the r11 slope probe). On a real multi-split
+    lake the conditional gate adds nothing — and the spread is a
+    testbed parallelism fix, NOT part of the algorithm: the bloom
+    structure itself never requires shuffling the probe side."""
+    lineitem = load_spread(spark, sf_dir, "lineitem", key="l_orderkey")
+    orders = load_spread(spark, sf_dir, "orders", key="o_orderkey")
     keys = (
         lineitem.filter(F.col("l_returnflag") == "R")
         .select("l_orderkey")
         .distinct()
     )
     bits = (
-        keys.select(F.explode(F.array(*[F.expr(p) for p in _POS])).alias("p"))
+        keys.select(
+            F.explode(F.expr(_POS_ARRAY.format(key="l_orderkey"))).alias("p")
+        )
         .select(
             F.expr("p div 32").alias("word"),
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias("m"),
@@ -126,15 +154,15 @@ def _bloom_candidates(spark: SparkSession, sf_dir: str):
     filt = bits.agg(
         F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bf")
     )
-    probe = orders.join(F.broadcast(filt))  # 1-row build: whitelisted BNLJ
-    tests = [
-        f"(COALESCE(element_at(bf, {p} div 32), CAST(0 AS BIGINT))"
-        f" & shiftleft(CAST(1 AS BIGINT), CAST({p} % 32 AS INT))) != 0"
-        for p in _OPOS
-    ]
-    return keys, probe.withColumn(
-        "pass", F.expr(" AND ".join(tests)).cast("int")
+    probe = orders.withColumn(
+        "bpos", F.expr(_POS_ARRAY.format(key="o_orderkey"))
+    ).join(F.broadcast(filt))  # 1-row build: whitelisted BNLJ
+    passed = (
+        "forall(bpos, p -> (COALESCE(element_at(bf, p div 32),"
+        " CAST(0 AS BIGINT))"
+        " & shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))) != 0)"
     )
+    return keys, probe.withColumn("pass", F.expr(passed).cast("int"))
 
 
 @query(

@@ -53,7 +53,7 @@ SHOWCASE = [
     ("sim_ivfpq_search", "Composed IVF-PQ: the centroid assign is a fixed-k broadcast cross; candidates reach the LUT joins only through the probed-cell equi-join — scan fraction and byte compression multiply."),
     ("crawl_url_canonical_dedup", "URL canonicalization is one codegen'd projection over the scan (regexp/split/array_sort); the keeper is a single hash-partitioned window on the canonical key."),
     ("pack_sequences_ffd", "FFD packing: bounded per-(source, block) Arrow groups fit in parallel; the only exchange is the hash partition on the group key — no global sort of documents."),
-    ("join_bloom_prefilter", "Bloom prefilter: the filter folds to ONE row and broadcasts (BroadcastNestedLoopJoin); the orders scan reaches the pass-bit filter with NO exchange — only bloom survivors enter the verify join's shuffle."),
+    ("join_bloom_prefilter", "Bloom prefilter: the filter folds to ONE row and broadcasts (BroadcastNestedLoopJoin); the probe side sees no key-shuffle before its pass-bit filter (the only exchange is the conditional load_spread parallelism gate, a no-op on multi-split lakes) — only bloom survivors enter the verify join."),
     ("corpus_lm_perplexity_gate", "Bigram LM gate: context/pair counts are map-side-combined token-keyed aggregates; the event->model join shuffles on (w1, w2) with NO vocabulary broadcast; the median comes from a tiny value-distribution table broadcast back."),
 ]
 

@@ -147,6 +147,8 @@ HEADLINE = [
     "multimodal_png_resize",
     "vocab_bpe_merges",
     "corpus_source_kl_audit",
+    "corpus_lm_perplexity_buckets",
+    "agg_countmin_audit",
 ]
 
 

@@ -24,6 +24,7 @@ from bigdata_project_spark.operators import (  # noqa: F401
     retrieval,
     rewrite,
     semdedup,
+    sketch,
     similarity,
     skew,
     text,

@@ -280,3 +280,48 @@ def vocab_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 assert "vocab_bpe_merges" in REGISTRY  # registration side effect
+
+
+@query(
+    "vocab_bpe_fertility_by_lang",
+    oracle=f"""
+    {_bpe_sql(_BPE_ITERS)}
+    SELECT doc.lang,
+           CAST(COUNT(DISTINCT d.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(f.seq)) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(len(f.seq)) AS DOUBLE) / COUNT(*) AS fertility
+    FROM (SELECT doc_id, unnest(words) AS word FROM w) d
+    JOIN it{_BPE_ITERS} f USING (word)
+    JOIN documents doc ON doc.doc_id = d.doc_id
+    GROUP BY doc.lang
+    """,
+    tags=("llm", "tokenizer", "bpe", "fertility", "audit"),
+)
+def vocab_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (subwords per word) per language — the
+    fairness metric multilingual pipelines track: a vocab trained on
+    a blend over-segments under-represented languages, inflating
+    their effective sequence length and training cost. One number
+    per language over the SAME trained segmentation as
+    `vocab_bpe_token_count` (shared `_bpe_train`), so the fertility
+    table is the roll-up of the billing table. Scale: the word
+    stream joins the vocab segmentation on token and rolls up on the
+    handful of language keys; fertility is one exact int/int divide
+    per language."""
+    _, final_vocab = _bpe_train(spark, sf_dir)
+    docs = load_spread(spark, sf_dir, "documents")
+    word_len = final_vocab.select("word", F.size("seq").cast("long").alias("n_sub"))
+    return (
+        docs.select("doc_id", "lang", F.explode(words_col(F.col("text"))).alias("word"))
+        .join(word_len, "word")
+        .groupBy("lang")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_bpe_tokens"),
+            (
+                F.sum("n_sub").cast("double") / F.count("*").cast("double")
+            ).alias("fertility"),
+        )
+    )

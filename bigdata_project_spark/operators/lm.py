@@ -57,9 +57,11 @@ from bigdata_project_spark.registry import query
 from bigdata_project_spark.tables import load_spread
 
 
-@query(
-    "corpus_lm_perplexity_gate",
-    oracle="""
+# Shared oracle fragment: tokenize -> bigram events -> Laplace model ->
+# per-doc whole-bit totals -> the sort-free cumulative value table.
+# Consumed by the median gate AND the CCNet head/middle/tail buckets,
+# so the estimator cannot drift between the two.
+_SQL_LM_CUM = """
     WITH w AS (
         SELECT doc_id,
                list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS words
@@ -95,27 +97,14 @@ from bigdata_project_spark.tables import load_spread
                SUM(c) OVER () AS n_all
         FROM vc
     )
-    SELECT p.doc_id, p.n_bigrams, p.total_bits, p.bits_per_bigram,
-           CAST(cum.le_count AS BIGINT) AS le_count,
-           CAST(cum.n_all AS BIGINT) AS n_all,
-           CAST(2 * cum.le_count <= cum.n_all AS INT) AS keep
-    FROM perdoc p JOIN cum USING (bits_per_bigram)
-    """,
-    tags=("llm", "quality", "language-model", "perplexity", "gate"),
-)
-def corpus_lm_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document bigram-LM perplexity (whole-bit code length per
-    bigram event under the corpus's own Laplace-smoothed bigram
-    model) plus a keep bit for the low-perplexity half, found via the
-    sort-free quantile recipe (module docstring has the estimator,
-    the CCNet lineage, and the scale story).
+"""
 
-    Documents with fewer than two tokens have no bigram evidence and
-    are absent — the `text_unigram_surprisal` contract (a doc with no
-    events has no perplexity). Ties AT the median value: le_count is
-    inclusive, so a value bucket crossing the halfway point is
-    excluded whole — the kept share is <= 1/2 exactly, engine-
-    independent because the bucket boundaries are."""
+
+def _lm_cum(spark: SparkSession, sf_dir: str):
+    """(perdoc, cum): the shared Spark-side build — bigram events,
+    Laplace whole-bit per-doc totals, and the sort-free cumulative
+    value-distribution table. Mirrors `_SQL_LM_CUM` stage for stage;
+    consumed by the median gate and the CCNet buckets."""
     docs = load_spread(spark, sf_dir, "documents")
     words = words_col(F.col("text"))
     # bigram events via two aligned slices; the when-guard keeps the
@@ -154,7 +143,7 @@ def corpus_lm_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # sort-free median: counts per distinct score (tiny aggregate),
+    # sort-free quantiles: counts per distinct score (tiny aggregate),
     # one cumulative window over it, broadcast join back — the
     # corpus_quality_stratified_gate shape, global instead of
     # per-language (the single-partition window runs over the
@@ -167,6 +156,35 @@ def corpus_lm_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(w_asc).cast("long").alias("le_count"),
         F.sum("c").over(w_all).cast("long").alias("n_all"),
     )
+    return perdoc, cum
+
+
+@query(
+    "corpus_lm_perplexity_gate",
+    oracle=f"""
+    {_SQL_LM_CUM}
+    SELECT p.doc_id, p.n_bigrams, p.total_bits, p.bits_per_bigram,
+           CAST(cum.le_count AS BIGINT) AS le_count,
+           CAST(cum.n_all AS BIGINT) AS n_all,
+           CAST(2 * cum.le_count <= cum.n_all AS INT) AS keep
+    FROM perdoc p JOIN cum USING (bits_per_bigram)
+    """,
+    tags=("llm", "quality", "language-model", "perplexity", "gate"),
+)
+def corpus_lm_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM perplexity (whole-bit code length per
+    bigram event under the corpus's own Laplace-smoothed bigram
+    model) plus a keep bit for the low-perplexity half, found via the
+    sort-free quantile recipe (module docstring has the estimator,
+    the CCNet lineage, and the scale story).
+
+    Documents with fewer than two tokens have no bigram evidence and
+    are absent — the `text_unigram_surprisal` contract (a doc with no
+    events has no perplexity). Ties AT the median value: le_count is
+    inclusive, so a value bucket crossing the halfway point is
+    excluded whole — the kept share is <= 1/2 exactly, engine-
+    independent because the bucket boundaries are."""
+    perdoc, cum = _lm_cum(spark, sf_dir)
     return perdoc.join(F.broadcast(cum), "bits_per_bigram").select(
         "doc_id",
         "n_bigrams",
@@ -175,4 +193,47 @@ def corpus_lm_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "le_count",
         "n_all",
         (2 * F.col("le_count") <= F.col("n_all")).cast("int").alias("keep"),
+    )
+
+
+@query(
+    "corpus_lm_perplexity_buckets",
+    oracle=f"""
+    {_SQL_LM_CUM}
+    SELECT p.doc_id, p.n_bigrams, p.total_bits, p.bits_per_bigram,
+           CASE WHEN 3 * cum.le_count <= cum.n_all THEN 'head'
+                WHEN 3 * cum.le_count <= 2 * cum.n_all THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM perdoc p JOIN cum USING (bits_per_bigram)
+    """,
+    tags=("llm", "quality", "language-model", "perplexity", "ccnet"),
+)
+def corpus_lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet three-way split (Wenzek et al. 2020 §4.3): documents
+    bucketed head / middle / tail at the perplexity TERCILES — head
+    is the most fluent third the pipeline keeps unconditionally,
+    middle is kept-with-sampling, tail is where gibberish and
+    wrong-language text concentrate. The gate
+    (`corpus_lm_perplexity_gate`) answers "keep or drop at the
+    median"; production CCNet ships these three labeled pools, so
+    this emits the label per document.
+
+    Same estimator, same sort-free quantile machinery (`_lm_cum`,
+    shared code AND shared oracle fragment — the two queries cannot
+    drift): bucket boundaries are value-bucket-atomic (a
+    bits-per-bigram value bucket lands wholly in one tercile because
+    the inclusive le_count is constant across it), so the split is
+    engine-independent and each pool's share is <= 1/3 up to the
+    granularity of score ties. Scale: identical to the gate — one
+    extra CASE over the broadcast value table."""
+    perdoc, cum = _lm_cum(spark, sf_dir)
+    return perdoc.join(F.broadcast(cum), "bits_per_bigram").select(
+        "doc_id",
+        "n_bigrams",
+        "total_bits",
+        "bits_per_bigram",
+        F.when(3 * F.col("le_count") <= F.col("n_all"), "head")
+        .when(3 * F.col("le_count") <= 2 * F.col("n_all"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
     )

@@ -152,3 +152,33 @@ def test_bpe_token_count_bounds(spark, sf_dir):
         .collect()[0][0]
     )
     assert sum(r["n_bpe_tokens"] for r in rows) < n_chars
+
+
+def test_bpe_fertility_rolls_up_token_counts(spark, sf_dir):
+    """The per-language fertility table is exactly the roll-up of the
+    per-doc billing table joined to doc languages — shared trained
+    segmentation, so the two cannot disagree."""
+    from bigdata_project_spark.registry import all_queries
+    from bigdata_project_spark.tables import load
+
+    qs = all_queries()
+    fert = {r["lang"]: r for r in qs["vocab_bpe_fertility_by_lang"](spark, sf_dir).collect()}
+    percounts = {
+        r["doc_id"]: r for r in qs["vocab_bpe_token_count"](spark, sf_dir).collect()
+    }
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in load(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+    }
+    agg = {}
+    for doc_id, r in percounts.items():
+        lang = langs[doc_id]
+        a = agg.setdefault(lang, [0, 0, 0])
+        a[0] += 1
+        a[1] += r["n_words"]
+        a[2] += r["n_bpe_tokens"]
+    assert set(agg) == set(fert)
+    for lang, (n_docs, n_words, n_bpe) in agg.items():
+        f = fert[lang]
+        assert (f["n_docs"], f["n_words"], f["n_bpe_tokens"]) == (n_docs, n_words, n_bpe)
+        assert f["fertility"] >= 1.0

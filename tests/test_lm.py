@@ -77,3 +77,33 @@ def test_short_docs_have_no_bigram_evidence(spark, tmp_path):
     sf = _tiny_corpus(tmp_path, ["solo", "", "  ", "two tokens here"])
     rows = REGISTRY["corpus_lm_perplexity_gate"].fn(spark, sf).collect()
     assert {r["doc_id"] for r in rows} == {3}
+
+
+def test_perplexity_buckets_coherent_with_gate(spark, sf_dir):
+    """CCNet terciles: every doc gets exactly one bucket, each pool
+    holds at most a third of docs (up to score-tie granularity:
+    boundary value-buckets land whole), head docs are always
+    keep=1 under the median gate and tail docs always keep=0 —
+    the two queries share one estimator by construction."""
+    from bigdata_project_spark.registry import all_queries
+
+    qs = all_queries()
+    buckets = {
+        r["doc_id"]: r["bucket"]
+        for r in qs["corpus_lm_perplexity_buckets"](spark, sf_dir).collect()
+    }
+    keeps = {
+        r["doc_id"]: r["keep"]
+        for r in qs["corpus_lm_perplexity_gate"](spark, sf_dir).collect()
+    }
+    assert set(buckets) == set(keeps) and buckets
+    n = len(buckets)
+    counts = {b: sum(1 for v in buckets.values() if v == b) for b in ("head", "middle", "tail")}
+    assert sum(counts.values()) == n
+    assert counts["head"] <= n // 3
+    assert counts["head"] + counts["middle"] <= 2 * n // 3
+    for doc_id, b in buckets.items():
+        if b == "head":
+            assert keeps[doc_id] == 1, doc_id
+        if b == "tail":
+            assert keeps[doc_id] == 0, doc_id

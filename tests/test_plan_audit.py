@@ -53,6 +53,7 @@ BNLJ_WHITELIST: dict[str, str] = {
     "join_bloom_fp_audit": "1-row bloom-filter map broadcast onto the probe side",
     "vocab_bpe_merges": "six 1-row best-pair broadcasts (one per BPE iteration)",
     "vocab_bpe_token_count": "six 1-row best-pair broadcasts (one per BPE iteration)",
+    "vocab_bpe_fertility_by_lang": "six 1-row best-pair broadcasts (one per BPE iteration)",
     "dedup_semantic_cells": "fixed-k centroid table cross to assign cells",
     "dedup_semantic_incremental": "fixed-k centroid table cross to assign cells",
     "corpus_dsir_importance": "two 1-row model-total broadcasts (code-length denominators)",

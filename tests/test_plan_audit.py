@@ -54,6 +54,8 @@ BNLJ_WHITELIST: dict[str, str] = {
     "vocab_bpe_merges": "six 1-row best-pair broadcasts (one per BPE iteration)",
     "vocab_bpe_token_count": "six 1-row best-pair broadcasts (one per BPE iteration)",
     "vocab_bpe_fertility_by_lang": "six 1-row best-pair broadcasts (one per BPE iteration)",
+    "corpus_lm_perplexity_buckets": "1-row vocab-size broadcast (shared _lm_cum build)",
+    "corpus_source_kl_audit": "1-row global-totals broadcast (code-length denominators)",
     "dedup_semantic_cells": "fixed-k centroid table cross to assign cells",
     "dedup_semantic_incremental": "fixed-k centroid table cross to assign cells",
     "corpus_dsir_importance": "two 1-row model-total broadcasts (code-length denominators)",

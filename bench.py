@@ -149,6 +149,7 @@ HEADLINE = [
     "corpus_source_kl_audit",
     "corpus_lm_perplexity_buckets",
     "agg_countmin_audit",
+    "stream_countmin_incremental",
 ]
 
 

@@ -71,6 +71,48 @@ _CMS_POS_ARRAY = f"""
 """
 
 
+def _cms_tf(df: DataFrame) -> DataFrame:
+    """(token, exact_count) over a (.., text) relation."""
+    return (
+        df.select(F.explode(words_col(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("exact_count"))
+    )
+
+
+def _cms_sketch(tf: DataFrame) -> DataFrame:
+    """(r, col, c): the counter table from a term-frequency relation
+    — weighted build, identical to streaming the occurrences."""
+    entries = tf.select(
+        "exact_count", F.posexplode(F.expr(_CMS_POS_ARRAY)).alias("r", "col")
+    )
+    return entries.groupBy("r", "col").agg(
+        F.sum("exact_count").cast("long").alias("c")
+    )
+
+
+def _cms_audit(tf: DataFrame, sketch: DataFrame) -> DataFrame:
+    """Top-20 heavy tokens probed against a counter table: exact,
+    min-over-rows estimate, overestimate."""
+    top = tf.orderBy(F.desc("exact_count"), F.desc("token")).limit(_TOP)
+    probe = top.select(
+        "token", "exact_count", F.posexplode(F.expr(_CMS_POS_ARRAY)).alias("r", "col")
+    )
+    return (
+        probe.join(F.broadcast(sketch), ["r", "col"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("c").cast("long").alias("cms_estimate"))
+        .select(
+            "token",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).cast("long").alias(
+                "overestimate"
+            ),
+        )
+    )
+
+
 @query(
     "agg_countmin_audit",
     oracle=f"""
@@ -124,29 +166,123 @@ def agg_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical md5-slice arithmetic bucket for bucket. Module
     docstring has the layout and the 100 TB shuffle story (constant
     4096-group build, broadcast sketch, TakeOrdered top-k)."""
-    docs = load_spread(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(words_col(F.col("text"))).alias("token"))
-    tf = toks.groupBy("token").agg(F.count("*").cast("long").alias("exact_count"))
-    pos = F.expr(_CMS_POS_ARRAY)
-    entries = tf.select("exact_count", F.posexplode(pos).alias("r", "col"))
-    sketch = entries.groupBy("r", "col").agg(
-        F.sum("exact_count").cast("long").alias("c")
-    )
-    top = tf.orderBy(F.desc("exact_count"), F.desc("token")).limit(_TOP)
-    probe = top.select("token", "exact_count", F.posexplode(pos).alias("r", "col"))
-    return (
-        probe.join(F.broadcast(sketch), ["r", "col"])
-        .groupBy("token", "exact_count")
-        .agg(F.min("c").cast("long").alias("cms_estimate"))
-        .select(
-            "token",
-            "exact_count",
-            "cms_estimate",
-            (F.col("cms_estimate") - F.col("exact_count")).cast("long").alias(
-                "overestimate"
-            ),
+    tf = _cms_tf(load_spread(spark, sf_dir, "documents"))
+    return _cms_audit(tf, _cms_sketch(tf))
+
+
+
+
+# --------------------------------------------- streaming incremental CMS
+
+
+def run_cms_stream(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 3
+) -> tuple[DataFrame, int]:
+    """The count-min sketch in its production home: a STREAM of
+    documents, the counter table maintained incrementally across
+    micro-batches. Mergeability is THE reason sketches exist at
+    scale — per-batch counter deltas SUM to exactly the batch-build
+    counters (integer addition, order-free) — so the streamed store
+    must reproduce `agg_countmin_audit`'s answer bit for bit, and
+    the streaming query shares its oracle.
+
+    Mechanics (the `run_frontier_stream` harness): `n_chunks`
+    doc_id-ranged file micro-batches (availableNow +
+    maxFilesPerTrigger=1); each foreachBatch computes the batch's
+    (r, col) counter deltas and merges them into a CONSOLIDATED
+    store version read back from the previous batch's write — the
+    final audit probes only the last version, so its correctness is
+    reachable only through the restored cross-batch state (a real
+    state-carry check, not a union replay). The store stays <=
+    d x w rows at every version. Unlike the frontier (first-writer-
+    wins needs order), NO delivery-order assertion exists here —
+    counter addition commutes, and that is exactly the property
+    being demonstrated.
+
+    Scale: per micro-batch work is one token count + a <= 4096-group
+    delta aggregate + a <= 4096-row merge; the store never grows
+    with the corpus. The foreachBatch body is unchanged under a
+    Kafka source."""
+    import os
+    import shutil
+    import tempfile
+
+    from bigdata_project_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="cms_stream_")
+    src_dir = os.path.join(work, "src")
+    try:
+        lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+        if lo is None:
+            lo, hi = 0, 0
+        step = max(1, (int(hi) - int(lo)) // n_chunks + 1)
+        for i in range(n_chunks):
+            chunk = docs.filter(
+                (F.col("doc_id") >= lo + i * step)
+                & (F.col("doc_id") < lo + (i + 1) * step)
+            )
+            chunk.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(src_dir, f"chunk{i}")
+            )
+
+        # consolidated store versions: v0 is the empty counter table
+        latest = [os.path.join(work, "sketch_v0")]
+        version = [0]
+        docs.limit(0).select(
+            F.lit(0).alias("r"), F.lit(0).alias("col"),
+            F.lit(0).cast("long").alias("c"),
+        ).write.parquet(latest[0])
+
+        def merge_batch(bdf: DataFrame, _bid: int) -> None:
+            delta = _cms_sketch(_cms_tf(bdf))
+            prev = spark.read.parquet(latest[0])
+            merged = (
+                prev.unionByName(delta)
+                .groupBy("r", "col")
+                .agg(F.sum("c").cast("long").alias("c"))
+            )
+            version[0] += 1
+            nxt = os.path.join(work, f"sketch_v{version[0]}")
+            merged.write.parquet(nxt)
+            latest[0] = nxt
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
         )
-    )
+        sq = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+        n_batches = len(sq.recentProgress)
+        sketch = spark.read.parquet(latest[0]).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    tf = _cms_tf(load_spread(spark, sf_dir, "documents"))
+    return _cms_audit(tf, sketch), n_batches
 
 
-assert "agg_countmin_audit" in REGISTRY  # registration side effect
+@query(
+    "stream_countmin_incremental",
+    oracle=None,  # set below: shares agg_countmin_audit's oracle
+    tags=("streaming", "sketch", "countmin", "foreachBatch", "incremental"),
+)
+def stream_countmin_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`agg_countmin_audit` with the counter table built INCREMENTALLY
+    over three doc_id-ranged micro-batches (see run_cms_stream).
+    Shares the batch oracle because per-batch counter deltas sum to
+    exactly the batch-build counters — the estimates are only
+    reachable through the consolidated cross-batch store, so the
+    value match is a genuine state-carry check of sketch
+    mergeability."""
+    res, _ = run_cms_stream(spark, sf_dir, n_chunks=3)
+    return res
+
+
+REGISTRY["stream_countmin_incremental"].oracle = REGISTRY["agg_countmin_audit"].oracle

@@ -154,9 +154,10 @@ _LOADED = False
 # stream_incremental_rollup), then the r6 vintage.
 # Round-12 rotation queue: FIRST any oracled queries registered after
 # this window froze (diff all_oracles() against CORRECTNESS_r01-r11
-# row names at r12 start), then oldest-last-checked — the 13 r11
+# row names at r12 start), then oldest-last-checked — the 14 r11
 # additions pushed out these tail names during round 11 (re-queue in
-# original window order: join_market_basket_pairs,
+# original window order: events_user_trend_slope,
+# join_market_basket_pairs,
 # tpch_q2_min_cost_supplier, tpch_q4_order_priority,
 # tpch_q6_forecast_revenue, tpch_q7_volume_shipping,
 # tpch_q8_market_share, tpch_q9_product_type_profit,
@@ -180,6 +181,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "corpus_lm_perplexity_buckets",
     "agg_countmin_audit",
     "vocab_bpe_fertility_by_lang",
+    "stream_countmin_incremental",
     # --- oldest-last-checked: the 16 r4-vintage names trimmed from
     # the r10 window's tail (original order) ---
     "events_gapfill_hourly",
@@ -220,7 +222,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "events_rfm_segments",
     "events_interarrival_stats",
     "events_burst_detection",
-    "events_user_trend_slope",
 )
 
 

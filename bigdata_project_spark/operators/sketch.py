@@ -199,6 +199,12 @@ def run_cms_stream(
     counter addition commutes, and that is exactly the property
     being demonstrated.
 
+    Store versions are KEYED BY BATCH ID and a completed version is
+    never re-merged (the `_SUCCESS` marker gates a skip), so an
+    at-least-once redelivery of a micro-batch — foreachBatch's
+    contract under a real Kafka source — merges each delta exactly
+    once instead of double-counting it.
+
     Scale: per micro-batch work is one token count + a <= 4096-group
     delta aggregate + a <= 4096-row merge; the store never grows
     with the corpus. The foreachBatch body is unchanged under a
@@ -226,15 +232,21 @@ def run_cms_stream(
                 os.path.join(src_dir, f"chunk{i}")
             )
 
-        # consolidated store versions: v0 is the empty counter table
-        latest = [os.path.join(work, "sketch_v0")]
-        version = [0]
+        # consolidated store versions: v_init is the empty counter
+        # table; later versions are keyed by BATCH ID so an
+        # at-least-once redelivery finds its completed version and
+        # skips the merge (idempotent under foreachBatch retries)
+        latest = [os.path.join(work, "sketch_v_init")]
         docs.limit(0).select(
             F.lit(0).alias("r"), F.lit(0).alias("col"),
             F.lit(0).cast("long").alias("c"),
         ).write.parquet(latest[0])
 
-        def merge_batch(bdf: DataFrame, _bid: int) -> None:
+        def merge_batch(bdf: DataFrame, bid: int) -> None:
+            nxt = os.path.join(work, f"sketch_b{bid}")
+            if os.path.exists(os.path.join(nxt, "_SUCCESS")):
+                latest[0] = nxt  # retry of a completed batch: no re-merge
+                return
             delta = _cms_sketch(_cms_tf(bdf))
             prev = spark.read.parquet(latest[0])
             merged = (
@@ -242,9 +254,9 @@ def run_cms_stream(
                 .groupBy("r", "col")
                 .agg(F.sum("c").cast("long").alias("c"))
             )
-            version[0] += 1
-            nxt = os.path.join(work, f"sketch_v{version[0]}")
-            merged.write.parquet(nxt)
+            # overwrite clears a half-written version from a crashed
+            # attempt; the _SUCCESS marker commits it
+            merged.write.mode("overwrite").parquet(nxt)
             latest[0] = nxt
 
         stream = (

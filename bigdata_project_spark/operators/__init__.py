@@ -20,6 +20,7 @@ from bigdata_project_spark.operators import (  # noqa: F401
     multimodal,
     packing,
     pq,
+    pq_residual,
     quality_ext,
     retrieval,
     rewrite,

@@ -513,11 +513,15 @@ from bigdata_project_spark.operators.similarity import (  # noqa: E402
     _SQL_DOT_QC,
 )
 
-def _sql_ivf_cells(nprobe: int = 1) -> str:
+def _sql_ivf_cells(nprobe: int = 1, keep_arn: bool = False) -> str:
     """Coarse-stage CTEs: quantized-mean centroid per label cell and
     the query -> probed-cell assignment, keeping the `nprobe` nearest
     cells per query (nprobe=1 is the single-cell composed search;
-    nprobe=2 turns the cell-recall dial the refine stage can't)."""
+    nprobe=2 turns the cell-recall dial the refine stage can't).
+    keep_arn additionally carries the assignment rank so a consumer
+    can slice one maxprobe probe table into nested nprobe levels
+    (the tuning-curve query)."""
+    arn = ", arn" if keep_arn else ""
     return f"""
     ivf_cdim AS (
         SELECT label, i.r AS pos,
@@ -535,7 +539,7 @@ def _sql_ivf_cells(nprobe: int = 1) -> str:
                                   ORDER BY ({_SQL_DOT_QC}) / SQRT({_SQL_CNORM}) DESC, label) AS arn
         FROM qv, ivf_cent
     ),
-    qprobe AS (SELECT query_id, label AS cell FROM qassign WHERE arn <= {nprobe})
+    qprobe AS (SELECT query_id, label AS cell{arn} FROM qassign WHERE arn <= {nprobe})
 """
 
 
@@ -568,26 +572,12 @@ _SQL_IVFPQ_PRELUDE = (
 )
 
 
-def _ivfpq_adc_ranked(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame:
-    """(query_id, neighbor_id, adc, rnk) for every candidate in the
-    query's `nprobe` probed cells — the Spark twin of
-    _SQL_IVFPQ_RANKED. Each corpus vector has exactly one cell label,
-    so even with nprobe > 1 a candidate matches at most one of the
-    query's probed cells — the probe join never duplicates rows."""
-    from bigdata_project_spark.caching import tracked_persist
-
-    emb = with_norm(load(spark, sf_dir, "embeddings"))
-    subs = tracked_persist(_pq_subs(spark, sf_dir))
-    cb = tracked_persist(_pq_codebook(subs))
-    codes = _pq_encode(subs, cb)
-    lut = (
-        subs.filter(F.col("vec_id").isin(*_QUERY_IDS))
-        .select(F.col("vec_id").alias("query_id"), "j", F.col("u_sub").alias("q_sub"))
-        .join(F.broadcast(cb), "j")
-        .select("query_id", "j", "b", _dist16_col("q_sub", "m_arr").alias("pd"))
-    )
-    # coarse stage: quantized-mean centroid per label cell, broadcast
-    # assign of the 3 queries (sim_ann_ivf_probe's construction)
+def _ivf_qprobe(emb: DataFrame, nprobe: int, keep_arn: bool = False) -> DataFrame:
+    """(query_id, cell[, arn]): the coarse stage — quantized-mean
+    centroid per label cell, broadcast assign of the 3 queries, top
+    `nprobe` cells per query by cosine (sim_ann_ivf_probe's
+    construction; the Spark twin of _sql_ivf_cells). keep_arn carries
+    the assignment rank for nested-nprobe consumers."""
     exploded = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
     qvq = F.round(F.col("val").cast("double") * 1048576, 0).cast("long")
     cdim = exploded.groupBy("label", "pos").agg(
@@ -615,11 +605,32 @@ def _ivfpq_adc_ranked(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> Data
         "query_id", "label", (dot_qc / F.sqrt(c_norm)).alias("score")
     )
     wq = W.partitionBy("query_id").orderBy(F.desc("score"), "label")
-    probe = (
+    return (
         qassign.select("*", F.row_number().over(wq).alias("arn"))
         .filter(F.col("arn") <= nprobe)
-        .select("query_id", F.col("label").alias("cell"))
+        .select("query_id", F.col("label").alias("cell"), *(["arn"] if keep_arn else []))
     )
+
+
+def _ivfpq_adc_ranked(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame:
+    """(query_id, neighbor_id, adc, rnk) for every candidate in the
+    query's `nprobe` probed cells — the Spark twin of
+    _SQL_IVFPQ_RANKED. Each corpus vector has exactly one cell label,
+    so even with nprobe > 1 a candidate matches at most one of the
+    query's probed cells — the probe join never duplicates rows."""
+    from bigdata_project_spark.caching import tracked_persist
+
+    emb = with_norm(load(spark, sf_dir, "embeddings"))
+    subs = tracked_persist(_pq_subs(spark, sf_dir))
+    cb = tracked_persist(_pq_codebook(subs))
+    codes = _pq_encode(subs, cb)
+    lut = (
+        subs.filter(F.col("vec_id").isin(*_QUERY_IDS))
+        .select(F.col("vec_id").alias("query_id"), "j", F.col("u_sub").alias("q_sub"))
+        .join(F.broadcast(cb), "j")
+        .select("query_id", "j", "b", _dist16_col("q_sub", "m_arr").alias("pd"))
+    )
+    probe = _ivf_qprobe(emb, nprobe)
     # fine stage: ADC over the probed cell's codes only
     labeled = codes.join(emb.select("vec_id", "label"), "vec_id")
     cand = labeled.join(

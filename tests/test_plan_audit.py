@@ -49,6 +49,9 @@ BNLJ_WHITELIST: dict[str, str] = {
     "sim_recall_ivfpq_rerank_at_k": "nested centroid cross + brute-force query-set broadcast",
     "sim_ivfpq_nprobe2": "fixed-k centroid table cross to assign cells",
     "sim_recall_ivfpq_nprobe2_at_k": "nested centroid cross + brute-force query-set broadcast",
+    "sim_ivfpq_residual": "fixed-k centroid table cross to assign cells",
+    "sim_recall_ivfpq_residual_at_k": "nested centroid cross + brute-force query-set broadcast",
+    "sim_ivfpq_nprobe_curve": "centroid cross + 3-row nprobe-level range join (np >= arn)",
     "join_bloom_prefilter": "1-row bloom-filter map broadcast onto the probe side",
     "join_bloom_fp_audit": "1-row bloom-filter map broadcast onto the probe side",
     "vocab_bpe_merges": "six 1-row best-pair broadcasts (one per BPE iteration)",

@@ -18,6 +18,7 @@ from bigdata_project_spark.operators import (  # noqa: F401
     dsir,
     lm,
     multimodal,
+    nb,
     packing,
     pq,
     pq_residual,

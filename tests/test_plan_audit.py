@@ -62,6 +62,8 @@ BNLJ_WHITELIST: dict[str, str] = {
     "dedup_semantic_cells": "fixed-k centroid table cross to assign cells",
     "dedup_semantic_incremental": "fixed-k centroid table cross to assign cells",
     "corpus_dsir_importance": "two 1-row model-total broadcasts (code-length denominators)",
+    "corpus_nb_quality_classifier": "1-row class-prior + absence-constant broadcasts",
+    "corpus_nb_lm_agreement": "nested NB prior/absence + LM vocab 1-row broadcasts",
     "sim_knn_bruteforce": "fixed 5-vector query set broadcast (non-equi by design)",
     "sim_truncated_dim_recall": "fixed tiny query set broadcast in both exact passes",
     "sim_knn_quantized_int8": "fixed 5-vector query set broadcast (non-equi by design)",

@@ -23,6 +23,7 @@ from bigdata_project_spark.operators import (  # noqa: F401
     pq,
     pq_residual,
     quality_ext,
+    quantile,
     retrieval,
     rewrite,
     semdedup,

@@ -27,6 +27,7 @@ BNLJ_WHITELIST: dict[str, str] = {
     "events_rfm_segments": "1-row percentile-boundary struct broadcast",
     "agg_share_of_total": "1-row grand-total broadcast",
     "agg_spend_decile_buckets": "1-row decile-boundary array broadcast",
+    "agg_quantile_sketch_audit": "9-row decile-rank broadcast range-probed into tiny cum tables",
     "agg_heavy_hitters_exact": "1-row total-count broadcast",
     "qa_benford_leading_digit": "1-row total-count broadcast",
     "qa_join_skew_forecast": "1-row predicted-totals broadcast onto the top-5 rows",

@@ -100,16 +100,12 @@ _SQL_LM_CUM = """
 """
 
 
-def _lm_cum(spark: SparkSession, sf_dir: str):
-    """(perdoc, cum): the shared Spark-side build — bigram events,
-    Laplace whole-bit per-doc totals, and the sort-free cumulative
-    value-distribution table. Mirrors `_SQL_LM_CUM` stage for stage;
-    consumed by the median gate and the CCNet buckets."""
-    docs = load_spread(spark, sf_dir, "documents")
+def _events(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) bigram events via two aligned slices; the
+    when-guard keeps the negative-length slice unevaluated for
+    0/1-token docs (CASE branches are lazy per row), and
+    explode(NULL) drops them."""
     words = words_col(F.col("text"))
-    # bigram events via two aligned slices; the when-guard keeps the
-    # negative-length slice unevaluated for 0/1-token docs (CASE
-    # branches are lazy per row), and explode(NULL) drops them
     pairs = F.when(
         F.size(words) >= 2,
         F.zip_with(
@@ -118,13 +114,22 @@ def _lm_cum(spark: SparkSession, sf_dir: str):
             lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
         ),
     )
-    ev = docs.select("doc_id", F.explode(pairs).alias("e")).select(
+    return docs.select("doc_id", F.explode(pairs).alias("e")).select(
         "doc_id", F.col("e.w1").alias("w1"), F.col("e.w2").alias("w2")
     )
+
+
+def _lm_cum(spark: SparkSession, sf_dir: str):
+    """(perdoc, cum): the shared Spark-side build — bigram events,
+    Laplace whole-bit per-doc totals, and the sort-free cumulative
+    value-distribution table. Mirrors `_SQL_LM_CUM` stage for stage;
+    consumed by the median gate and the CCNet buckets."""
+    docs = load_spread(spark, sf_dir, "documents")
+    ev = _events(docs)
     ctx = ev.groupBy("w1").agg(F.count("*").alias("n_ctx"))
     pair = ev.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
     voc = (
-        docs.select(F.explode(words).alias("token"))
+        docs.select(F.explode(words_col(F.col("text"))).alias("token"))
         .agg(F.count_distinct("token").cast("long").alias("vocab"))
     )
     bits = F.length(F.bin(F.expr("(n_ctx + vocab) div (n_pair + 1)"))) - 1
@@ -143,20 +148,24 @@ def _lm_cum(spark: SparkSession, sf_dir: str):
             ),
         )
     )
-    # sort-free quantiles: counts per distinct score (tiny aggregate),
-    # one cumulative window over it, broadcast join back — the
-    # corpus_quality_stratified_gate shape, global instead of
-    # per-language (the single-partition window runs over the
-    # compressed value table, never over documents)
+    return perdoc, _cum_of(perdoc)
+
+
+def _cum_of(perdoc: DataFrame) -> DataFrame:
+    """Sort-free quantiles: counts per distinct score (tiny
+    aggregate), one cumulative window over it, broadcast join back —
+    the corpus_quality_stratified_gate shape, global instead of
+    per-language (the single-partition window runs over the
+    compressed value table, never over documents). Shared by the
+    Laplace gate/buckets and the Stupid-Backoff gate."""
     vc = perdoc.groupBy("bits_per_bigram").agg(F.count("*").alias("c"))
     w_asc = Window.orderBy("bits_per_bigram")
     w_all = Window.partitionBy()
-    cum = vc.select(
+    return vc.select(
         "bits_per_bigram",
         F.sum("c").over(w_asc).cast("long").alias("le_count"),
         F.sum("c").over(w_all).cast("long").alias("n_all"),
     )
-    return perdoc, cum
 
 
 @query(
@@ -237,3 +246,208 @@ def corpus_lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+# --------------------------------------------- Stupid-Backoff gate
+
+# Production CCNet models are not add-one bigram models: large-scale
+# n-gram LMs use backoff (Kneser-Ney when counts-of-counts are
+# affordable, STUPID BACKOFF — Brants et al. 2007, "Large Language
+# Models in Machine Translation" — at web scale, where it matches KN
+# quality with pure count ratios). Stupid Backoff scores
+#
+#     S(w2 | w1) = c(w1, w2) / c(w1)        if the pair was seen
+#                = alpha * S(w2)            otherwise
+#
+# with a fixed penalty alpha. Two departures from the Laplace gate,
+# both production-true: (1) the model is trained on a HELD-OUT split
+# (even doc_ids) and scores every document — backoff only exists
+# when scoring text the model didn't see, exactly CCNet's
+# train-on-Wikipedia / score-the-crawl shape; (2) seen pairs are
+# scored by the PURE count ratio (no +1 distortion), unseen pairs
+# back off to the add-one-smoothed unigram (the one place smoothing
+# is still required for integer safety). alpha = 1/2 — the nearest
+# power of two to Brants' 0.4 — makes the penalty EXACTLY one whole
+# bit, so the whole estimator stays order-free integer sums:
+#
+#     bits(w1, w2) = bitlen(c(w1) div c(w1, w2)) - 1      if seen
+#                  = 1 + bitlen((N + V) div (c(w2) + 1)) - 1  else
+#
+# Scale: identical exchanges to the Laplace gate (token-keyed count
+# aggregates, event->model joins on (w1, w2) / w1 / w2 with NO
+# vocabulary broadcast, 1-row totals broadcast, doc rollup, the
+# sort-free quantile table).
+
+_SQL_BACKOFF_CUM = """
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS words
+        FROM documents
+    ),
+    ev AS (
+        SELECT doc_id, words[i.i + 1] AS w1, words[i.i + 2] AS w2
+        FROM w, LATERAL (SELECT unnest(range(greatest(len(words) - 1, 0))) AS i) i
+    ),
+    tr_ev AS (SELECT * FROM ev WHERE doc_id % 2 = 0),
+    ctx AS (SELECT w1, COUNT(*) AS c1 FROM tr_ev GROUP BY w1),
+    pair AS (SELECT w1, w2, COUNT(*) AS c12 FROM tr_ev GROUP BY w1, w2),
+    uni AS (SELECT w2 AS tok, COUNT(*) AS c2 FROM tr_ev GROUP BY w2),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_ev,
+               CAST(COUNT(DISTINCT w2) AS BIGINT) AS vocab
+        FROM tr_ev
+    ),
+    perdoc AS (
+        SELECT e.doc_id,
+               COUNT(*) AS n_bigrams,
+               CAST(SUM(CASE WHEN p.c12 IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_backoff,
+               CAST(SUM(CASE WHEN p.c12 IS NOT NULL
+                        THEN length(bin(c.c1 // p.c12)) - 1
+                        ELSE length(bin((t.n_ev + t.vocab) // (COALESCE(u.c2, 0) + 1)))
+                        END) AS BIGINT) AS total_bits,
+               CAST(SUM(CASE WHEN p.c12 IS NOT NULL
+                        THEN length(bin(c.c1 // p.c12)) - 1
+                        ELSE length(bin((t.n_ev + t.vocab) // (COALESCE(u.c2, 0) + 1)))
+                        END) AS DOUBLE) / COUNT(*) AS bits_per_bigram
+        FROM ev e
+        LEFT JOIN pair p ON p.w1 = e.w1 AND p.w2 = e.w2
+        LEFT JOIN ctx c ON c.w1 = e.w1
+        LEFT JOIN uni u ON u.tok = e.w2
+        CROSS JOIN tot t
+        GROUP BY e.doc_id
+    ),
+    vc AS (SELECT bits_per_bigram, COUNT(*) AS c FROM perdoc GROUP BY bits_per_bigram),
+    cum AS (
+        SELECT bits_per_bigram,
+               SUM(c) OVER (ORDER BY bits_per_bigram ASC) AS le_count,
+               SUM(c) OVER () AS n_all
+        FROM vc
+    )
+"""
+
+
+def _backoff_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Stupid-Backoff whole-bit totals under the even-doc_id
+    train split — the Spark twin of _SQL_BACKOFF_CUM's perdoc."""
+    docs = load_spread(spark, sf_dir, "documents")
+    ev = _events(docs)
+    tr = ev.filter(F.col("doc_id") % 2 == 0)
+    ctx = tr.groupBy("w1").agg(F.count("*").alias("c1"))
+    pair = tr.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni = tr.groupBy("w2").agg(F.count("*").alias("c2")).select(
+        F.col("w2").alias("tok"), "c2"
+    )
+    tot = tr.agg(
+        F.count("*").cast("long").alias("n_ev"),
+        F.count_distinct("w2").cast("long").alias("vocab"),
+    )
+    bits = F.when(
+        F.col("c12").isNotNull(), F.length(F.bin(F.expr("c1 div c12"))) - 1
+    ).otherwise(
+        F.length(F.bin(F.expr("(n_ev + vocab) div (coalesce(c2, 0) + 1)")))
+    )
+    return (
+        ev.join(pair, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(uni, F.col("w2") == F.col("tok"), "left")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.when(F.col("c12").isNotNull(), 0).otherwise(1))
+            .cast("long")
+            .alias("n_backoff"),
+            F.sum(bits).cast("long").alias("total_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_backoff",
+            "total_bits",
+            (F.col("total_bits").cast("double") / F.col("n_bigrams")).alias(
+                "bits_per_bigram"
+            ),
+        )
+    )
+
+
+@query(
+    "corpus_lm_backoff_gate",
+    oracle=f"""
+    {_SQL_BACKOFF_CUM}
+    SELECT p.doc_id, p.n_bigrams, p.n_backoff, p.total_bits, p.bits_per_bigram,
+           CAST(cum.le_count AS BIGINT) AS le_count,
+           CAST(cum.n_all AS BIGINT) AS n_all,
+           CAST(2 * cum.le_count <= cum.n_all AS INT) AS keep
+    FROM perdoc p JOIN cum USING (bits_per_bigram)
+    """,
+    tags=("llm", "quality", "language-model", "perplexity", "backoff", "gate"),
+)
+def corpus_lm_backoff_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Stupid-Backoff bits/bigram under a bigram model
+    trained on the even-doc_id half and scoring EVERY document, plus
+    the median keep bit via the shared sort-free quantile recipe
+    (`_cum_of`) — the production-backoff sibling of
+    `corpus_lm_perplexity_gate` (section comment has the estimator,
+    the Brants et al. lineage, the alpha = 1/2 whole-bit penalty,
+    and the held-out-split rationale). n_backoff counts the events
+    that fell back to the unigram — the model-coverage diagnostic an
+    operator reads next to the score (held-out docs back off, train
+    docs don't).
+
+    Documents with fewer than two tokens have no bigram evidence and
+    are absent; tie buckets at the median are excluded whole — both
+    contracts identical to the Laplace gate, so the two keep sets
+    are directly comparable (`corpus_lm_gate_overlap`)."""
+    perdoc = _backoff_perdoc(spark, sf_dir)
+    return perdoc.join(F.broadcast(_cum_of(perdoc)), "bits_per_bigram").select(
+        "doc_id",
+        "n_bigrams",
+        "n_backoff",
+        "total_bits",
+        "bits_per_bigram",
+        "le_count",
+        "n_all",
+        (2 * F.col("le_count") <= F.col("n_all")).cast("int").alias("keep"),
+    )
+
+
+@query(
+    "corpus_lm_gate_overlap",
+    oracle="""
+    SELECT b.keep AS backoff_keep, l.keep AS laplace_keep,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM ({BO}) b JOIN ({LA}) l ON b.doc_id = l.doc_id
+    GROUP BY b.keep, l.keep
+    """,
+    tags=("llm", "quality", "language-model", "audit", "confusion"),
+)
+def corpus_lm_gate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-set overlap between the Stupid-Backoff gate and the
+    Laplace gate: the 2x2 confusion over documents both can score.
+    Both gates keep <= half the corpus at their own median, so the
+    matrix reads as 'how much of the kept pool survives swapping the
+    smoother' — the ablation a pipeline owner runs before switching
+    LM backends (rank correlation between the two scores is pinned
+    separately in tests/test_lm_backoff.py). Component oracles nest,
+    so the audit is value-verified end to end."""
+    bo = corpus_lm_backoff_gate(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("backoff_keep")
+    )
+    la = corpus_lm_perplexity_gate(spark, sf_dir).select(
+        F.col("doc_id").alias("l_did"), F.col("keep").alias("laplace_keep")
+    )
+    return (
+        bo.join(la, F.col("doc_id") == F.col("l_did"))
+        .groupBy("backoff_keep", "laplace_keep")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+from bigdata_project_spark.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["corpus_lm_gate_overlap"].oracle = _REG["corpus_lm_gate_overlap"].oracle.format(
+    BO=_REG["corpus_lm_backoff_gate"].oracle,
+    LA=_REG["corpus_lm_perplexity_gate"].oracle,
+)

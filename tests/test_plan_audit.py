@@ -76,6 +76,8 @@ BNLJ_WHITELIST: dict[str, str] = {
     "dedup_lsh_band_tuning": "1-row ground-truth-count broadcast onto the 3-config curve",
     "text_unigram_surprisal": "1-row corpus-token-total broadcast (code-length denominator)",
     "corpus_lm_perplexity_gate": "1-row vocab-size broadcast (Laplace denominator)",
+    "corpus_lm_backoff_gate": "1-row train-totals broadcast (backoff denominator)",
+    "corpus_lm_gate_overlap": "nested gates' 1-row totals broadcasts",
     "corpus_quality_gate": "inherits text_unigram_surprisal's 1-row corpus-total broadcast",
     "join_copurchase_lift": "1-row distinct-order-total broadcast (lift denominator)",
     "corpus_k_anonymize_release": "1-row level-2-total broadcast (record-suppression guard)",

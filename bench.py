@@ -150,6 +150,14 @@ HEADLINE = [
     "corpus_lm_perplexity_buckets",
     "agg_countmin_audit",
     "stream_countmin_incremental",
+    # round-12 additions
+    "sim_ivfpq_residual",
+    "sim_ivfpq_nprobe_curve",
+    "corpus_nb_quality_classifier",
+    "agg_quantile_sketch_hist",
+    "agg_quantile_sketch_audit",
+    "stream_quantile_incremental",
+    "corpus_lm_backoff_gate",
 ]
 
 

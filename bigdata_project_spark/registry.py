@@ -152,76 +152,78 @@ _LOADED = False
 # events_burst_detection, events_user_trend_slope,
 # join_market_basket_pairs, the tpch_q* sweep,
 # stream_incremental_rollup), then the r6 vintage.
-# Round-12 rotation queue: FIRST any oracled queries registered after
-# this window froze (diff all_oracles() against CORRECTNESS_r01-r11
-# row names at r12 start), then oldest-last-checked — the 14 r11
-# additions pushed out these tail names during round 11 (re-queue in
-# original window order: events_user_trend_slope,
-# join_market_basket_pairs,
-# tpch_q2_min_cost_supplier, tpch_q4_order_priority,
-# tpch_q6_forecast_revenue, tpch_q7_volume_shipping,
-# tpch_q8_market_share, tpch_q9_product_type_profit,
-# tpch_q10_returned_items, tpch_q11_important_parts,
-# tpch_q12_late_priority), then the r5 vintage remainder
-# (registration order: tpch_q13 onward through
-# stream_incremental_rollup), then the r6 vintage.
+# Round-12 window (exactly 50): the 10 round-12 additions first
+# (never driver-checked), then the 11 names trimmed during round 11,
+# then the r5-vintage remainder (tpch_q13 onward through
+# stream_incremental_rollup, registration order), the r6-vintage
+# streaming re-confirms, and the 4 next-oldest by last-checked round.
+# Round-13 rotation queue: FIRST any oracled queries registered after
+# this window froze (diff all_oracles() against CORRECTNESS_r01-r12
+# row names at r13 start), then oldest-last-checked — the r6-vintage
+# remainder not re-confirmed here (diff last-checked==6 names against
+# this window; registration order), then the r7-vintage backlog
+# (last-checked==7, registration order), then r8 onward. No-oracle
+# (rows-only) entries stay excluded: the driver marks them err.
 _DRIVER_FIRST: tuple[str, ...] = (
-    # --- never driver-checked: round-11 additions (inserted here as
-    # each lands; one tail name trimmed per insertion) ---
-    "sim_ivfpq_nprobe2",
-    "sim_recall_ivfpq_nprobe2_at_k",
-    "corpus_lm_perplexity_gate",
-    "contamination_decontam_rewrite",
-    "join_bloom_prefilter",
-    "join_bloom_fp_audit",
-    "multimodal_png_resize",
-    "vocab_bpe_merges",
-    "vocab_bpe_token_count",
-    "corpus_source_kl_audit",
-    "corpus_lm_perplexity_buckets",
-    "agg_countmin_audit",
-    "vocab_bpe_fertility_by_lang",
-    "stream_countmin_incremental",
-    # --- oldest-last-checked: the 16 r4-vintage names trimmed from
-    # the r10 window's tail (original order) ---
-    "events_gapfill_hourly",
-    "scalar_string_functions",
-    "scalar_date_functions",
-    "scalar_math_guarded",
-    "scalar_null_handling",
-    "scalar_array_functions",
-    "scalar_json_extraction",
-    "scalar_case_conversion",
-    "scalar_regexp_family",
-    "scalar_url_parse",
-    "scalar_csv_column_codec",
-    "scalar_interval_datetime",
-    "setop_union_by_name_missing",
-    "vn_listing_normalize",
-    "dedup_lsh_pair_recall",
-    "chunk_documents_overlap",
-    # --- r5 vintage head (registration order; trimmed from the tail
-    # as r11 additions land) ---
-    "vocab_top_terms",
-    "sample_quality_weighted",
-    "graph_triangle_stats",
-    "mixture_source_weights",
-    "quality_gopher_rules",
-    "lake_zorder_key",
-    "multimodal_resize_plan",
-    "sim_recall_at_k",
-    "sim_ann_ivf_nprobe2",
-    "sim_recall_ivf2_at_k",
-    "text_langid_confusion",
-    "qa_referential_integrity",
-    "qa_column_profile",
-    "scd2_snapshot_diff",
-    "agg_share_of_total",
-    "events_rollup_cascade",
-    "events_top_paths",
-    "events_rfm_segments",
-    "events_interarrival_stats",
-    "events_burst_detection",
+    # --- never driver-checked: round-12 additions (residual IVF-PQ,
+    # nprobe curve, Bernoulli NB, quantile sketch family,
+    # Stupid-Backoff gate; registration order) ---
+    "sim_ivfpq_residual",
+    "sim_recall_ivfpq_residual_at_k",
+    "sim_ivfpq_nprobe_curve",
+    "corpus_nb_quality_classifier",
+    "corpus_nb_lm_agreement",
+    "agg_quantile_sketch_hist",
+    "agg_quantile_sketch_audit",
+    "stream_quantile_incremental",
+    "corpus_lm_backoff_gate",
+    "corpus_lm_gate_overlap",
+    # --- oldest-last-checked: the 11 names the r11 additions pushed
+    # out of the r11 window (original window order) ---
+    "events_user_trend_slope",
+    "join_market_basket_pairs",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q12_late_priority",
+    # --- r5-vintage remainder (registration order, tpch_q13 onward
+    # through stream_incremental_rollup; q7/q8 already above) ---
+    "tpch_q13_order_count_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_bracket_revenue",
+    "tpch_q22_windfall_customers",
+    "window_top3_per_segment",
+    "window_rank_family",
+    "window_lag_lead_price_delta",
+    "window_running_spend",
+    "window_range_frame_30d",
+    "window_first_last_nth",
+    "window_forward_fill_ignore_nulls",
+    "stream_tumbling_hourly",
+    "stream_dedup_user_type",
+    "stream_stream_interval_join",
+    "stream_sliding_30m_10m",
+    "stream_session_30m",
+    "stream_static_join_weighted",
+    "stream_stateful_max_jump",
+    "stream_incremental_rollup",
+    # --- r6-vintage streaming re-confirms ---
+    "stream_daily_distinct_users",
+    "stream_exactly_once_dedup",
+    "stream_stream_left_outer_join",
+    "stream_topk_types_daily",
+    "stream_quarantine_gated_daily",
+    # --- next-oldest by last-checked round (r4/r5) ---
+    "agg_bitwise",
+    "scalar_bit_binary_ops",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
 )
 
 

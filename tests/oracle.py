@@ -21,6 +21,11 @@ from bigdata_project_spark.tables import TABLES
 
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Match the driver/judge replay config: under a JVM-heavy test
+    # process DuckDB's auto-detected limit can be far too small for
+    # the largest nested oracles (the IVF-PQ curve's prelude + BF
+    # OOM'd at the default; 16GB is the documented replay setting).
+    con.execute("SET memory_limit='16GB'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con

@@ -293,3 +293,32 @@ REGISTRY["corpus_nb_lm_agreement"].oracle = REGISTRY[
     NB=REGISTRY["corpus_nb_quality_classifier"].oracle,
     LM=REGISTRY["corpus_lm_perplexity_gate"].oracle,
 )
+
+
+@query(
+    "corpus_nb_seed_confusion",
+    oracle="""
+    SELECT nb_keep, seed_label, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM ({NB}) GROUP BY nb_keep, seed_label
+    """,
+    tags=("llm", "quality", "classifier", "eval", "confusion"),
+)
+def corpus_nb_seed_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-set confusion matrix of the Bernoulli NB gate against
+    its own Gopher seed labels — the per-cell counts behind the
+    seed-recall floors tests/test_nb.py pins (neg recall 0.97-1.0,
+    pos recall 0.81-0.85 on the testbed). Driver-checkable evidence
+    that the trained classifier separates its classes: a degenerate
+    model (the multinomial failure mode) collapses this matrix to
+    one predicted column. Scale: one 4-group rollup over the
+    classifier's output."""
+    return (
+        corpus_nb_quality_classifier(spark, sf_dir)
+        .groupBy("nb_keep", "seed_label")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+REGISTRY["corpus_nb_seed_confusion"].oracle = REGISTRY[
+    "corpus_nb_seed_confusion"
+].oracle.format(NB=REGISTRY["corpus_nb_quality_classifier"].oracle)

@@ -159,15 +159,21 @@ _LOADED = False
 # streaming re-confirms, and the 4 next-oldest by last-checked round.
 # Round-13 rotation queue: FIRST any oracled queries registered after
 # this window froze (diff all_oracles() against CORRECTNESS_r01-r12
-# row names at r13 start), then oldest-last-checked — the r6-vintage
-# remainder not re-confirmed here (diff last-checked==6 names against
-# this window; registration order), then the r7-vintage backlog
-# (last-checked==7, registration order), then r8 onward. No-oracle
-# (rows-only) entries stay excluded: the driver marks them err.
+# row names at r13 start), then oldest-last-checked — the 3 names the
+# late r12 additions trimmed from this window's tail
+# (scalar_bit_binary_ops, tpch_q15_top_supplier,
+# tpch_q16_supplier_part_counts), then the r6-vintage remainder not
+# re-confirmed here (diff last-checked==6 names against this window;
+# registration order), then the r7-vintage backlog (last-checked==7,
+# registration order), then r8 onward. No-oracle (rows-only) entries
+# stay excluded: the driver marks them err.
 _DRIVER_FIRST: tuple[str, ...] = (
-    # --- never driver-checked: round-12 additions (residual IVF-PQ,
-    # nprobe curve, Bernoulli NB, quantile sketch family,
-    # Stupid-Backoff gate; registration order) ---
+    # --- never driver-checked: round-12 additions (residual IVF-PQ
+    # + refine, nprobe curve, Bernoulli NB + evals, quantile sketch
+    # family, Stupid-Backoff gate; registration order) ---
+    "sim_ivfpq_residual_rerank",
+    "sim_recall_ivfpq_residual_rerank_at_k",
+    "corpus_nb_seed_confusion",
     "sim_ivfpq_residual",
     "sim_recall_ivfpq_residual_at_k",
     "sim_ivfpq_nprobe_curve",
@@ -219,11 +225,8 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "stream_stream_left_outer_join",
     "stream_topk_types_daily",
     "stream_quarantine_gated_daily",
-    # --- next-oldest by last-checked round (r4/r5) ---
+    # --- next-oldest by last-checked round (r4) ---
     "agg_bitwise",
-    "scalar_bit_binary_ops",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
 )
 
 

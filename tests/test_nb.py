@@ -52,6 +52,22 @@ def test_score_decomposition_and_constant_absence(spark, sf_dir):
         assert r["nb_keep"] == int(r["nb_bits"] > 0)
 
 
+def test_seed_confusion_matches_classifier_rows(spark, sf_dir):
+    from bigdata_project_spark.registry import all_queries
+
+    qs = all_queries()
+    rows = qs["corpus_nb_quality_classifier"](spark, sf_dir).collect()
+    expect: dict[tuple[int, int], int] = {}
+    for r in rows:
+        k = (r["nb_keep"], r["seed_label"])
+        expect[k] = expect.get(k, 0) + 1
+    cells = {
+        (r["nb_keep"], r["seed_label"]): r["n_docs"]
+        for r in qs["corpus_nb_seed_confusion"](spark, sf_dir).collect()
+    }
+    assert cells == expect
+
+
 def test_agreement_covers_lm_support(spark, sf_dir):
     from bigdata_project_spark.registry import all_queries
 

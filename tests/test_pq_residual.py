@@ -93,6 +93,26 @@ def test_nprobe_curve_consistent_with_registered_points(spark, sf_dir):
     assert np2 == _hits(qs["sim_recall_ivfpq_nprobe2_at_k"](spark, sf_dir))
 
 
+@pytest.mark.parametrize("sf", SFS)
+def test_residual_rerank_dominates_adc_and_hits_cell_ceiling(spark, sf):
+    """Refine can only help (shortlist contains the ADC top-10 —
+    theorem), and with the shortlist covering both probed cells at
+    test scale the refined residual stack must land exactly on the
+    2-cell ceiling, i.e. equal the refined RAW stack per query: the
+    residual advantage is pre-refine, the ceiling is the cell
+    stage's alone."""
+    from bigdata_project_spark.registry import all_queries
+
+    qs = all_queries()
+    rr = _hits(qs["sim_recall_ivfpq_residual_rerank_at_k"](spark, sf))
+    adc = _hits(qs["sim_recall_ivfpq_residual_at_k"](spark, sf))
+    raw2 = _hits(qs["sim_recall_ivfpq_nprobe2_at_k"](spark, sf))
+    assert set(rr) == set(adc) == set(raw2)
+    for q in rr:
+        assert rr[q] >= adc[q], (q, rr, adc)
+        assert rr[q] == raw2[q], (q, rr, raw2)
+
+
 def test_residual_codes_differ_from_raw_codes(spark, sf_dir):
     """The residual index is a genuinely different encoding, not a
     relabeling: at sf0.01 a substantial share of vectors get a

@@ -95,15 +95,15 @@ _RES_NPROBE = 2  # the registered residual search probes 2 cells
 
 
 _SQL_UCENT = f"""
-    ucdim AS (
+    ucdim AS MATERIALIZED (
         SELECT label, d.d AS d,
                CAST(SUM(CAST(FLOOR(u[d.d + 1] * {_PQ_Q}) AS BIGINT)) AS DOUBLE)
                  / ({_PQ_Q}.0 * COUNT(*)) AS c
         FROM unit, LATERAL (SELECT unnest(range({DIM})) AS d) d
         GROUP BY label, d.d
     ),
-    ucent AS (SELECT label, list(c ORDER BY d) AS c_arr FROM ucdim GROUP BY label),
-    resid AS (
+    ucent AS MATERIALIZED (SELECT label, list(c ORDER BY d) AS c_arr FROM ucdim GROUP BY label),
+    resid AS MATERIALIZED (
         SELECT un.vec_id, un.label,
                list_transform(range({DIM}), i -> un.u[i + 1] - ct.c_arr[i + 1]) AS rv
         FROM unit un JOIN ucent ct USING (label)
@@ -121,29 +121,29 @@ def _sql_rbucket(j: int) -> str:
 
 
 _SQL_RSUBS = f"""
-    rsubs AS (
+    rsubs AS MATERIALIZED (
         SELECT vec_id, label, j.j AS j,
                rv[{_PQ_SUB} * j.j + 1 : {_PQ_SUB} * j.j + {_PQ_SUB}] AS r_sub,
                CASE {" ".join(f"WHEN j.j = {j} THEN {_sql_rbucket(j)}" for j in range(_PQ_M))}
                END AS b
         FROM resid, LATERAL (SELECT unnest(range({_PQ_M})) AS j) j
     ),
-    rcdim AS (
+    rcdim AS MATERIALIZED (
         SELECT j, b, d.d AS d,
                CAST(SUM(CAST(FLOOR(r_sub[d.d + 1] * {_PQ_Q}) AS BIGINT)) AS DOUBLE)
                  / ({_PQ_Q}.0 * COUNT(*)) AS m
         FROM rsubs, LATERAL (SELECT unnest(range({_PQ_SUB})) AS d) d
         GROUP BY j, b, d.d
     ),
-    rcodebook AS (SELECT j, b, list(m ORDER BY d) AS m_arr FROM rcdim GROUP BY j, b),
-    rscored AS (
+    rcodebook AS MATERIALIZED (SELECT j, b, list(m ORDER BY d) AS m_arr FROM rcdim GROUP BY j, b),
+    rscored AS MATERIALIZED (
         SELECT s.vec_id, s.label, s.j, cb.b,
                ROW_NUMBER() OVER (
                    PARTITION BY s.vec_id, s.j
                    ORDER BY ({_sql_dist16("s.r_sub", "cb.m_arr")}), cb.b) AS rn
         FROM rsubs s JOIN rcodebook cb ON cb.j = s.j
     ),
-    rcodes AS (
+    rcodes AS MATERIALIZED (
         SELECT vec_id, label,
                {", ".join(f"MAX(CASE WHEN j = {j} THEN b END) AS c{j}" for j in range(_PQ_M))}
         FROM rscored WHERE rn = 1 GROUP BY vec_id, label
@@ -151,24 +151,24 @@ _SQL_RSUBS = f"""
 """
 
 _SQL_RLUT = f"""
-    qres AS (
+    qres AS MATERIALIZED (
         SELECT p.query_id, p.cell,
                list_transform(range({DIM}), i -> qu.u[i + 1] - uc.c_arr[i + 1]) AS q_rv
         FROM qprobe p
         JOIN unit qu ON qu.vec_id = p.query_id
         JOIN ucent uc ON uc.label = p.cell
     ),
-    qrsubs AS (
+    qrsubs AS MATERIALIZED (
         SELECT query_id, cell, j.j AS j,
                q_rv[{_PQ_SUB} * j.j + 1 : {_PQ_SUB} * j.j + {_PQ_SUB}] AS q_sub
         FROM qres, LATERAL (SELECT unnest(range({_PQ_M})) AS j) j
     ),
-    rlut AS (
+    rlut AS MATERIALIZED (
         SELECT s.query_id, s.cell, s.j, cb.b,
                ({_sql_dist16("s.q_sub", "cb.m_arr")}) AS pd
         FROM qrsubs s JOIN rcodebook cb ON cb.j = s.j
     ),
-    rranked AS (
+    rranked AS MATERIALIZED (
         SELECT l0.query_id, c.vec_id AS neighbor_id,
                l0.pd + l1.pd + l2.pd + l3.pd AS adc,
                ROW_NUMBER() OVER (
@@ -407,11 +407,11 @@ REGISTRY["sim_recall_ivfpq_residual_at_k"].oracle = REGISTRY[
     "sim_ivfpq_residual_rerank",
     oracle=f"""
     {_SQL_RES_PRELUDE},
-    short AS (
+    short AS MATERIALIZED (
         SELECT query_id, neighbor_id FROM rranked
         WHERE rnk <= {_PQ_SHORTLIST}
     ),
-    rr AS (
+    rr AS MATERIALIZED (
         SELECT s.query_id, s.neighbor_id,
                ({_sql_dot_u("uq.u", "un.u")}) AS cosine
         FROM short s
@@ -511,7 +511,7 @@ _SQL_NPS = "[" + ", ".join(str(n) for n in _CURVE_NPS) + "]"
     {_SQL_LUT},
     {_sql_ivf_cells(max(_CURVE_NPS), keep_arn=True)},
     nps AS (SELECT unnest({_SQL_NPS}) AS np),
-    curve_ranked AS (
+    curve_ranked AS MATERIALIZED (
         SELECT nps.np, l0.query_id, c.vec_id AS neighbor_id,
                l0.pd + l1.pd + l2.pd + l3.pd AS adc,
                ROW_NUMBER() OVER (
@@ -527,22 +527,22 @@ _SQL_NPS = "[" + ", ".join(str(n) for n in _CURVE_NPS) + "]"
         JOIN lut l3 ON l3.j = 3 AND l3.b = c.c3 AND l3.query_id = p.query_id
         WHERE c.vec_id <> p.query_id
     ),
-    ncand AS (
+    ncand AS MATERIALIZED (
         SELECT np, query_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
         FROM curve_ranked GROUP BY np, query_id
     ),
-    short AS (
+    short AS MATERIALIZED (
         SELECT np, query_id, neighbor_id FROM curve_ranked
         WHERE rnk <= {_PQ_SHORTLIST} * np
     ),
-    rr AS (
+    rr AS MATERIALIZED (
         SELECT s.np, s.query_id, s.neighbor_id,
                ({_sql_dot_u("uq.u", "un.u")}) AS cosine
         FROM short s
         JOIN unit uq ON uq.vec_id = s.query_id
         JOIN unit un ON un.vec_id = s.neighbor_id
     ),
-    topk AS (
+    topk AS MATERIALIZED (
         SELECT np, query_id, neighbor_id FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY np, query_id
                                          ORDER BY cosine DESC, neighbor_id) AS rrk

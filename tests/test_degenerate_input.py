@@ -52,6 +52,8 @@ def empty_sf_dir(tmp_path_factory, sf_dir) -> str:
 
 
 def _sweep(spark, sf_dir: str) -> list[str]:
+    from bigdata_project_spark.caching import release_cached
+
     qs = all_queries()
     con = duckdb_con(sf_dir)
     bad: list[str] = []
@@ -69,6 +71,14 @@ def _sweep(spark, sf_dir: str) -> list[str]:
                     )
             except Exception as e:  # noqa: BLE001
                 bad.append(f"{name}: {type(e).__name__}: {str(e)[:160]}")
+            finally:
+                # 341 queries x 6 twin sweeps in ONE session: without
+                # per-query release the tracked persists/checkpoints
+                # accumulate for the whole run (the combined -m sweep
+                # run wedged py4j under that load in round 12; each
+                # sweep passes alone). The plan-audit fixture does the
+                # same after every plan build.
+                release_cached(spark)
     finally:
         con.close()
     return bad

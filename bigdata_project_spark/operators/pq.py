@@ -170,6 +170,39 @@ def _dist16_col(a: str, b: str):
     return F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _lut_pivot(lut: DataFrame, keys: tuple[str, ...]) -> DataFrame:
+    """Pivot a (keys..., j, b, pd) LUT relation into ONE row per key
+    group carrying a 64-entry map keyed by j*16+b — the in-register
+    form a real ADC kernel uses (one array lookup per code byte).
+
+    Plan effect: the candidate side joins the LUT ONCE (a single
+    BroadcastHashJoin on the key columns) instead of through 4
+    chained per-subspace broadcast joins — 4 broadcast exchanges and
+    3 intermediate join stages disappear, which is what made the
+    residual search the most contention-amplified query on the r12
+    driver bench. Values are untouched doubles, so `_adc_from_map`'s
+    left-associated 4-term sum is bit-identical to the chained form
+    and the oracles keep the didactic 4-way-join SQL."""
+    entry = F.struct(
+        (F.col("j") * 16 + F.col("b")).alias("k"), F.col("pd").alias("v")
+    )
+    return lut.groupBy(*[F.col(k) for k in keys]).agg(
+        F.map_from_entries(F.collect_list(entry)).alias("lutm")
+    )
+
+
+def _adc_from_map():
+    """adc = lutm[c0] + lutm[16+c1] + lutm[32+c2] + lutm[48+c3] —
+    left-associated, term-for-term the oracle's l0.pd + l1.pd +
+    l2.pd + l3.pd. Codes only reference codebook rows and the LUT
+    covers every codebook row, so no lookup can miss."""
+    out = None
+    for j in range(_PQ_M):
+        term = F.element_at("lutm", F.lit(j * 16) + F.col(f"c{j}"))
+        out = term if out is None else out + term
+    return out
+
+
 def _pq_subs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, j, u_sub, b): one row per vector per subspace."""
     unit = _pq_unit(spark, sf_dir)
@@ -315,20 +348,9 @@ def _pq_adc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cb), "j")
         .select("query_id", "j", "b", _dist16_col("q_sub", "m_arr").alias("pd"))
     )
-    cand = codes
-    for j in range(_PQ_M):
-        lj = lut.filter(F.col("j") == j).select(
-            *(["query_id"] if j == 0 else [F.col("query_id").alias(f"qid{j}")]),
-            F.col("b").alias(f"b{j}"),
-            F.col("pd").alias(f"pd{j}"),
-        )
-        on = F.col(f"c{j}") == F.col(f"b{j}")
-        if j > 0:
-            on = on & (F.col("query_id") == F.col(f"qid{j}"))
-        cand = cand.join(F.broadcast(lj), on).drop(f"b{j}", *([f"qid{j}"] if j else []))
-    adc = F.col("pd0") + F.col("pd1") + F.col("pd2") + F.col("pd3")
+    cand = codes.crossJoin(F.broadcast(_lut_pivot(lut, ("query_id",))))
     scored_q = cand.filter(F.col("vec_id") != F.col("query_id")).select(
-        "query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc")
+        "query_id", F.col("vec_id").alias("neighbor_id"), _adc_from_map().alias("adc")
     )
     wq = W.partitionBy("query_id").orderBy("adc", "neighbor_id")
     return scored_q.select("*", F.row_number().over(wq).alias("rnk"))
@@ -633,22 +655,13 @@ def _ivfpq_adc_ranked(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> Data
     probe = _ivf_qprobe(emb, nprobe)
     # fine stage: ADC over the probed cell's codes only
     labeled = codes.join(emb.select("vec_id", "label"), "vec_id")
-    cand = labeled.join(
-        F.broadcast(probe), F.col("label") == F.col("cell")
-    ).filter(F.col("vec_id") != F.col("query_id"))
-    for j in range(_PQ_M):
-        lj = lut.filter(F.col("j") == j).select(
-            F.col("query_id").alias(f"qid{j}"),
-            F.col("b").alias(f"b{j}"),
-            F.col("pd").alias(f"pd{j}"),
-        )
-        cand = cand.join(
-            F.broadcast(lj),
-            (F.col(f"c{j}") == F.col(f"b{j}")) & (F.col("query_id") == F.col(f"qid{j}")),
-        ).drop(f"b{j}", f"qid{j}")
-    adc = F.col("pd0") + F.col("pd1") + F.col("pd2") + F.col("pd3")
+    cand = (
+        labeled.join(F.broadcast(probe), F.col("label") == F.col("cell"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(_lut_pivot(lut, ("query_id",))), "query_id")
+    )
     scored = cand.select(
-        "query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc")
+        "query_id", F.col("vec_id").alias("neighbor_id"), _adc_from_map().alias("adc")
     )
     wr = W.partitionBy("query_id").orderBy("adc", "neighbor_id")
     return scored.select("*", F.row_number().over(wr).alias("rnk"))

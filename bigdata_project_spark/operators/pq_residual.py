@@ -64,8 +64,10 @@ from bigdata_project_spark.operators.pq import (
     _SQL_CODES,
     _SQL_LUT,
     _SQL_SUBS,
+    _adc_from_map,
     _dist16_col,
     _ivf_qprobe,
+    _lut_pivot,
     _pq_codebook,
     _pq_encode,
     _pq_subs,
@@ -322,25 +324,13 @@ def _res_ranked(spark: SparkSession, sf_dir: str, nprobe: int = _RES_NPROBE) -> 
     rlut = qrsubs.join(F.broadcast(cb), "j").select(
         "query_id", "cell", "j", "b", _dist16_col("q_sub", "m_arr").alias("pd")
     )
-    cand = codes.join(F.broadcast(probe), F.col("label") == F.col("cell")).filter(
-        F.col("vec_id") != F.col("query_id")
+    cand = (
+        codes.join(F.broadcast(probe), F.col("label") == F.col("cell"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(_lut_pivot(rlut, ("query_id", "cell"))), ["query_id", "cell"])
     )
-    for j in range(_PQ_M):
-        lj = rlut.filter(F.col("j") == j).select(
-            F.col("query_id").alias(f"qid{j}"),
-            F.col("cell").alias(f"cl{j}"),
-            F.col("b").alias(f"b{j}"),
-            F.col("pd").alias(f"pd{j}"),
-        )
-        cand = cand.join(
-            F.broadcast(lj),
-            (F.col(f"c{j}") == F.col(f"b{j}"))
-            & (F.col("query_id") == F.col(f"qid{j}"))
-            & (F.col("cell") == F.col(f"cl{j}")),
-        ).drop(f"b{j}", f"qid{j}", f"cl{j}")
-    adc = F.col("pd0") + F.col("pd1") + F.col("pd2") + F.col("pd3")
     scored = cand.select(
-        "query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc")
+        "query_id", F.col("vec_id").alias("neighbor_id"), _adc_from_map().alias("adc")
     )
     wr = W.partitionBy("query_id").orderBy("adc", "neighbor_id")
     return scored.select("*", F.row_number().over(wr).alias("rnk"))
@@ -596,21 +586,10 @@ def sim_ivfpq_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         labeled.join(F.broadcast(probe), F.col("label") == F.col("cell"))
         .join(F.broadcast(nps), F.col("np") >= F.col("arn"))
         .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(_lut_pivot(lut, ("query_id",))), "query_id")
     )
-    for j in range(_PQ_M):
-        lj = lut.filter(F.col("j") == j).select(
-            F.col("query_id").alias(f"qid{j}"),
-            F.col("b").alias(f"b{j}"),
-            F.col("pd").alias(f"pd{j}"),
-        )
-        cand = cand.join(
-            F.broadcast(lj),
-            (F.col(f"c{j}") == F.col(f"b{j}"))
-            & (F.col("query_id") == F.col(f"qid{j}")),
-        ).drop(f"b{j}", f"qid{j}")
-    adc = F.col("pd0") + F.col("pd1") + F.col("pd2") + F.col("pd3")
     scored = cand.select(
-        "np", "query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc")
+        "np", "query_id", F.col("vec_id").alias("neighbor_id"), _adc_from_map().alias("adc")
     )
     wr = W.partitionBy("np", "query_id").orderBy("adc", "neighbor_id")
     ranked = tracked_persist(

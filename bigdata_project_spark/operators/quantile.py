@@ -318,7 +318,10 @@ def run_quantile_stream(
                 os.path.join(src_dir, f"chunk{i}")
             )
 
-        latest = [os.path.join(work, "hist_v_init")]
+        # [path, last merged batch id]: see run_cms_stream — a stale
+        # redelivery must not roll the cumulative-version pointer
+        # back; pointer is single availableNow-run scope.
+        latest: list = [os.path.join(work, "hist_v_init"), -1]
         li.limit(0).select(
             F.lit(0).cast("long").alias("idx"), F.lit(0).cast("long").alias("cnt")
         ).write.parquet(latest[0])
@@ -326,7 +329,8 @@ def run_quantile_stream(
         def merge_batch(bdf: DataFrame, bid: int) -> None:
             nxt = os.path.join(work, f"hist_b{bid}")
             if os.path.exists(os.path.join(nxt, "_SUCCESS")):
-                latest[0] = nxt  # retry of a completed batch: no re-merge
+                if bid >= latest[1]:  # retry of the newest completed batch
+                    latest[0], latest[1] = nxt, bid
                 return
             cents_b = bdf.filter(F.col("l_extendedprice").isNotNull()).select(
                 F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("v")
@@ -339,7 +343,7 @@ def run_quantile_stream(
                 .agg(F.sum("cnt").cast("long").alias("cnt"))
             )
             merged.write.mode("overwrite").parquet(nxt)
-            latest[0] = nxt
+            latest[0], latest[1] = nxt, bid
 
         stream = (
             spark.readStream.schema(li.schema)

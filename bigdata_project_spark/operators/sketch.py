@@ -236,7 +236,13 @@ def run_cms_stream(
         # table; later versions are keyed by BATCH ID so an
         # at-least-once redelivery finds its completed version and
         # skips the merge (idempotent under foreachBatch retries)
-        latest = [os.path.join(work, "sketch_v_init")]
+        # [path, last merged batch id]: versions are cumulative, so a
+        # redelivery of an OLDER completed batch must not roll the
+        # pointer back to a version missing later merges. The pointer
+        # lives in driver memory — single availableNow run scope; a
+        # restartable deployment would persist it (e.g. a _LATEST
+        # file) next to the versions.
+        latest: list = [os.path.join(work, "sketch_v_init"), -1]
         docs.limit(0).select(
             F.lit(0).alias("r"), F.lit(0).alias("col"),
             F.lit(0).cast("long").alias("c"),
@@ -245,7 +251,8 @@ def run_cms_stream(
         def merge_batch(bdf: DataFrame, bid: int) -> None:
             nxt = os.path.join(work, f"sketch_b{bid}")
             if os.path.exists(os.path.join(nxt, "_SUCCESS")):
-                latest[0] = nxt  # retry of a completed batch: no re-merge
+                if bid >= latest[1]:  # retry of the newest completed batch
+                    latest[0], latest[1] = nxt, bid
                 return
             delta = _cms_sketch(_cms_tf(bdf))
             prev = spark.read.parquet(latest[0])
@@ -257,7 +264,7 @@ def run_cms_stream(
             # overwrite clears a half-written version from a crashed
             # attempt; the _SUCCESS marker commits it
             merged.write.mode("overwrite").parquet(nxt)
-            latest[0] = nxt
+            latest[0], latest[1] = nxt, bid
 
         stream = (
             spark.readStream.schema(docs.schema)

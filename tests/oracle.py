@@ -11,6 +11,7 @@ the driver's hash comparison passes too.
 from __future__ import annotations
 
 import math
+import os
 from collections import Counter
 from dataclasses import dataclass
 
@@ -19,13 +20,27 @@ import duckdb
 from bigdata_project_spark.tables import TABLES
 
 
+def _oracle_mem_limit() -> str:
+    """Oracle memory cap: env-overridable, else min(16GB, 50% of
+    detected RAM). Under a JVM-heavy test process DuckDB's
+    auto-detected limit can be far too small for the largest nested
+    oracles (the IVF-PQ curve's prelude + BF OOM'd at the default),
+    but a hardcoded 16GB would exceed physical memory on small CI
+    hosts — cap by what the machine actually has."""
+    env = os.environ.get("SPARK_GRAFT_ORACLE_MEM")
+    if env:
+        return env
+    try:
+        pages = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        half_gb = max(1, pages // (2 * 1024**3))
+    except (ValueError, OSError):
+        half_gb = 16
+    return f"{min(16, half_gb)}GB"
+
+
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
-    # Match the driver/judge replay config: under a JVM-heavy test
-    # process DuckDB's auto-detected limit can be far too small for
-    # the largest nested oracles (the IVF-PQ curve's prelude + BF
-    # OOM'd at the default; 16GB is the documented replay setting).
-    con.execute("SET memory_limit='16GB'")
+    con.execute(f"SET memory_limit='{_oracle_mem_limit()}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con

@@ -39,6 +39,8 @@ BNLJ_WHITELIST: dict[str, str] = {
     "dedup_lsh_pair_recall": "1-row ground-truth-count broadcast (recall denominator)",
     "sim_recall_at_k": "tiny fixed query set + 1-row recall denominator",
     "sim_recall_ivf2_at_k": "tiny fixed query set + 1-row recall denominator",
+    "sim_knn_pq_adc": "fixed 3-query pivoted-LUT broadcast (queries x codes by design)",
+    "sim_knn_pq_rerank": "fixed 3-query pivoted-LUT broadcast (queries x codes by design)",
     "sim_recall_pq_at_k": "nested sim_knn_bruteforce's fixed query-set broadcast",
     "sim_recall_pq_rerank_at_k": "nested sim_knn_bruteforce's fixed query-set broadcast",
     "sim_recall_multiprobe": "tiny fixed query set broadcast (brute-force ground-truth side)",

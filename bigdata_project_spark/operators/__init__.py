@@ -16,6 +16,7 @@ from bigdata_project_spark.operators import (  # noqa: F401
     dedup,
     dedup_ext,
     dsir,
+    kmeans,
     lm,
     multimodal,
     nb,

@@ -7,6 +7,7 @@ column plumbing. Importing this package registers their queries.
 """
 
 from bigdata_project_spark.operators import (  # noqa: F401
+    afp,
     bloom,
     bpe,
     chunking,

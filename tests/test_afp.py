@@ -1,0 +1,78 @@
+"""Audio fingerprint (operators/afp.py) quality properties.
+
+The oracle gate proves the WAV encode -> decode -> integer Hadamard
+fingerprint path bit-exactly against the SQL replay; these pin what
+the hash can't:
+
+- INVARIANCE is exercised through the real codec path, not asserted
+  from algebra: the gain-x2 (v=1) and DC-offset (v=2) variants must
+  produce signatures bit-identical to their base clip (Hadamard rows
+  k >= 1 are zero-sum, so offsets vanish; positive gain scales all
+  bins together) — the resize-invariance discipline of
+  multimodal_png_resize applied to audio.
+- the near-dup relation has the designed group structure: every
+  intra-group (base, gain, offset) pair is found at Hamming 0, and
+  pair distances never exceed the radius.
+- unrelated clips separate: signatures across groups are
+  Binomial(64, 1/2) apart, so the overwhelming share of distinct
+  signature values is unique to its group.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_gain_and_offset_variants_hash_identically(spark, sf):
+    from bigdata_project_spark.operators.afp import _AFP_GROUP, _afp_sigs_df
+
+    sigs = {r["doc_id"]: r["afp64"] for r in _afp_sigs_df(spark, sf).collect()}
+    assert sigs and all(len(s) == 16 for s in sigs.values())
+    for did, sig in sigs.items():
+        g, v = did // _AFP_GROUP, did % _AFP_GROUP
+        if v in (1, 2):  # pure gain / pure DC offset
+            assert sig == sigs[g * _AFP_GROUP], (did, sig)
+
+
+def test_neardup_pairs_cover_group_structure(spark, sf_dir):
+    from bigdata_project_spark.operators.afp import _AFP_GROUP
+    from bigdata_project_spark.registry import all_queries
+    from bigdata_project_spark.tables import load
+
+    rows = all_queries()["multimodal_audio_neardup"](spark, sf_dir).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
+    assert all(0 <= h <= 3 for h in pairs.values())
+    doc_ids = {
+        r["doc_id"] for r in load(spark, sf_dir, "documents").select("doc_id").collect()
+    }
+    # every invariant-transform pair (v in {0, 1, 2}) present at 0
+    by_group: dict[int, list[int]] = {}
+    for d in doc_ids:
+        if d % _AFP_GROUP in (0, 1, 2):
+            by_group.setdefault(d // _AFP_GROUP, []).append(d)
+    for g, members in by_group.items():
+        members.sort()
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                assert pairs.get((a, b)) == 0, (a, b, pairs.get((a, b)))
+
+
+def test_groups_separate(spark, sf_dir):
+    """Cross-group signatures are md5-noise apart: distinct groups
+    overwhelmingly map to distinct signature values."""
+    from bigdata_project_spark.operators.afp import _AFP_GROUP, _afp_sigs_df
+
+    sigs = [
+        (r["doc_id"] // _AFP_GROUP, r["afp64"])
+        for r in _afp_sigs_df(spark, sf_dir).collect()
+    ]
+    groups_per_sig: dict[str, set[int]] = {}
+    for g, s in sigs:
+        groups_per_sig.setdefault(s, set()).add(g)
+    shared = sum(1 for gs in groups_per_sig.values() if len(gs) > 1)
+    assert shared <= len(groups_per_sig) // 20, (
+        f"{shared}/{len(groups_per_sig)} signature values span groups"
+    )

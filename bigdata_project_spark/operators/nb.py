@@ -322,3 +322,77 @@ def corpus_nb_seed_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["corpus_nb_seed_confusion"].oracle = REGISTRY[
     "corpus_nb_seed_confusion"
 ].oracle.format(NB=REGISTRY["corpus_nb_quality_classifier"].oracle)
+
+
+_CAL_W = 8  # calibration bin width in whole bits
+
+
+@query(
+    "corpus_nb_calibration",
+    oracle=f"""
+    SELECT bin,
+           CAST(bin * {_CAL_W} AS BIGINT) AS lo_bits,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(seed_label) AS BIGINT) AS n_seed_pos,
+           CAST(SUM(seed_label) AS DOUBLE) / COUNT(*) AS empirical_rate,
+           POWER(2.0, GREATEST(-64, LEAST(64, bin * {_CAL_W} + {_CAL_W // 2})))
+             / (1 + POWER(2.0, GREATEST(-64, LEAST(64, bin * {_CAL_W} + {_CAL_W // 2}))))
+             AS implied_posterior
+    FROM (
+        SELECT CAST(FLOOR(CAST(nb_bits AS DOUBLE) / {_CAL_W}) AS BIGINT) AS bin,
+               seed_label
+        FROM ({{NB}})
+    )
+    GROUP BY bin
+    """,
+    tags=("llm", "quality", "classifier", "eval", "calibration"),
+)
+def corpus_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for the NB gate — the artifact a
+    FineWeb-Edu-style deployment reads before picking a keep
+    threshold: scores bucketed into fixed 8-bit bins, each bin
+    reporting how many documents landed there, how many the seed
+    labels call positive, the EMPIRICAL positive rate, and the
+    posterior the bin's midpoint score IMPLIES (p = 2^s / (1 + 2^s),
+    the base-2 sigmoid of the integer log-odds; midpoint exponent
+    clamped to +-64 so saturated bins read exactly 0/1 instead of
+    NaN). Where empirical and implied diverge is miscalibration —
+    the agg_countmin_audit discipline (estimate vs truth, in-engine)
+    applied to the classifier. Weak monotonicity of the empirical
+    rate across bins is pinned at three SFs by tests/test_nb_cal.py.
+
+    Floor division goes through FLOOR(bits / 8.0) explicitly: Spark's
+    `div` truncates toward zero while Python/DuckDB floor, and
+    negative scores sit exactly where calibration matters most.
+
+    Scale: one fixed-fanout rollup over the classifier's output —
+    the score relation shuffles on ~a dozen bin keys; the trained
+    model's dataflow (token-keyed weight join, no vocab broadcast)
+    is inherited unchanged."""
+    nb = corpus_nb_quality_classifier(spark, sf_dir)
+    binned = nb.select(
+        F.floor(F.col("nb_bits").cast("double") / _CAL_W).cast("long").alias("bin"),
+        "seed_label",
+    )
+    mid = F.greatest(
+        F.lit(-64), F.least(F.lit(64), F.col("bin") * _CAL_W + _CAL_W // 2)
+    )
+    implied = F.pow(F.lit(2.0), mid) / (F.lit(1) + F.pow(F.lit(2.0), mid))
+    agg = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("seed_label").cast("long").alias("n_seed_pos"),
+        (F.sum("seed_label").cast("double") / F.count("*")).alias("empirical_rate"),
+    )
+    return agg.select(
+        "bin",
+        (F.col("bin") * _CAL_W).cast("long").alias("lo_bits"),
+        "n_docs",
+        "n_seed_pos",
+        "empirical_rate",
+        implied.alias("implied_posterior"),
+    )
+
+
+REGISTRY["corpus_nb_calibration"].oracle = REGISTRY[
+    "corpus_nb_calibration"
+].oracle.format(NB=REGISTRY["corpus_nb_quality_classifier"].oracle)

@@ -200,3 +200,153 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(20)
+
+
+# ------------------------------------------------------------- nDCG@k
+#
+# Rank-weighted retrieval quality beside the recall@k family: recall
+# counts hits anywhere in the top-k; nDCG additionally pays for
+# putting the BEST hits FIRST. Integer-exact form (the registry's
+# determinism contract): graded gains are exact integers
+# 2^(k - true_rank + 1) - 1, and the log2 position discount uses the
+# whole-bit `bitlen` discipline — discount(pos) = 1 / bitlen(pos + 1)
+# with bitlen = length(bin(x)), scaled by 12 (the lcm of bitlen's
+# {2, 3, 4} range at k = 10) so every DCG is an exact BIGINT in
+# twelfths and nDCG is ONE double division of two integers.
+
+_NDCG_DISC = "12 // length(bin({r} + 1))"  # DuckDB; Spark uses `div`
+
+# (system name, registry query, its ranked-neighbor column names)
+_NDCG_SYSTEMS = (
+    ("pq_adc", "sim_knn_pq_adc"),
+    ("ivfpq_residual", "sim_ivfpq_residual"),
+    ("ivfpq_residual_rerank", "sim_ivfpq_residual_rerank"),
+)
+
+
+@query(
+    "retrieval_ndcg_at_k",
+    oracle=f"""
+    WITH bf AS MATERIALIZED (SELECT query_id, vec_id, rank FROM ({{BF}})),
+    rels AS (
+        SELECT query_id, vec_id,
+               (1 << (10 - rank + 1)) - 1 AS gain
+        FROM bf
+    ),
+    sys_all AS (
+        {" UNION ALL ".join(
+            f"SELECT '{name}' AS system, query_id, neighbor_id, rnk FROM ({{{name.upper()}}})"
+            for name, _q in _NDCG_SYSTEMS
+        )}
+    ),
+    dcg AS (
+        SELECT system, s.query_id,
+               CAST(SUM(COALESCE(r.gain, 0)
+                        * ({_NDCG_DISC.format(r="s.rnk")})) AS BIGINT) AS dcg12
+        FROM sys_all s
+        LEFT JOIN rels r ON r.query_id = s.query_id AND r.vec_id = s.neighbor_id
+        GROUP BY system, s.query_id
+    ),
+    idcg AS (
+        SELECT b.query_id,
+               CAST(SUM(r.gain * ({_NDCG_DISC.format(r="b.rank")})) AS BIGINT) AS idcg12
+        FROM bf b JOIN rels r ON r.query_id = b.query_id AND r.vec_id = b.vec_id
+        GROUP BY b.query_id
+    )
+    SELECT d.system, d.query_id, d.dcg12, i.idcg12,
+           CAST(d.dcg12 AS DOUBLE) / i.idcg12 AS ndcg
+    FROM dcg d JOIN idcg i USING (query_id)
+    """,
+    tags=("retrieval", "llm", "eval", "ndcg", "similarity"),
+)
+def retrieval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of three registered ANN systems (raw-PQ ADC, residual
+    IVF-PQ ADC, and the refined residual stack) against the
+    brute-force ideal: relevance of the true rank-r neighbor is
+    2^(10-r+1) - 1 (exponential gains emphasize the head), position
+    discount is the whole-bit 1/bitlen(pos + 1) scaled to exact
+    twelfths, ideal DCG comes from the brute-force list itself. Read
+    beside the recall@k family: recall says WHETHER the truth was
+    retrieved, nDCG says whether it was retrieved IN ORDER — the
+    rerank stage's whole value proposition, which
+    tests/test_ndcg.py pins (refined nDCG >= ADC nDCG per query: the
+    exact-cosine re-sort of a superset shortlist can only improve a
+    gain-ordered metric).
+
+    Scale: every input is an already-reduced k x #queries ranked
+    list; the eval is a constant-size join — index probes at 100 TB
+    change the inputs' cost, not this query's."""
+    from bigdata_project_spark.registry import REGISTRY as _R
+
+    bf = sim_knn_bruteforce_ranked(spark, sf_dir)
+    rels = bf.select(
+        "query_id",
+        "vec_id",
+        F.expr("shiftleft(1, 10 - rank + 1) - 1").alias("gain"),
+    )
+    sys_frames = []
+    for name, qname in _NDCG_SYSTEMS:
+        df = _R[qname].fn(spark, sf_dir).select(
+            F.lit(name).alias("system"), "query_id", "neighbor_id", "rnk"
+        )
+        sys_frames.append(df)
+    sys_all = sys_frames[0]
+    for df in sys_frames[1:]:
+        sys_all = sys_all.unionByName(df)
+    r2 = rels.select(
+        F.col("query_id").alias("r_qid"), F.col("vec_id").alias("r_vid"), "gain"
+    )
+    disc_s = F.expr("12 div length(bin(rnk + 1))")
+    dcg = (
+        sys_all.join(
+            F.broadcast(r2),
+            (F.col("query_id") == F.col("r_qid"))
+            & (F.col("neighbor_id") == F.col("r_vid")),
+            "left_outer",
+        )
+        .groupBy("system", "query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("gain"), F.lit(0)) * disc_s)
+            .cast("long")
+            .alias("dcg12")
+        )
+    )
+    disc_b = F.expr("12 div length(bin(rank + 1))")
+    idcg = (
+        bf.join(
+            F.broadcast(r2),
+            (F.col("query_id") == F.col("r_qid"))
+            & (F.col("vec_id") == F.col("r_vid")),
+        )
+        .groupBy("query_id")
+        .agg(F.sum(F.col("gain") * disc_b).cast("long").alias("idcg12"))
+    )
+    i2 = idcg.select(F.col("query_id").alias("i_qid"), "idcg12")
+    return dcg.join(
+        F.broadcast(i2), F.col("query_id") == F.col("i_qid")
+    ).select(
+        "system",
+        "query_id",
+        "dcg12",
+        "idcg12",
+        (F.col("dcg12").cast("double") / F.col("idcg12")).alias("ndcg"),
+    )
+
+
+def sim_knn_bruteforce_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, vec_id, rank): the brute-force ground-truth top-10
+    with its rank column (the registered query already carries it)."""
+    from bigdata_project_spark.operators.similarity import sim_knn_bruteforce
+
+    return sim_knn_bruteforce(spark, sf_dir).select("query_id", "vec_id", "rank")
+
+
+def _splice_ndcg_oracle() -> None:
+    from bigdata_project_spark.registry import REGISTRY as _R
+
+    fmt = {name.upper(): _R[qname].oracle for name, qname in _NDCG_SYSTEMS}
+    fmt["BF"] = _R["sim_knn_bruteforce"].oracle
+    _R["retrieval_ndcg_at_k"].oracle = _R["retrieval_ndcg_at_k"].oracle.format(**fmt)
+
+
+_splice_ndcg_oracle()

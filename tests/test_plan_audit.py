@@ -57,9 +57,13 @@ BNLJ_WHITELIST: dict[str, str] = {
     "sim_ivfpq_residual_rerank": "fixed-k centroid table cross to assign cells",
     "sim_recall_ivfpq_residual_rerank_at_k": "nested centroid cross + brute-force query-set broadcast",
     "corpus_nb_seed_confusion": "nested NB prior/absence 1-row broadcasts",
+    "corpus_nb_calibration": "nested NB prior/absence 1-row broadcasts",
+    "retrieval_ndcg_at_k": "nested ANN systems' centroid crosses + BF query-set broadcast",
     "sim_ivf_trained_cells": "fixed-k trained-centroid cross to assign cells (Lloyd)",
     "sim_ivf_trained_search": "fixed-k trained-centroid cross to assign cells (Lloyd)",
     "sim_recall_ivf_trained_at_k": "nested centroid cross + brute-force query-set broadcast",
+    "sim_ivfpq_trained": "fixed-k trained-centroid cross to assign cells (Lloyd)",
+    "sim_recall_ivfpq_trained_at_k": "nested centroid cross + brute-force query-set broadcast",
     "sim_ivfpq_nprobe_curve": "centroid cross + 3-row nprobe-level range join (np >= arn)",
     "join_bloom_prefilter": "1-row bloom-filter map broadcast onto the probe side",
     "join_bloom_fp_audit": "1-row bloom-filter map broadcast onto the probe side",

@@ -60,6 +60,28 @@ def test_neardup_pairs_cover_group_structure(spark, sf_dir):
                 assert pairs.get((a, b)) == 0, (a, b, pairs.get((a, b)))
 
 
+def test_keeper_groups_invariant_variants(spark, sf_dir):
+    """Every clip gets one verdict row; the gain/offset variants
+    (fingerprint-identical to their base) always share their base's
+    component and only the component min survives."""
+    from bigdata_project_spark.operators.afp import _AFP_GROUP
+    from bigdata_project_spark.registry import all_queries
+    from bigdata_project_spark.tables import load
+
+    rows = all_queries()["multimodal_audio_dedup_keeper"](spark, sf_dir).collect()
+    comp = {r["doc_id"]: r["component"] for r in rows}
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert r["is_dup"] == int(r["doc_id"] != r["component"])
+        assert r["component"] <= r["doc_id"]
+    for did in comp:
+        if did % _AFP_GROUP in (1, 2):
+            base = (did // _AFP_GROUP) * _AFP_GROUP
+            if base in comp:
+                assert comp[did] == comp[base], (did, base)
+
+
 def test_groups_separate(spark, sf_dir):
     """Cross-group signatures are md5-noise apart: distinct groups
     overwhelmingly map to distinct signature values."""

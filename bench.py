@@ -158,6 +158,13 @@ HEADLINE = [
     "agg_quantile_sketch_audit",
     "stream_quantile_incremental",
     "corpus_lm_backoff_gate",
+    # round-13 additions
+    "sim_ivf_trained_cells",
+    "sim_ivfpq_trained",
+    "multimodal_audio_neardup",
+    "multimodal_audio_dedup_keeper",
+    "corpus_nb_calibration",
+    "retrieval_ndcg_at_k",
 ]
 
 

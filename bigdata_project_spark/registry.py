@@ -152,81 +152,88 @@ _LOADED = False
 # events_burst_detection, events_user_trend_slope,
 # join_market_basket_pairs, the tpch_q* sweep,
 # stream_incremental_rollup), then the r6 vintage.
-# Round-12 window (exactly 50): the 10 round-12 additions first
-# (never driver-checked), then the 11 names trimmed during round 11,
-# then the r5-vintage remainder (tpch_q13 onward through
-# stream_incremental_rollup, registration order), the r6-vintage
-# streaming re-confirms, and the 4 next-oldest by last-checked round.
-# Round-13 rotation queue: FIRST any oracled queries registered after
-# this window froze (diff all_oracles() against CORRECTNESS_r01-r12
-# row names at r13 start), then oldest-last-checked — the 3 names the
-# late r12 additions trimmed from this window's tail
-# (scalar_bit_binary_ops, tpch_q15_top_supplier,
-# tpch_q16_supplier_part_counts), then the r6-vintage remainder not
-# re-confirmed here (diff last-checked==6 names against this window;
-# registration order), then the r7-vintage backlog (last-checked==7,
-# registration order), then r8 onward. No-oracle (rows-only) entries
-# stay excluded: the driver marks them err.
+# Round-12 window (exactly 50): the 13 round-12 queries (from 10 new
+# operator families) first (never driver-checked), then the 11 names
+# trimmed during round 11, then the r5-vintage remainder, the
+# r6-vintage streaming re-confirms, and the 4 next-oldest by
+# last-checked round. Driver-confirmed 50/50 green in
+# CORRECTNESS_r12.json.
+# Round-13 window (exactly 50): the 10 round-13 additions first
+# (never driver-checked: audio fingerprint family, trained-IVF
+# k-means family, fully-trained IVF-PQ, NB calibration, nDCG@10),
+# then strict oldest-last-checked order — the 3 names the late r12
+# additions trimmed (r4/r5 vintage), the r5-vintage tpch remainder,
+# and 34 of the 49 r6-vintage names (registration order).
+# Round-14 rotation queue: FIRST any oracled queries registered after
+# this window froze (diff all_oracles() against CORRECTNESS_r01-r13
+# row names at r14 start), then oldest-last-checked — the 15
+# r6-vintage names this window could not fit (registration order:
+# scalar_collation_ci_grouping, agg_heavy_hitters_exact,
+# sort_pareto_frontier, join_geo_grid_radius,
+# join_interval_overlap_binned, sim_knn_quantized_int8,
+# ivm_join_view_delta, agg_weighted_median_exact,
+# agg_gini_spend_concentration, agg_hhi_market_concentration,
+# events_users_for_p80, sort_keyset_pagination, ...), then the
+# r7-vintage backlog (45 names), then r8 onward. No-oracle
+# (rows-only) entries stay excluded: the driver marks them err.
 _DRIVER_FIRST: tuple[str, ...] = (
-    # --- never driver-checked: round-12 additions (residual IVF-PQ
-    # + refine, nprobe curve, Bernoulli NB + evals, quantile sketch
-    # family, Stupid-Backoff gate; registration order) ---
-    "sim_ivfpq_residual_rerank",
-    "sim_recall_ivfpq_residual_rerank_at_k",
-    "corpus_nb_seed_confusion",
-    "sim_ivfpq_residual",
-    "sim_recall_ivfpq_residual_at_k",
-    "sim_ivfpq_nprobe_curve",
-    "corpus_nb_quality_classifier",
-    "corpus_nb_lm_agreement",
-    "agg_quantile_sketch_hist",
-    "agg_quantile_sketch_audit",
-    "stream_quantile_incremental",
-    "corpus_lm_backoff_gate",
-    "corpus_lm_gate_overlap",
-    # --- oldest-last-checked: the 11 names the r11 additions pushed
-    # out of the r11 window (original window order) ---
-    "events_user_trend_slope",
-    "join_market_basket_pairs",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_type_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q12_late_priority",
-    # --- r5-vintage remainder (registration order, tpch_q13 onward
-    # through stream_incremental_rollup; q7/q8 already above) ---
-    "tpch_q13_order_count_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_bracket_revenue",
-    "tpch_q22_windfall_customers",
-    "window_top3_per_segment",
-    "window_rank_family",
-    "window_lag_lead_price_delta",
-    "window_running_spend",
-    "window_range_frame_30d",
-    "window_first_last_nth",
-    "window_forward_fill_ignore_nulls",
-    "stream_tumbling_hourly",
-    "stream_dedup_user_type",
-    "stream_stream_interval_join",
-    "stream_sliding_30m_10m",
-    "stream_session_30m",
-    "stream_static_join_weighted",
-    "stream_stateful_max_jump",
-    "stream_incremental_rollup",
-    # --- r6-vintage streaming re-confirms ---
-    "stream_daily_distinct_users",
-    "stream_exactly_once_dedup",
-    "stream_stream_left_outer_join",
-    "stream_topk_types_daily",
-    "stream_quarantine_gated_daily",
-    # --- next-oldest by last-checked round (r4) ---
-    "agg_bitwise",
+    # --- never driver-checked: round-13 additions (registration
+    # order) ---
+    "multimodal_audio_fingerprint",
+    "multimodal_audio_neardup",
+    "multimodal_audio_dedup_keeper",
+    "sim_ivf_trained_cells",
+    "sim_ivf_trained_search",
+    "sim_recall_ivf_trained_at_k",
+    "sim_ivfpq_trained",
+    "sim_recall_ivfpq_trained_at_k",
+    "corpus_nb_calibration",
+    "retrieval_ndcg_at_k",
+    # --- oldest-last-checked: the 3 names the late r12 additions
+    # trimmed from the r12 window's tail (r4/r5 vintage) ---
+    "scalar_bit_binary_ops",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    # --- r5-vintage remainder ---
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q20_excess_shippers",
+    "tpch_q21_waiting_suppliers",
+    # --- r6-vintage re-confirms (registration order; the 15 that
+    # don't fit lead the r14 queue above) ---
+    "dedup_simhash_hamming_pairs",
+    "index_inverted_postings",
+    "corpus_token_budget_fill",
+    "lake_skipping_effectiveness",
+    "dedup_lsh_band_tuning",
+    "multimodal_frame_sample_plan",
+    "text_novelty_share",
+    "window_session_numbering",
+    "qa_key_uniqueness",
+    "qa_drift_split_halves",
+    "qa_derived_column_contract",
+    "qa_join_skew_forecast",
+    "join_pointintime_enrich",
+    "events_attribution_last_touch",
+    "events_sliding_distinct_users",
+    "dedup_editdistance_blocked",
+    "events_twap",
+    "split_kfold_assignment",
+    "events_bounce_rate",
+    "agg_mad_outliers",
+    "agg_spend_decile_buckets",
+    "events_wow_growth",
+    "events_time_to_convert",
+    "events_cohort_ltv",
+    "events_dau_wau_stickiness",
+    "events_attribution_linear_ppm",
+    "events_anomaly_daily_zscore",
+    "events_cumulative_users",
+    "events_peak_concurrency",
+    "events_new_vs_returning",
+    "events_volume_anomaly_dow_adjusted",
+    "join_asof_tolerance_1h",
+    "join_asof_forward",
+    "join_asof_nearest",
 )
 
 

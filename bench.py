@@ -165,6 +165,7 @@ HEADLINE = [
     "multimodal_audio_dedup_keeper",
     "corpus_nb_calibration",
     "retrieval_ndcg_at_k",
+    "stream_audio_incremental_neardup",
 ]
 
 

@@ -66,7 +66,7 @@ from bigdata_project_spark.operators.dedup import (
     sql_pigeonhole_hamming,
     sql_pigeonhole_verify,
 )
-from bigdata_project_spark.registry import query
+from bigdata_project_spark.registry import REGISTRY, query
 from bigdata_project_spark.tables import load
 
 _AFP_GROUP = 4  # docs per synthetic near-dup group (doc_id // 4)
@@ -211,10 +211,11 @@ def _afp_payloads_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(synthesize, "doc_id long, payload binary")
 
 
-def _afp_sigs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, afp64): decode the WAV container back (stdlib wave +
-    numpy, no state shared with the synthesize stage beyond the
-    bytes) and fingerprint the recovered samples."""
+def _afp_decode(payloads: DataFrame) -> DataFrame:
+    """(doc_id, afp64): decode a WAV payload relation back (stdlib
+    wave + numpy, no state shared with the synthesize stage beyond
+    the bytes) and fingerprint the recovered samples. Shared by the
+    batch signature build and the streaming ingest's foreachBatch."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -234,9 +235,12 @@ def _afp_sigs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((int(doc_id), _afp64(data)))
             yield pd.DataFrame(rows, columns=["doc_id", "afp64"])
 
-    return _afp_payloads_df(spark, sf_dir).mapInPandas(
-        decode, "doc_id long, afp64 string"
-    )
+    return payloads.mapInPandas(decode, "doc_id long, afp64 string")
+
+
+def _afp_sigs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, afp64): the batch two-Arrow-stage signature build."""
+    return _afp_decode(_afp_payloads_df(spark, sf_dir))
 
 
 @query(
@@ -355,3 +359,152 @@ def multimodal_audio_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame
         "component_reach",
         (F.col("id") != F.col("component")).cast("int").alias("is_dup"),
     )
+
+
+def run_afp_ingest_stream(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 3
+) -> tuple[DataFrame, int]:
+    """The fingerprint near-dup in its production home: media BYTES
+    arrive on a stream, and the pair relation is maintained
+    incrementally — each micro-batch's clips are decoded +
+    fingerprinted in the foreachBatch, matched against the standing
+    signature store PLUS the batch itself, and the store is upserted.
+
+    Pair emission is EXACTLY-ONCE BY CONSTRUCTION and ORDER-FREE:
+    every emitted pair has >= 1 member in the current batch (pairs
+    with both sides already in the store were emitted when their
+    later member arrived), so each unordered pair surfaces exactly
+    once regardless of delivery order — the CMS mergeability
+    argument applied to a pair relation, which is why this query
+    shares multimodal_audio_neardup's oracle bit for bit and needs
+    no in-order assertion (unlike the semantic ingest stream, whose
+    min-id dup_of semantics do require order).
+
+    At-least-once redelivery is handled with the r12 discipline:
+    per-batch pair emissions and store upserts are BATCH-ID-KEYED
+    directories committed by `_SUCCESS` markers — pairs are written
+    BEFORE the store upsert, so a crash between the two replays to
+    an identical pair set (the store the retry reads is the same one
+    the first attempt matched against). Pointer-free: the final
+    reader unions every committed version, so redelivery scope needs
+    no driver-side state at all.
+
+    Scale: per micro-batch work is two map-side Arrow stages over the
+    batch's bytes plus one pigeonhole block join of the batch's
+    16-char signatures against the store — the store grows with
+    CONTENT, never re-fingerprints old media, and in production is an
+    indexed upsert surface keyed by the same 16-bit blocks."""
+    import os
+    import shutil
+    import tempfile
+
+    payloads = _afp_payloads_df(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="afp_stream_")
+    src_dir = os.path.join(work, "src")
+    seen_store = os.path.join(work, "seen")
+    out_store = os.path.join(work, "out")
+    try:
+        lo, hi = payloads.agg(F.min("doc_id"), F.max("doc_id")).first()
+        if lo is None:
+            lo, hi = 0, 0
+        step = max(1, (int(hi) - int(lo)) // n_chunks + 1)
+        for i in range(n_chunks):
+            chunk = payloads.filter(
+                (F.col("doc_id") >= lo + i * step)
+                & (F.col("doc_id") < lo + (i + 1) * step)
+            )
+            chunk.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(src_dir, f"chunk{i}")
+            )
+        # schema-only inits so the final readers work on empty input
+        empty_sigs = payloads.limit(0).select(
+            F.col("doc_id"), F.lit("").alias("afp64")
+        )
+        empty_sigs.write.parquet(os.path.join(seen_store, "b_init"))
+        empty_sigs.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        ).limit(0).write.parquet(os.path.join(out_store, "b_init"))
+
+        def probe(bdf: DataFrame, bid: int) -> None:
+            out_dir = os.path.join(out_store, f"b{bid}")
+            sig_dir = os.path.join(seen_store, f"b{bid}")
+            if os.path.exists(os.path.join(out_dir, "_SUCCESS")) and os.path.exists(
+                os.path.join(sig_dir, "_SUCCESS")
+            ):
+                return  # retry of a fully committed batch
+            bsigs = _afp_decode(bdf).persist()
+            seen = (
+                spark.read.option("recursiveFileLookup", "true")
+                .schema("doc_id long, afp64 string")
+                .parquet(seen_store)
+            )
+            # exclude a half-written retry of THIS batch's sig dir
+            # from the match set (overwrite below clears it anyway,
+            # but the read may happen first)
+            seen = seen.join(
+                bsigs.select(F.col("doc_id").alias("b_did")),
+                F.col("doc_id") == F.col("b_did"),
+                "left_anti",
+            )
+            union = seen.unionByName(bsigs)
+            batch_ids = bsigs.select(F.col("doc_id").alias("m_did"))
+            pairs = pigeonhole_hamming_pairs(union, "afp64")
+            emitted = pairs.join(
+                F.broadcast(batch_ids),
+                (F.col("doc_a") == F.col("m_did")) | (F.col("doc_b") == F.col("m_did")),
+                "left_semi",
+            )
+            # pairs BEFORE sigs: a crash between the writes replays
+            # against the identical store snapshot
+            emitted.write.mode("overwrite").parquet(out_dir)
+            bsigs.write.mode("overwrite").parquet(sig_dir)
+            bsigs.unpersist()
+
+        stream = (
+            spark.readStream.schema(payloads.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+        )
+        sq = (
+            stream.writeStream.foreachBatch(probe)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+        n_batches = len(sq.recentProgress)
+        res = (
+            spark.read.option("recursiveFileLookup", "true")
+            .schema("doc_a long, doc_b long, hamming int")
+            .parquet(out_store)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return res.orderBy("doc_a", "doc_b"), n_batches
+
+
+@query(
+    "stream_audio_incremental_neardup",
+    oracle=None,  # set below: shares multimodal_audio_neardup's oracle
+    tags=("streaming", "multimodal", "dedup", "audio", "hamming", "incremental", "foreachBatch"),
+)
+def stream_audio_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`multimodal_audio_neardup` with the pair relation built
+    INCREMENTALLY over three doc_id-ranged micro-batches of raw WAV
+    bytes (see run_afp_ingest_stream). Shares the batch oracle
+    because each unordered pair is emitted exactly once — in the
+    micro-batch where its later member arrives — so the accumulated
+    emissions reassemble the batch answer; cross-batch pairs are only
+    reachable through the persisted signature store, making the value
+    match a genuine multi-batch state-carry check."""
+    res, _ = run_afp_ingest_stream(spark, sf_dir, n_chunks=3)
+    return res
+
+
+REGISTRY["stream_audio_incremental_neardup"].oracle = REGISTRY[
+    "multimodal_audio_neardup"
+].oracle

@@ -82,6 +82,25 @@ def test_keeper_groups_invariant_variants(spark, sf_dir):
                 assert comp[did] == comp[base], (did, base)
 
 
+def test_stream_neardup_matches_batch_and_consumed_all_chunks(spark, sf_dir):
+    """The incremental ingest reassembles the batch pair relation
+    exactly (cross-batch pairs only reachable through the persisted
+    signature store) and actually ran one micro-batch per staged
+    chunk."""
+    from bigdata_project_spark.operators.afp import run_afp_ingest_stream
+    from bigdata_project_spark.registry import all_queries
+
+    res, n_batches = run_afp_ingest_stream(spark, sf_dir, n_chunks=3)
+    assert n_batches == 3
+    stream_pairs = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in res.collect()}
+    batch_pairs = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in all_queries()["multimodal_audio_neardup"](spark, sf_dir).collect()
+    }
+    assert stream_pairs == batch_pairs
+    assert len(stream_pairs) == len(res.collect())  # no duplicate emissions
+
+
 def test_groups_separate(spark, sf_dir):
     """Cross-group signatures are md5-noise apart: distinct groups
     overwhelmingly map to distinct signature values."""

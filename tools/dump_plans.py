@@ -55,10 +55,14 @@ SHOWCASE = [
     ("pack_sequences_ffd", "FFD packing: bounded per-(source, block) Arrow groups fit in parallel; the only exchange is the hash partition on the group key — no global sort of documents."),
     ("join_bloom_prefilter", "Bloom prefilter: the filter folds to ONE row and broadcasts (BroadcastNestedLoopJoin); the probe side sees no key-shuffle before its pass-bit filter (the only exchange is the conditional load_spread parallelism gate, a no-op on multi-split lakes) — only bloom survivors enter the verify join."),
     ("corpus_lm_perplexity_gate", "Bigram LM gate: context/pair counts are map-side-combined token-keyed aggregates; the event->model join shuffles on (w1, w2) with NO vocabulary broadcast; the median comes from a tiny value-distribution table broadcast back."),
-    ("sim_ivfpq_residual", "Residual IVF-PQ: the 10-row unit-space centroid table broadcasts, residuals are one map-side zip_with in the scan stage; per-(query, cell) LUTs broadcast through four hash joins — candidates still reach ADC only via the probed-cell equi-join."),
+    ("sim_ivfpq_residual", "Residual IVF-PQ: the 10-row unit-space centroid table broadcasts, residuals are one map-side zip_with in the scan stage; the per-(query, cell) LUT pivots to a 64-entry map and joins ONCE (a single BroadcastHashJoin replaced the r12 four-chained-join stage) — candidates still reach ADC only via the probed-cell equi-join."),
     ("corpus_nb_quality_classifier", "Bernoulli NB: the df aggregate is map-side-combined on token; the distinct-occurrence -> weight join shuffles on token (NO vocab broadcast); the absence constant and class prior are 1-row broadcasts — the trained artifact is a relation, not driver state."),
     ("agg_quantile_sketch_audit", "Quantile sketch audit: the sketch build is one <= 976-group map-side-combinable aggregate; the exact side aggregates per distinct VALUE and windows over that compressed table (the fact table is never sorted); decile probes ride a 9-row broadcast."),
     ("corpus_lm_backoff_gate", "Stupid Backoff: pair/context/unigram model tables each join the event stream on their own key — no vocabulary broadcast anywhere; seen-vs-backoff is a codegen CASE over the joined row, not a second corpus pass."),
+    ("sim_ivf_trained_cells", "Trained coarse quantizer: each Lloyd iteration is one broadcast of the k x 64 centroid table against the corpus scan (map-side assign, BNLJ on a fixed-k table) plus one map-side-combinable groupBy(cid, dim); seed selection is TakeOrdered, never a global window."),
+    ("sim_ivfpq_trained", "Fully-trained IVF-PQ: trained centroids and residual codebook both broadcast; encode is map-side over the corpus scan; candidates reach the pivoted-map ADC only via the probed-cell equi-join — training the coarse stage changed WHERE vectors land, not what shuffles."),
+    ("multimodal_audio_neardup", "Audio fingerprint pairs: both Arrow stages (WAV synthesize, decode+fingerprint) are map-side — audio bytes never shuffle; only (doc_id, 16-char) rows reach the pigeonhole block equi-join."),
+    ("retrieval_ndcg_at_k", "nDCG eval: every input is an already-reduced k x #queries ranked list; gains/discounts are codegen integer expressions and the ideal-DCG side is a tiny broadcast — the eval adds no corpus-scale stage to its nested systems."),
 ]
 
 

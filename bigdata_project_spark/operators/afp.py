@@ -476,12 +476,21 @@ def run_afp_ingest_stream(
         )
         sq.awaitTermination()
         n_batches = len(sq.recentProgress)
+        # register the checkpoint blocks for the framework's release
+        # path: localCheckpoint blocks are invisible to
+        # DataFrame.unpersist, so an unregistered one leaks until a
+        # sweep_all (caching.py contract — the materializing caller's
+        # release_cached(spark) frees these)
+        from bigdata_project_spark.caching import persistent_rdd_ids, track_rdd_ids
+
+        before = persistent_rdd_ids(spark)
         res = (
             spark.read.option("recursiveFileLookup", "true")
             .schema("doc_a long, doc_b long, hamming int")
             .parquet(out_store)
             .localCheckpoint(eager=True)
         )
+        track_rdd_ids(spark, persistent_rdd_ids(spark) - before)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return res.orderBy("doc_a", "doc_b"), n_batches

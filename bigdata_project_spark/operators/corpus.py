@@ -388,6 +388,126 @@ def quality_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ duplicate-line signals
+
+
+@query(
+    "quality_dupline_signals",
+    oracle="""
+    WITH seeded AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN chr(10) || 'tail ' || CAST(doc_id AS VARCHAR)
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN chr(10) || 'dup line ' || CAST(doc_id AS VARCHAR)
+                            || chr(10) || 'dup line ' || CAST(doc_id AS VARCHAR)
+                       ELSE '' END AS txt
+        FROM documents
+    ),
+    ls AS (
+        SELECT doc_id,
+               list_sort(list_filter(string_split(txt, chr(10)), x -> x <> '')) AS lines
+        FROM seeded
+    ),
+    fl AS (
+        SELECT doc_id, lines, len(lines) AS n_lines,
+               list_transform(range(len(lines)), i ->
+                   CASE WHEN (i > 0 AND lines[i + 1] = lines[i])
+                          OR (i < len(lines) - 1 AND lines[i + 1] = lines[i + 2])
+                        THEN 1 ELSE 0 END) AS flags
+        FROM ls
+    ),
+    ag AS (
+        SELECT doc_id,
+               CAST(n_lines AS INT) AS n_lines,
+               CAST(list_sum(flags) AS INT) AS n_dup_lines,
+               CAST(list_sum(list_transform(range(n_lines),
+                    i -> flags[i + 1] * length(lines[i + 1]))) AS BIGINT) AS dup_chars,
+               CAST(list_sum(list_transform(lines, x -> length(x))) AS BIGINT) AS tot_chars
+        FROM fl WHERE n_lines > 0
+    )
+    SELECT doc_id, n_lines, n_dup_lines,
+           CAST(n_dup_lines AS DOUBLE) / n_lines AS dup_line_fraction,
+           CAST(dup_chars AS DOUBLE) / tot_chars AS dup_char_fraction
+    FROM ag
+    """,
+    tags=("llm", "quality", "repetition", "gopher"),
+)
+def quality_dupline_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's OTHER repetition signals (Rae et al. 2021 Table A1
+    rows the top-bigram filter doesn't cover): per document, the
+    fraction of non-empty lines that belong to a duplicated line
+    group, by count AND by character mass — boilerplate nav bars,
+    repeated footers, and template spam show up here before any
+    n-gram statistic moves. The single-line synthetic corpus gets a
+    deterministic seeded structure (the scrub_pii_stats discipline,
+    identical in both engines): every 3rd doc a unique tail line,
+    every 5th doc a duplicated line PAIR — so the signal is
+    observable under the oracle gate instead of vacuously zero.
+
+    An element is duplicated iff it equals a neighbor in the SORTED
+    line array — equal elements are adjacent under any total order,
+    so the flag count is sort-order independent (no cross-engine
+    collation hazard). Computed per ROW with array algebra (sort +
+    one indexed transform + folds) following
+    quality_repetition_filter's measured lesson: no (doc_id, line)
+    explode, no aggregation exchange — the plan is a projection over
+    the scan, embarrassingly parallel at 100 TB. The sorted array is
+    staged as its own column so the fold doesn't re-sort per element
+    (the same module's O(L^2 log L) index-lambda lesson)."""
+    docs = load_spread(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    did = F.col("doc_id").cast("string")
+    txt = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(nl, F.lit("tail "), did)
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(nl, F.lit("dup line "), did, nl, F.lit("dup line "), did),
+        ).otherwise(F.lit("")),
+    )
+    staged = docs.select(
+        "doc_id",
+        F.array_sort(F.filter(F.split(txt, "\n"), lambda x: x != "")).alias("lines"),
+    ).filter(F.size("lines") > 0)
+    lines = F.col("lines")
+    # F.get is 0-based and returns NULL out of range (ANSI-safe where
+    # element_at would throw); line elements are never NULL ('' is
+    # filtered), so a NULL comparison means "no such neighbor"
+    flags = F.transform(
+        lines,
+        lambda x, i: F.coalesce(
+            ((x == F.get(lines, i - 1)) | (x == F.get(lines, i + 1))).cast("int"),
+            F.lit(0),
+        ),
+    )
+    staged2 = staged.select(
+        "doc_id", lines, F.size(lines).alias("n_lines"), flags.alias("flags")
+    )
+    n_dup = F.aggregate("flags", F.lit(0), lambda a, v: a + v)
+    dup_chars = F.aggregate(
+        F.zip_with("flags", F.transform("lines", lambda x: F.length(x)), lambda f, L: f * L),
+        F.lit(0),
+        lambda a, v: a + v,
+    )
+    tot_chars = F.aggregate(
+        F.transform("lines", lambda x: F.length(x)), F.lit(0), lambda a, v: a + v
+    )
+    return staged2.select(
+        "doc_id",
+        F.col("n_lines").cast("int").alias("n_lines"),
+        n_dup.cast("int").alias("n_dup_lines"),
+        (n_dup.cast("double") / F.col("n_lines")).alias("dup_line_fraction"),
+        (dup_chars.cast("long").cast("double") / tot_chars.cast("long")).alias(
+            "dup_char_fraction"
+        ),
+    )
+
+
 # ------------------------------------------------- incremental merge
 
 _BATCH_MOD = 10  # stand-in incremental batch: every 10th document

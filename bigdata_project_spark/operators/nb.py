@@ -396,3 +396,73 @@ def corpus_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["corpus_nb_calibration"].oracle = REGISTRY[
     "corpus_nb_calibration"
 ].oracle.format(NB=REGISTRY["corpus_nb_quality_classifier"].oracle)
+
+
+@query(
+    "corpus_quality_ensemble_gate",
+    oracle="""
+    SELECT g.doc_id,
+           CAST(g.keep AS INT) AS gopher_keep,
+           CAST(n.nb_keep AS INT) AS nb_keep,
+           CAST(l.keep AS INT) AS lm_keep,
+           CAST(g.keep + n.nb_keep + l.keep AS INT) AS n_votes,
+           CAST(g.keep + n.nb_keep + l.keep >= 2 AS INT) AS ensemble_keep
+    FROM ({G}) g
+    JOIN ({NB}) n ON n.doc_id = g.doc_id
+    JOIN ({LM}) l ON l.doc_id = g.doc_id
+    """,
+    tags=("llm", "quality", "gate", "ensemble", "classifier"),
+)
+def corpus_quality_ensemble_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote ensemble of the three INDEPENDENTLY-DERIVED
+    quality signals — rules (Gopher), discriminative (Bernoulli NB),
+    generative (bigram-LM perplexity) — over the documents all three
+    can score: the shipped gate a production corpus actually applies
+    after the pairwise agreement audits (corpus_nb_lm_agreement) have
+    been reviewed. Majority voting is the standard variance-reduction
+    move when signals err independently: a doc needs 2 of 3 keeps to
+    survive, so one signal's blind spot (the NB seed's rule bias, the
+    LM's fluent-spam weakness, the rules' fixed thresholds) cannot
+    alone decide either way. All three component oracles nest, so the
+    composed verdict is value-verified end to end.
+
+    tests/test_ensemble.py pins the vote arithmetic against the
+    components and that the ensemble sits between intersection and
+    union of the component keep sets (a theorem of 2-of-3 voting,
+    checked on real output).
+
+    Scale: the three component relations are already doc_id-keyed
+    outputs of scale-shaped pipelines; the ensemble adds two
+    doc_id equi-joins and codegen integer arithmetic — no new
+    corpus-scale stage."""
+    g = quality_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("int").alias("gopher_keep")
+    )
+    nbk = corpus_nb_quality_classifier(spark, sf_dir).select(
+        F.col("doc_id").alias("n_did"), F.col("nb_keep").cast("int").alias("nb_keep")
+    )
+    lmk = corpus_lm_perplexity_gate(spark, sf_dir).select(
+        F.col("doc_id").alias("l_did"), F.col("keep").cast("int").alias("lm_keep")
+    )
+    votes = F.col("gopher_keep") + F.col("nb_keep") + F.col("lm_keep")
+    return (
+        g.join(nbk, F.col("doc_id") == F.col("n_did"))
+        .join(lmk, F.col("doc_id") == F.col("l_did"))
+        .select(
+            "doc_id",
+            "gopher_keep",
+            "nb_keep",
+            "lm_keep",
+            votes.cast("int").alias("n_votes"),
+            (votes >= 2).cast("int").alias("ensemble_keep"),
+        )
+    )
+
+
+REGISTRY["corpus_quality_ensemble_gate"].oracle = REGISTRY[
+    "corpus_quality_ensemble_gate"
+].oracle.format(
+    G=REGISTRY["quality_gopher_rules"].oracle,
+    NB=REGISTRY["corpus_nb_quality_classifier"].oracle,
+    LM=REGISTRY["corpus_lm_perplexity_gate"].oracle,
+)

@@ -158,20 +158,21 @@ _LOADED = False
 # r6-vintage streaming re-confirms, and the 4 next-oldest by
 # last-checked round. Driver-confirmed 50/50 green in
 # CORRECTNESS_r12.json.
-# Round-13 window (exactly 50): the 11 round-13 additions first
+# Round-13 window (exactly 50): the 13 round-13 additions first
 # (never driver-checked: audio fingerprint family incl. the
 # streaming ingest form, trained-IVF k-means family, fully-trained
-# IVF-PQ, NB calibration, nDCG@10), then strict oldest-last-checked
-# order — the 3 names the late r12 additions trimmed (r4/r5
-# vintage), the r5-vintage tpch remainder, and 33 of the 49
-# r6-vintage names (registration order; join_asof_nearest trimmed
-# for the streaming addition).
+# IVF-PQ, NB calibration, nDCG@10, dup-line signals, the 3-signal
+# ensemble gate), then strict oldest-last-checked order — the 3
+# names the late r12 additions trimmed (r4/r5 vintage), the
+# r5-vintage tpch remainder, and 31 of the 49 r6-vintage names
+# (registration order; join_asof_tolerance_1h / join_asof_forward /
+# join_asof_nearest trimmed for the late r13 additions).
 # Round-14 rotation queue: FIRST any oracled queries registered after
 # this window froze (diff all_oracles() against CORRECTNESS_r01-r13
 # row names at r14 start), then oldest-last-checked —
-# join_asof_nearest (r6 vintage, trimmed from this window's tail),
-# then the 15 further r6-vintage names this window could not fit
-# (registration order:
+# join_asof_tolerance_1h, join_asof_forward, join_asof_nearest (r6
+# vintage, trimmed from this window's tail), then the 15 further
+# r6-vintage names this window could not fit (registration order:
 # scalar_collation_ci_grouping, agg_heavy_hitters_exact,
 # sort_pareto_frontier, join_geo_grid_radius,
 # join_interval_overlap_binned, sim_knn_quantized_int8,
@@ -194,6 +195,8 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "corpus_nb_calibration",
     "retrieval_ndcg_at_k",
     "stream_audio_incremental_neardup",
+    "quality_dupline_signals",
+    "corpus_quality_ensemble_gate",
     # --- oldest-last-checked: the 3 names the late r12 additions
     # trimmed from the r12 window's tail (r4/r5 vintage) ---
     "scalar_bit_binary_ops",
@@ -236,8 +239,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "events_peak_concurrency",
     "events_new_vs_returning",
     "events_volume_anomaly_dow_adjusted",
-    "join_asof_tolerance_1h",
-    "join_asof_forward",
 )
 
 

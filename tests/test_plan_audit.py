@@ -58,6 +58,7 @@ BNLJ_WHITELIST: dict[str, str] = {
     "sim_recall_ivfpq_residual_rerank_at_k": "nested centroid cross + brute-force query-set broadcast",
     "corpus_nb_seed_confusion": "nested NB prior/absence 1-row broadcasts",
     "corpus_nb_calibration": "nested NB prior/absence 1-row broadcasts",
+    "corpus_quality_ensemble_gate": "nested NB prior/absence + LM vocab 1-row broadcasts",
     "retrieval_ndcg_at_k": "nested ANN systems' centroid crosses + BF query-set broadcast",
     "sim_ivf_trained_cells": "fixed-k trained-centroid cross to assign cells (Lloyd)",
     "sim_ivf_trained_search": "fixed-k trained-centroid cross to assign cells (Lloyd)",

@@ -361,6 +361,52 @@ def multimodal_audio_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _afp_probe_batch(
+    spark: SparkSession, bdf: DataFrame, bid: int, seen_store: str, out_store: str
+) -> None:
+    """One micro-batch of the incremental near-dup ingest: decode +
+    fingerprint the batch, emit every <= 3-Hamming pair with >= 1
+    batch member against (store minus this batch) + batch, commit the
+    pair emission THEN the store upsert, both batch-id-keyed. Module-
+    level (not a closure) so tests/test_afp.py can redeliver batches
+    directly and pin the idempotency claims the docstring makes."""
+    import os
+
+    out_dir = os.path.join(out_store, f"b{bid}")
+    sig_dir = os.path.join(seen_store, f"b{bid}")
+    if os.path.exists(os.path.join(out_dir, "_SUCCESS")) and os.path.exists(
+        os.path.join(sig_dir, "_SUCCESS")
+    ):
+        return  # retry of a fully committed batch
+    bsigs = _afp_decode(bdf).persist()
+    seen = (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema("doc_id long, afp64 string")
+        .parquet(seen_store)
+    )
+    # exclude a half-written retry of THIS batch's sig dir from the
+    # match set (overwrite below clears it anyway, but the read may
+    # happen first)
+    seen = seen.join(
+        bsigs.select(F.col("doc_id").alias("b_did")),
+        F.col("doc_id") == F.col("b_did"),
+        "left_anti",
+    )
+    union = seen.unionByName(bsigs)
+    batch_ids = bsigs.select(F.col("doc_id").alias("m_did"))
+    pairs = pigeonhole_hamming_pairs(union, "afp64")
+    emitted = pairs.join(
+        F.broadcast(batch_ids),
+        (F.col("doc_a") == F.col("m_did")) | (F.col("doc_b") == F.col("m_did")),
+        "left_semi",
+    )
+    # pairs BEFORE sigs: a crash between the writes replays against
+    # the identical store snapshot
+    emitted.write.mode("overwrite").parquet(out_dir)
+    bsigs.write.mode("overwrite").parquet(sig_dir)
+    bsigs.unpersist()
+
+
 def run_afp_ingest_stream(
     spark: SparkSession, sf_dir: str, n_chunks: int = 3
 ) -> tuple[DataFrame, int]:
@@ -428,39 +474,7 @@ def run_afp_ingest_stream(
         ).limit(0).write.parquet(os.path.join(out_store, "b_init"))
 
         def probe(bdf: DataFrame, bid: int) -> None:
-            out_dir = os.path.join(out_store, f"b{bid}")
-            sig_dir = os.path.join(seen_store, f"b{bid}")
-            if os.path.exists(os.path.join(out_dir, "_SUCCESS")) and os.path.exists(
-                os.path.join(sig_dir, "_SUCCESS")
-            ):
-                return  # retry of a fully committed batch
-            bsigs = _afp_decode(bdf).persist()
-            seen = (
-                spark.read.option("recursiveFileLookup", "true")
-                .schema("doc_id long, afp64 string")
-                .parquet(seen_store)
-            )
-            # exclude a half-written retry of THIS batch's sig dir
-            # from the match set (overwrite below clears it anyway,
-            # but the read may happen first)
-            seen = seen.join(
-                bsigs.select(F.col("doc_id").alias("b_did")),
-                F.col("doc_id") == F.col("b_did"),
-                "left_anti",
-            )
-            union = seen.unionByName(bsigs)
-            batch_ids = bsigs.select(F.col("doc_id").alias("m_did"))
-            pairs = pigeonhole_hamming_pairs(union, "afp64")
-            emitted = pairs.join(
-                F.broadcast(batch_ids),
-                (F.col("doc_a") == F.col("m_did")) | (F.col("doc_b") == F.col("m_did")),
-                "left_semi",
-            )
-            # pairs BEFORE sigs: a crash between the writes replays
-            # against the identical store snapshot
-            emitted.write.mode("overwrite").parquet(out_dir)
-            bsigs.write.mode("overwrite").parquet(sig_dir)
-            bsigs.unpersist()
+            _afp_probe_batch(spark, bdf, bid, seen_store, out_store)
 
         stream = (
             spark.readStream.schema(payloads.schema)

@@ -101,6 +101,66 @@ def test_stream_neardup_matches_batch_and_consumed_all_chunks(spark, sf_dir):
     assert len(stream_pairs) == len(res.collect())  # no duplicate emissions
 
 
+def test_probe_batch_idempotent_under_redelivery(spark, sf_dir, tmp_path):
+    """The at-least-once claims, EXERCISED: deliver two batches, then
+    redeliver both (committed retries) plus a crash-retry where the
+    pair emission committed but the store upsert didn't — the final
+    pair multiset must equal the single-delivery answer with no
+    duplicates and no rollback."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from bigdata_project_spark.operators.afp import (
+        _afp_payloads_df,
+        _afp_probe_batch,
+    )
+
+    payloads = _afp_payloads_df(spark, sf_dir).filter(F.col("doc_id") < 16)
+    b0 = payloads.filter(F.col("doc_id") < 8).localCheckpoint(eager=True)
+    b1 = payloads.filter(F.col("doc_id") >= 8).localCheckpoint(eager=True)
+    seen_store, out_store = str(tmp_path / "seen"), str(tmp_path / "out")
+    empty = payloads.limit(0).select("doc_id", F.lit("").alias("afp64"))
+    empty.write.parquet(seen_store + "/b_init")
+    empty.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.lit(0).cast("int").alias("hamming"),
+    ).limit(0).write.parquet(out_store + "/b_init")
+
+    def read_pairs():
+        rows = (
+            spark.read.option("recursiveFileLookup", "true")
+            .schema("doc_a long, doc_b long, hamming int")
+            .parquet(out_store)
+            .collect()
+        )
+        return sorted((r["doc_a"], r["doc_b"], r["hamming"]) for r in rows)
+
+    _afp_probe_batch(spark, b0, 0, seen_store, out_store)
+    _afp_probe_batch(spark, b1, 1, seen_store, out_store)
+    want = read_pairs()
+    assert want  # groups of 4 inside doc_id<16 guarantee pairs
+    assert len(set(want)) == len(want)
+    # committed-retry redelivery: no-ops
+    _afp_probe_batch(spark, b0, 0, seen_store, out_store)
+    _afp_probe_batch(spark, b1, 1, seen_store, out_store)
+    assert read_pairs() == want
+    # crash-retry: batch 1's store upsert is lost after its pair
+    # emission committed; the retry must rebuild the store version
+    # without changing the emitted pairs
+    shutil.rmtree(seen_store + "/b1")
+    _afp_probe_batch(spark, b1, 1, seen_store, out_store)
+    assert read_pairs() == want
+    n_sigs = (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema("doc_id long, afp64 string")
+        .parquet(seen_store)
+        .count()
+    )
+    assert n_sigs == 16  # store restored, one row per clip
+
+
 def test_groups_separate(spark, sf_dir):
     """Cross-group signatures are md5-noise apart: distinct groups
     overwhelmingly map to distinct signature values."""

@@ -182,11 +182,16 @@ _SQL_AFP_SIGS = f"""
     )"""
 
 
-def _afp_payloads_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _afp_payloads_df(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, payload): genuine 16-bit PCM RIFF/WAVE bytes per
     document — base clips memoized per group, variants transformed
-    per `_afp_samples`."""
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    per `_afp_samples`. Pass a pre-filtered `docs` (doc_id) relation
+    to synthesize a subset: doc_id predicates cannot push through
+    mapInPandas, so the filter must land BEFORE the Arrow stage."""
+    if docs is None:
+        docs = load(spark, sf_dir, "documents").select("doc_id")
 
     def synthesize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -444,26 +449,32 @@ def run_afp_ingest_stream(
     import shutil
     import tempfile
 
-    payloads = _afp_payloads_df(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
     work = tempfile.mkdtemp(prefix="afp_stream_")
     src_dir = os.path.join(work, "src")
     seen_store = os.path.join(work, "seen")
     out_store = os.path.join(work, "out")
     try:
-        lo, hi = payloads.agg(F.min("doc_id"), F.max("doc_id")).first()
+        # bounds from the cheap doc_id scan, and each chunk filters
+        # doc_ids BEFORE the synthesize Arrow stage — the corpus is
+        # encoded exactly once across the staged chunks (a filter
+        # after mapInPandas would re-synthesize everything per chunk
+        # and discard (n_chunks-1)/n_chunks of it)
+        lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
         if lo is None:
             lo, hi = 0, 0
         step = max(1, (int(hi) - int(lo)) // n_chunks + 1)
         for i in range(n_chunks):
-            chunk = payloads.filter(
+            chunk_docs = docs.filter(
                 (F.col("doc_id") >= lo + i * step)
                 & (F.col("doc_id") < lo + (i + 1) * step)
             )
+            chunk = _afp_payloads_df(spark, sf_dir, docs=chunk_docs)
             chunk.coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(src_dir, f"chunk{i}")
             )
         # schema-only inits so the final readers work on empty input
-        empty_sigs = payloads.limit(0).select(
+        empty_sigs = docs.limit(0).select(
             F.col("doc_id"), F.lit("").alias("afp64")
         )
         empty_sigs.write.parquet(os.path.join(seen_store, "b_init"))
@@ -477,7 +488,7 @@ def run_afp_ingest_stream(
             _afp_probe_batch(spark, bdf, bid, seen_store, out_store)
 
         stream = (
-            spark.readStream.schema(payloads.schema)
+            spark.readStream.schema("doc_id long, payload binary")
             .option("maxFilesPerTrigger", "1")
             .option("recursiveFileLookup", "true")
             .parquet(src_dir)

@@ -47,9 +47,6 @@ from bigdata_project_spark.operators.kmeans import (
     _sql_kmeans_prelude,
 )
 from bigdata_project_spark.operators.pq import (
-    _PQ_M,
-    _adc_from_map,
-    _lut_pivot,
     _pq_codebook,
     _recall_join,
 )
@@ -57,6 +54,7 @@ from bigdata_project_spark.operators.pq_residual import (
     _SQL_RLUT,
     _SQL_RSUBS,
     _res_encode,
+    _res_search_tail,
     _res_subs,
 )
 from bigdata_project_spark.operators.similarity import (
@@ -141,42 +139,7 @@ def _trained_res_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     qu = unit.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"), F.col("u").alias("q_u")
     )
-    qres = (
-        probe.join(F.broadcast(qu), "query_id")
-        .join(F.broadcast(ucent.select(F.col("label").alias("cell"), "c_arr")), "cell")
-        .select(
-            "query_id",
-            "cell",
-            F.zip_with("q_u", "c_arr", lambda x, y: x - y).alias("q_rv"),
-        )
-    )
-    from bigdata_project_spark.operators.pq import _PQ_SUB, _dist16_col
-
-    per_j = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("j"),
-                F.slice("q_rv", _PQ_SUB * j + 1, _PQ_SUB).alias("q_sub"),
-            )
-            for j in range(_PQ_M)
-        ]
-    )
-    qrsubs = qres.select("query_id", "cell", F.explode(per_j).alias("o")).select(
-        "query_id", "cell", F.col("o.j").alias("j"), F.col("o.q_sub").alias("q_sub")
-    )
-    rlut = qrsubs.join(F.broadcast(cb), "j").select(
-        "query_id", "cell", "j", "b", _dist16_col("q_sub", "m_arr").alias("pd")
-    )
-    cand = (
-        codes.join(F.broadcast(probe), F.col("label") == F.col("cell"))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .join(F.broadcast(_lut_pivot(rlut, ("query_id", "cell"))), ["query_id", "cell"])
-    )
-    scored = cand.select(
-        "query_id", F.col("vec_id").alias("neighbor_id"), _adc_from_map().alias("adc")
-    )
-    wr = W.partitionBy("query_id").orderBy("adc", "neighbor_id")
-    return scored.select("*", F.row_number().over(wr).alias("rnk"))
+    return _res_search_tail(qu, ucent, codes, cb, probe)
 
 
 @query(

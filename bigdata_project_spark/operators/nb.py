@@ -359,7 +359,8 @@ def corpus_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     NaN). Where empirical and implied diverge is miscalibration —
     the agg_countmin_audit discipline (estimate vs truth, in-engine)
     applied to the classifier. Weak monotonicity of the empirical
-    rate across bins is pinned at three SFs by tests/test_nb_cal.py.
+    rate across bins is pinned at three SFs by
+    tests/test_ndcg.py::test_nb_calibration_monotone.
 
     Floor division goes through FLOOR(bits / 8.0) explicitly: Spark's
     `div` truncates toward zero while Python/DuckDB floor, and

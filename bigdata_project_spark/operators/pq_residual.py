@@ -282,22 +282,17 @@ def _res_encode(subs: DataFrame, cb: DataFrame) -> DataFrame:
     )
 
 
-def _res_ranked(spark: SparkSession, sf_dir: str, nprobe: int = _RES_NPROBE) -> DataFrame:
-    """(query_id, neighbor_id, adc, rnk) over the query's probed
-    cells, ADC-scored through the per-(query, cell) residual LUT —
-    the Spark twin of _SQL_RLUT's rranked."""
-    from bigdata_project_spark.caching import tracked_persist
-
-    emb = with_norm(load(spark, sf_dir, "embeddings"))
-    unit = _res_unit(spark, sf_dir)
-    ucent = tracked_persist(_res_ucent(unit))
-    subs = tracked_persist(_res_subs(unit, ucent))
-    cb = tracked_persist(_pq_codebook(subs))
-    codes = _res_encode(subs, cb)
-    probe = _ivf_qprobe(emb, nprobe)
-    qu = unit.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
-        F.col("vec_id").alias("query_id"), F.col("u").alias("q_u")
-    )
+def _res_search_tail(
+    qu: DataFrame, ucent: DataFrame, codes: DataFrame, cb: DataFrame, probe: DataFrame
+) -> DataFrame:
+    """(query_id, neighbor_id, adc, rnk): the residual ADC search
+    given its four relations — query residuals against each probed
+    cell's centroid, per-(query, cell) LUT through the codebook,
+    ONE pivoted-map broadcast join onto the probed cells' codes.
+    Shared by the label-cell search here and the trained-quantizer
+    composition (`ivfpq_trained.py`), which swap only the sources.
+    qu = (query_id, q_u); ucent = (label, c_arr); codes =
+    (vec_id, label, c0..c3); probe = (query_id, cell)."""
     qres = (
         probe.join(F.broadcast(qu), "query_id")
         .join(
@@ -334,6 +329,25 @@ def _res_ranked(spark: SparkSession, sf_dir: str, nprobe: int = _RES_NPROBE) -> 
     )
     wr = W.partitionBy("query_id").orderBy("adc", "neighbor_id")
     return scored.select("*", F.row_number().over(wr).alias("rnk"))
+
+
+def _res_ranked(spark: SparkSession, sf_dir: str, nprobe: int = _RES_NPROBE) -> DataFrame:
+    """(query_id, neighbor_id, adc, rnk) over the query's probed
+    cells, ADC-scored through the per-(query, cell) residual LUT —
+    the Spark twin of _SQL_RLUT's rranked."""
+    from bigdata_project_spark.caching import tracked_persist
+
+    emb = with_norm(load(spark, sf_dir, "embeddings"))
+    unit = _res_unit(spark, sf_dir)
+    ucent = tracked_persist(_res_ucent(unit))
+    subs = tracked_persist(_res_subs(unit, ucent))
+    cb = tracked_persist(_pq_codebook(subs))
+    codes = _res_encode(subs, cb)
+    probe = _ivf_qprobe(emb, nprobe)
+    qu = unit.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("q_u")
+    )
+    return _res_search_tail(qu, ucent, codes, cb, probe)
 
 
 @query(

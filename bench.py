@@ -166,6 +166,8 @@ HEADLINE = [
     "corpus_nb_calibration",
     "retrieval_ndcg_at_k",
     "stream_audio_incremental_neardup",
+    # round-14 additions
+    "sim_recall_dim_curve",
 ]
 
 

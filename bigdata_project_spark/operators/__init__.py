@@ -20,6 +20,7 @@ from bigdata_project_spark.operators import (  # noqa: F401
     ivfpq_trained,
     kmeans,
     lm,
+    matryoshka,
     multimodal,
     nb,
     packing,

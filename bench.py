@@ -168,6 +168,7 @@ HEADLINE = [
     "stream_audio_incremental_neardup",
     # round-14 additions
     "sim_recall_dim_curve",
+    "quality_gopher_full_rules",
 ]
 
 

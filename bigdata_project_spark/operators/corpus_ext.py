@@ -193,6 +193,181 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- full Gopher rule set (r14)
+
+# Gopher's "must contain >= 2 of these" stopword rule, counted as
+# DISTINCT kinds over the word array (exact token membership — no
+# regex word-boundary hazard). The canonical Rae et al. 2021 list
+# (the/be/to/of/and/that/have/with) is vacuous on the testbed's
+# 31-word synthetic vocabulary (only "the" occurs), so the rule runs
+# over the module's own stopword class (_STOPWORDS_RE's set) — same
+# semantics, non-degenerate distribution (0/1/2 kinds ~ 9%/27%/63%).
+_GOPHER_STOPWORDS = ("the", "a", "of", "and", "is")
+
+_SQL_STOP_KINDS = " + ".join(
+    f"CAST(list_contains(ws, '{w}') AS INT)" for w in _GOPHER_STOPWORDS
+)
+
+
+@query(
+    "quality_gopher_full_rules",
+    oracle=f"""
+    WITH fwords AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS ws
+        FROM documents
+    ),
+    ffeats AS (
+        SELECT doc_id,
+               len(ws) AS n_words,
+               len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS n_alpha_words,
+               len(regexp_extract_all(text, '#'))
+                 + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_hash_ellipsis,
+               len(list_filter(string_split(text, chr(10)), x -> x <> '')) AS n_lines_ne,
+               len(list_filter(string_split(text, chr(10)),
+                   x -> regexp_matches(x, '(\\.\\.\\.|…)$'))) AS n_ellipsis_lines,
+               {_SQL_STOP_KINDS} AS n_stop_kinds
+        FROM fwords
+    )
+    SELECT g.doc_id,
+           CAST(f.n_alpha_words AS DOUBLE) / f.n_words AS alpha_word_fraction,
+           CAST(f.n_hash_ellipsis AS DOUBLE) / f.n_words AS hash_ellipsis_per_word,
+           CAST(f.n_ellipsis_lines AS DOUBLE) / f.n_lines_ne AS ellipsis_line_fraction,
+           CAST(f.n_stop_kinds AS INT) AS n_stop_kinds,
+           CAST(5 * f.n_alpha_words >= 4 * f.n_words AS INT) AS ok_alpha_words,
+           CAST(10 * f.n_hash_ellipsis <= f.n_words AS INT) AS ok_symbol_word_ratio,
+           CAST(10 * f.n_ellipsis_lines <= 3 * f.n_lines_ne AS INT) AS ok_ellipsis_lines,
+           CAST(f.n_stop_kinds >= 2 AS INT) AS ok_stop_kinds,
+           CAST(10 * d.n_dup_lines <= 3 * d.n_lines AS INT) AS ok_dup_lines,
+           CAST(d.dup_char_fraction <= 0.2 AS INT) AS ok_dup_chars,
+           CAST(g.keep AS INT) AS base_keep,
+           CAST(g.keep = 1
+                AND 5 * f.n_alpha_words >= 4 * f.n_words
+                AND 10 * f.n_hash_ellipsis <= f.n_words
+                AND 10 * f.n_ellipsis_lines <= 3 * f.n_lines_ne
+                AND f.n_stop_kinds >= 2
+                AND 10 * d.n_dup_lines <= 3 * d.n_lines
+                AND d.dup_char_fraction <= 0.2 AS INT) AS full_keep
+    FROM ({{G}}) g
+    JOIN ffeats f ON f.doc_id = g.doc_id
+    JOIN ({{DL}}) d ON d.doc_id = g.doc_id
+    """,
+    tags=("llm", "quality", "filter", "gopher"),
+)
+def quality_gopher_full_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE Gopher rule gate (Rae et al. 2021 Appendix A):
+    the base five rules (`quality_gopher_rules`) plus the remaining
+    published cuts — alpha-word fraction >= 0.8, hash/ellipsis
+    symbol-to-word ratio <= 0.1, ellipsis-terminated line share
+    <= 0.3, >= 2 DISTINCT stopword kinds (exact word-array
+    membership over the module's stopword class — see
+    _GOPHER_STOPWORDS for why not the paper's 8-word list on this
+    testbed), and the duplicate-line
+    thresholds (line count share <= 0.30, character mass <= 0.20)
+    acting on `quality_dupline_signals`' measurements. Every new cut
+    compares INTEGERS (5*a >= 4*n forms), so no FP threshold can
+    diverge cross-engine; the two nested component oracles make the
+    composed verdict value-verified end to end.
+
+    The support is the base gate's (n_words > 0) intersected with the
+    dupline relation (n_lines > 0) — inner joins, the ensemble-gate
+    discipline: a doc the base gate cannot score has no full-rules
+    verdict either.
+
+    Scale: two doc_id equi-joins over corpus-keyed map outputs plus
+    one fresh projection of the scan (regexp counts + array filters,
+    all JVM codegen) — no new shuffle beyond the joins, and at 100 TB
+    the three legs co-partition on doc_id so AQE plans them as one
+    exchange reuse."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.array_remove(F.split(F.lower(F.col("text")), r"\s+"), "")
+    lines = F.split(F.col("text"), r"\n")
+    n_words = F.size(words)
+    n_alpha = F.size(F.filter(words, lambda x: x.rlike("[a-z]")))
+    n_hash_ell = F.regexp_count("text", F.lit("#")) + F.regexp_count(
+        "text", F.lit(r"\.\.\.")
+    )
+    n_lines_ne = F.size(F.filter(lines, lambda x: x != ""))
+    n_ell_lines = F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)$")))
+    n_stop_kinds = None
+    for w in _GOPHER_STOPWORDS:
+        bit = F.array_contains(words, w).cast("int")
+        n_stop_kinds = bit if n_stop_kinds is None else n_stop_kinds + bit
+    feats = docs.select(
+        F.col("doc_id").alias("f_did"),
+        n_words.alias("n_words"),
+        n_alpha.alias("n_alpha_words"),
+        n_hash_ell.alias("n_hash_ellipsis"),
+        n_lines_ne.alias("n_lines_ne"),
+        n_ell_lines.alias("n_ellipsis_lines"),
+        n_stop_kinds.alias("n_stop_kinds"),
+    )
+    g = quality_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("base_keep")
+    )
+    from bigdata_project_spark.operators.corpus import quality_dupline_signals
+
+    dl = quality_dupline_signals(spark, sf_dir).select(
+        F.col("doc_id").alias("d_did"),
+        "n_lines",
+        "n_dup_lines",
+        "dup_char_fraction",
+    )
+    j = g.join(feats, F.col("doc_id") == F.col("f_did")).join(
+        dl, F.col("doc_id") == F.col("d_did")
+    )
+    ok_alpha = 5 * F.col("n_alpha_words") >= 4 * F.col("n_words")
+    ok_sym = 10 * F.col("n_hash_ellipsis") <= F.col("n_words")
+    ok_ell = 10 * F.col("n_ellipsis_lines") <= 3 * F.col("n_lines_ne")
+    ok_stop = F.col("n_stop_kinds") >= 2
+    ok_dupl = 10 * F.col("n_dup_lines") <= 3 * F.col("n_lines")
+    ok_dupc = F.col("dup_char_fraction") <= 0.2
+    full = (
+        (F.col("base_keep") == 1)
+        & ok_alpha & ok_sym & ok_ell & ok_stop & ok_dupl & ok_dupc
+    )
+    return j.select(
+        "doc_id",
+        (F.col("n_alpha_words").cast("double") / F.col("n_words")).alias(
+            "alpha_word_fraction"
+        ),
+        (F.col("n_hash_ellipsis").cast("double") / F.col("n_words")).alias(
+            "hash_ellipsis_per_word"
+        ),
+        (F.col("n_ellipsis_lines").cast("double") / F.col("n_lines_ne")).alias(
+            "ellipsis_line_fraction"
+        ),
+        F.col("n_stop_kinds").cast("int").alias("n_stop_kinds"),
+        ok_alpha.cast("int").alias("ok_alpha_words"),
+        ok_sym.cast("int").alias("ok_symbol_word_ratio"),
+        ok_ell.cast("int").alias("ok_ellipsis_lines"),
+        ok_stop.cast("int").alias("ok_stop_kinds"),
+        ok_dupl.cast("int").alias("ok_dup_lines"),
+        ok_dupc.cast("int").alias("ok_dup_chars"),
+        F.col("base_keep").cast("int").alias("base_keep"),
+        full.cast("int").alias("full_keep"),
+    )
+
+
+def _splice_full_rules() -> None:
+    # direct-import safety: registering the dupline component is a
+    # corpus.py side effect; operators/__init__ orders it first, but
+    # a bare `import corpus_ext` must not depend on that
+    from bigdata_project_spark.operators import corpus as _corpus  # noqa: F401
+    from bigdata_project_spark.registry import REGISTRY as _reg
+
+    _reg["quality_gopher_full_rules"].oracle = _reg[
+        "quality_gopher_full_rules"
+    ].oracle.format(
+        G=_reg["quality_gopher_rules"].oracle,
+        DL=_reg["quality_dupline_signals"].oracle,
+    )
+
+
+_splice_full_rules()
+
+
 # --------------------------------------------------- inverted index
 
 _HEAD_FRAC = 0.8  # tokens in more than this fraction of docs are stop-tokens

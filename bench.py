@@ -169,6 +169,7 @@ HEADLINE = [
     # round-14 additions
     "sim_recall_dim_curve",
     "quality_gopher_full_rules",
+    "corpus_nb_calibrated_gate",
 ]
 
 

@@ -10,6 +10,11 @@ the same way it answers the nprobe question
 at each dimension budget against the full-dimension brute-force
 truth, then read the curve before committing the cheaper scan.
 
+`sim_truncated_dim_recall` (operators/similarity.py, round 6)
+measures the single 16-dim truncation point; this operator is the
+full dial — the CURVE a pipeline reads to pick its budget, plus an
+in-band exactness self-check at the full dimension.
+
 This operator computes exact cosine top-k over the prefix slices
 dims {16, 32, 64} in ONE corpus pass (the three prefix dot chains
 share the scan; Catalyst subexpression elimination shares the common
@@ -94,12 +99,15 @@ _SQL_DIM_RANKED = " UNION ALL ".join(
     WITH {_SQL_PREFIX_NORMED},
     ppairs AS (
         SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-               ({_sql_dot_prefix('q.embedding', 'c.embedding', 16)})
-                 / (SQRT(q.n16) * SQRT(c.n16)) AS cos16,
-               ({_sql_dot_prefix('q.embedding', 'c.embedding', 32)})
-                 / (SQRT(q.n32) * SQRT(c.n32)) AS cos32,
-               ({_sql_dot_prefix('q.embedding', 'c.embedding', 64)})
-                 / (SQRT(q.n64) * SQRT(c.n64)) AS cos64
+               CASE WHEN q.n16 > 0 AND c.n16 > 0 THEN
+                    ({_sql_dot_prefix('q.embedding', 'c.embedding', 16)})
+                      / (SQRT(q.n16) * SQRT(c.n16)) ELSE 0.0 END AS cos16,
+               CASE WHEN q.n32 > 0 AND c.n32 > 0 THEN
+                    ({_sql_dot_prefix('q.embedding', 'c.embedding', 32)})
+                      / (SQRT(q.n32) * SQRT(c.n32)) ELSE 0.0 END AS cos32,
+               CASE WHEN q.n64 > 0 AND c.n64 > 0 THEN
+                    ({_sql_dot_prefix('q.embedding', 'c.embedding', 64)})
+                      / (SQRT(q.n64) * SQRT(c.n64)) ELSE 0.0 END AS cos64
         FROM pnormed q JOIN pnormed c ON c.vec_id <> q.vec_id
         WHERE q.vec_id IN {_QUERY_IDS}
     ),
@@ -140,14 +148,21 @@ def sim_recall_dim_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(f"n{d}").alias(f"qn{d}") for d in _DIMS],
     )
     pairs = pn.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    # zero-norm prefix guard (cosine defined as 0.0): an all-zero
+    # 16-dim prefix is plausible even when the full vector isn't, and
+    # an unguarded /0 diverges cross-engine (Spark NULL vs DuckDB
+    # inf) — the sim_truncated_dim_recall CASE form
     per_dim = F.array(
         *[
             F.struct(
                 F.lit(d).alias("dim"),
-                (
+                F.when(
+                    (F.col(f"qn{d}") > 0) & (F.col(f"n{d}") > 0),
                     _dot_prefix_col("q_embedding", "embedding", d)
-                    / (F.sqrt(f"qn{d}") * F.sqrt(f"n{d}"))
-                ).alias("cos"),
+                    / (F.sqrt(f"qn{d}") * F.sqrt(f"n{d}")),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("cos"),
             )
             for d in _DIMS
         ]

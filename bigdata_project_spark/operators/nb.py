@@ -467,3 +467,231 @@ REGISTRY["corpus_quality_ensemble_gate"].oracle = REGISTRY[
     NB=REGISTRY["corpus_nb_quality_classifier"].oracle,
     LM=REGISTRY["corpus_lm_perplexity_gate"].oracle,
 )
+
+
+# ----------------------------- isotonic (PAV) calibration (round 14)
+
+
+_ISO_W = 4  # isotonic fit bins: FINER than the 8-bit reliability table
+
+
+@query(
+    "corpus_nb_isotonic_calibration",
+    oracle=f"""
+    WITH nbsrc AS ({{NB}}),
+    ncal AS (
+        SELECT bin,
+               CAST(bin * {_ISO_W} AS BIGINT) AS lo_bits,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(seed_label) AS BIGINT) AS n_seed_pos,
+               CAST(SUM(seed_label) AS DOUBLE) / COUNT(*) AS empirical_rate
+        FROM (
+            SELECT CAST(FLOOR(CAST(nb_bits AS DOUBLE) / {_ISO_W}) AS BIGINT) AS bin,
+                   seed_label
+            FROM nbsrc
+        )
+        GROUP BY bin
+    ),
+    ncum AS (
+        SELECT bin, lo_bits, n_docs, n_seed_pos, empirical_rate,
+               CAST(SUM(n_docs) OVER (ORDER BY bin) AS BIGINT) AS cd,
+               CAST(SUM(n_seed_pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+        FROM ncal
+    ),
+    nseg AS (
+        SELECT j.bin AS jb, k.bin AS kb,
+               CAST(k.cp - j.cp + j.n_seed_pos AS DOUBLE)
+                 / (k.cd - j.cd + j.n_docs) AS seg_rate
+        FROM ncum j JOIN ncum k ON j.bin <= k.bin
+    ),
+    nmin AS (
+        SELECT i.bin AS bin, s.jb, MIN(s.seg_rate) AS mn
+        FROM ncum i JOIN nseg s ON s.jb <= i.bin AND s.kb >= i.bin
+        GROUP BY i.bin, s.jb
+    ),
+    niso AS (SELECT bin, MAX(mn) AS iso_rate FROM nmin GROUP BY bin)
+    SELECT c.bin, c.lo_bits, c.n_docs, c.n_seed_pos, c.empirical_rate,
+           i.iso_rate
+    FROM ncal c JOIN niso i ON i.bin = c.bin
+    """,
+    tags=("llm", "quality", "classifier", "calibration", "isotonic"),
+)
+def corpus_nb_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (pool-adjacent-violators) regression of the NB
+    reliability table — the step r13's measurement demanded: the raw
+    empirical rates wobble within bins (the measured 4-bit
+    non-monotonicity), and production pipelines regress them MONOTONE
+    before picking a threshold on the calibrated probability scale
+    (Zadrozny & Elkan 2002's standard recipe).
+
+    The fit runs over 4-BIT bins — finer than the 8-bit reliability
+    table (`corpus_nb_calibration`) — deliberately: r13 measured that
+    4-bit rates wobble (1.0 -> 0.972 at sf0.01) and coarsened the
+    TABLE to 8 bits to stay monotone; the isotonic fit exists to
+    absorb exactly that wobble, so it un-blocks the finer resolution
+    and the pooling is exercised on real data (iso != empirical on
+    the violating bins), not vacuous on an already-monotone input.
+
+    Implementation is the closed minimax form, not the sequential
+    pooling loop: iso(i) = max over j <= i of min over k >= i of the
+    pooled rate of bins [j..k] (Robertson/Wright/Dykstra, Ch. 1) —
+    every pooled rate is ONE division of exact BIGINT prefix-sum
+    differences, and MIN/MAX over identical double sets are
+    engine-independent, so the whole fit is value-oracled. The
+    minimax form replays identically in set-oriented SQL on both
+    engines, where the sequential PAV loop would need a recursive
+    CTE with list state.
+
+    Monotonicity of the output is a THEOREM of the minimax form
+    (i < i' implies the max runs over more j and the min over fewer
+    k), pinned in tests/test_isotonic.py along with PAV's
+    total-preservation property (sum of n_docs * iso_rate equals sum
+    of n_seed_pos).
+
+    Scale: the table is <= ~17 rows (256-bit score range / 8-bit
+    bins), so the triple-index join is a few hundred broadcast rows —
+    the corpus-scale work is all in the nested classifier, whose
+    dataflow is inherited unchanged. The unpartitioned window sums
+    order a bounded relation (bin keys), never corpus rows."""
+    from bigdata_project_spark.caching import tracked_persist
+
+    from pyspark.sql.window import Window as W
+
+    nb = corpus_nb_quality_classifier(spark, sf_dir)
+    cal = (
+        nb.select(
+            F.floor(F.col("nb_bits").cast("double") / _ISO_W)
+            .cast("long")
+            .alias("bin"),
+            "seed_label",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("seed_label").cast("long").alias("n_seed_pos"),
+            (F.sum("seed_label").cast("double") / F.count("*")).alias(
+                "empirical_rate"
+            ),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * _ISO_W).cast("long").alias("lo_bits"),
+            "n_docs",
+            "n_seed_pos",
+            "empirical_rate",
+        )
+    )
+    wcum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = tracked_persist(
+        cal.select(
+            "bin",
+            "lo_bits",
+            "n_docs",
+            "n_seed_pos",
+            "empirical_rate",
+            F.sum("n_docs").over(wcum).cast("long").alias("cd"),
+            F.sum("n_seed_pos").over(wcum).cast("long").alias("cp"),
+        )
+    )
+    j = cum.select(
+        F.col("bin").alias("jb"),
+        F.col("n_docs").alias("jn"),
+        F.col("n_seed_pos").alias("jp"),
+        F.col("cd").alias("jcd"),
+        F.col("cp").alias("jcp"),
+    )
+    k = cum.select(
+        F.col("bin").alias("kb"), F.col("cd").alias("kcd"), F.col("cp").alias("kcp")
+    )
+    seg = j.join(F.broadcast(k), F.col("jb") <= F.col("kb")).select(
+        "jb",
+        "kb",
+        (
+            (F.col("kcp") - F.col("jcp") + F.col("jp")).cast("double")
+            / (F.col("kcd") - F.col("jcd") + F.col("jn"))
+        ).alias("seg_rate"),
+    )
+    mn = (
+        cum.select("bin")
+        .join(
+            F.broadcast(seg),
+            (F.col("jb") <= F.col("bin")) & (F.col("kb") >= F.col("bin")),
+        )
+        .groupBy("bin", "jb")
+        .agg(F.min("seg_rate").alias("mn"))
+    )
+    iso = mn.groupBy("bin").agg(F.max("mn").alias("iso_rate")).select(
+        F.col("bin").alias("i_bin"), "iso_rate"
+    )
+    return cum.join(F.broadcast(iso), F.col("bin") == F.col("i_bin")).select(
+        "bin", "lo_bits", "n_docs", "n_seed_pos", "empirical_rate", "iso_rate"
+    )
+
+
+REGISTRY["corpus_nb_isotonic_calibration"].oracle = REGISTRY[
+    "corpus_nb_isotonic_calibration"
+].oracle.format(NB=REGISTRY["corpus_nb_quality_classifier"].oracle)
+
+
+_CAL_THRESHOLD = 0.5  # keep when the calibrated P(quality) clears a coin flip
+
+
+@query(
+    "corpus_nb_calibrated_gate",
+    oracle=f"""
+    SELECT n.doc_id,
+           CAST(n.nb_bits AS BIGINT) AS nb_bits,
+           i.bin,
+           i.iso_rate AS calibrated_p,
+           CAST(n.nb_keep AS INT) AS nb_keep,
+           CAST(i.iso_rate >= {_CAL_THRESHOLD} AS INT) AS cal_keep
+    FROM ({{NB}}) n
+    JOIN ({{ISO}}) i
+      ON i.bin = CAST(FLOOR(CAST(n.nb_bits AS DOUBLE) / {_ISO_W}) AS BIGINT)
+    """,
+    tags=("llm", "quality", "classifier", "calibration", "gate"),
+)
+def corpus_nb_calibrated_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The calibrated keep decision — what r13's reliability table
+    and this round's isotonic fit exist FOR: each document's score
+    bin maps to its isotonic P(quality), and the gate keeps documents
+    whose CALIBRATED probability clears the threshold, not documents
+    whose raw log-odds clear zero. Where cal_keep differs from
+    nb_keep is exactly the miscalibration the reliability table
+    exposed, now acted on (nb_keep is the implied-posterior-at-0.5
+    decision; cal_keep is the empirical-posterior-at-0.5 decision).
+
+    Binning reuses the isotonic fit's exact FLOOR(bits/4) expression
+    (the r13 negative-score div/floor lesson), so every scored doc
+    joins exactly one bin — the fit's support is the classifier's
+    support by construction.
+
+    Scale: the isotonic table is <= ~17 rows broadcast onto the
+    doc-keyed classifier output — one map-side hash join, no new
+    corpus-scale stage."""
+    nb = corpus_nb_quality_classifier(spark, sf_dir)
+    iso = corpus_nb_isotonic_calibration(spark, sf_dir).select(
+        F.col("bin").alias("g_bin"), F.col("iso_rate")
+    )
+    binned = nb.select(
+        "doc_id",
+        F.col("nb_bits").cast("long").alias("nb_bits"),
+        F.col("nb_keep").cast("int").alias("nb_keep"),
+        F.floor(F.col("nb_bits").cast("double") / _ISO_W).cast("long").alias("bin"),
+    )
+    return binned.join(F.broadcast(iso), F.col("bin") == F.col("g_bin")).select(
+        "doc_id",
+        "nb_bits",
+        "bin",
+        F.col("iso_rate").alias("calibrated_p"),
+        "nb_keep",
+        (F.col("iso_rate") >= _CAL_THRESHOLD).cast("int").alias("cal_keep"),
+    )
+
+
+REGISTRY["corpus_nb_calibrated_gate"].oracle = REGISTRY[
+    "corpus_nb_calibrated_gate"
+].oracle.format(
+    NB=REGISTRY["corpus_nb_quality_classifier"].oracle,
+    ISO=REGISTRY["corpus_nb_isotonic_calibration"].oracle,
+)

@@ -58,6 +58,8 @@ BNLJ_WHITELIST: dict[str, str] = {
     "sim_recall_ivfpq_residual_rerank_at_k": "nested centroid cross + brute-force query-set broadcast",
     "corpus_nb_seed_confusion": "nested NB prior/absence 1-row broadcasts",
     "corpus_nb_calibration": "nested NB prior/absence 1-row broadcasts",
+    "corpus_nb_isotonic_calibration": "nested NB 1-row broadcasts + <=17-row PAV minimax theta joins",
+    "corpus_nb_calibrated_gate": "nested NB 1-row broadcasts + <=17-row isotonic-table broadcast",
     "corpus_quality_ensemble_gate": "nested NB prior/absence + LM vocab 1-row broadcasts",
     "retrieval_ndcg_at_k": "nested ANN systems' centroid crosses + BF query-set broadcast",
     "sim_ivf_trained_cells": "fixed-k trained-centroid cross to assign cells (Lloyd)",
@@ -80,6 +82,7 @@ BNLJ_WHITELIST: dict[str, str] = {
     "corpus_nb_lm_agreement": "nested NB prior/absence + LM vocab 1-row broadcasts",
     "sim_knn_bruteforce": "fixed 5-vector query set broadcast (non-equi by design)",
     "sim_truncated_dim_recall": "fixed tiny query set broadcast in both exact passes",
+    "sim_recall_dim_curve": "fixed 3-query set broadcast (non-equi by design) shared by the three prefix dims + nested brute-force truth",
     "sim_knn_quantized_int8": "fixed 5-vector query set broadcast (non-equi by design)",
     "sim_maxsim_multivector": "fixed 3-query multi-vector set broadcast (non-equi by design)",
     "multimodal_feature_knn": "fixed tiny query-feature set broadcast",

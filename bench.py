@@ -170,6 +170,8 @@ HEADLINE = [
     "sim_recall_dim_curve",
     "quality_gopher_full_rules",
     "corpus_nb_calibrated_gate",
+    "sim_graph_knn_build",
+    "sim_recall_graph_at_k",
 ]
 
 

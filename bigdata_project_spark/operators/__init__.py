@@ -17,6 +17,7 @@ from bigdata_project_spark.operators import (  # noqa: F401
     dedup,
     dedup_ext,
     dsir,
+    graph_ann,
     ivfpq_trained,
     kmeans,
     lm,

@@ -172,6 +172,7 @@ HEADLINE = [
     "corpus_nb_calibrated_gate",
     "sim_graph_knn_build",
     "sim_recall_graph_at_k",
+    "vocab_unigram_token_count",
 ]
 
 

@@ -36,5 +36,6 @@ from bigdata_project_spark.operators import (  # noqa: F401
     similarity,
     skew,
     text,
+    unigram,
     urlcanon,
 )

@@ -384,14 +384,24 @@ def _afp_probe_batch(
     ):
         return  # retry of a fully committed batch
     bsigs = _afp_decode(bdf).persist()
-    seen = (
-        spark.read.option("recursiveFileLookup", "true")
-        .schema("doc_id long, afp64 string")
-        .parquet(seen_store)
+    # read only _SUCCESS-committed store versions: a crash MID-write
+    # of a sig dir can leave a truncated part file that a recursive
+    # read would choke on (the left_anti below only excludes rows the
+    # read could parse). Local listdir matches this harness's
+    # single-process store scope; a distributed deployment lists via
+    # the Hadoop FileSystem API the same way.
+    committed = sorted(
+        os.path.join(seen_store, d)
+        for d in os.listdir(seen_store)
+        if os.path.exists(os.path.join(seen_store, d, "_SUCCESS"))
     )
-    # exclude a half-written retry of THIS batch's sig dir from the
-    # match set (overwrite below clears it anyway, but the read may
-    # happen first)
+    if committed:
+        seen = spark.read.schema("doc_id long, afp64 string").parquet(*committed)
+    else:
+        seen = spark.createDataFrame([], "doc_id long, afp64 string")
+    # exclude a committed earlier delivery of THIS batch's sigs from
+    # the match set (the overwrite below replaces it anyway, but the
+    # read may happen first)
     seen = seen.join(
         bsigs.select(F.col("doc_id").alias("b_did")),
         F.col("doc_id") == F.col("b_did"),

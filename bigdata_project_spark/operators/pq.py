@@ -175,12 +175,17 @@ def _lut_pivot(lut: DataFrame, keys: tuple[str, ...]) -> DataFrame:
     group carrying a 64-entry map keyed by j*16+b — the in-register
     form a real ADC kernel uses (one array lookup per code byte).
 
-    Plan effect: the candidate side joins the LUT ONCE (a single
-    BroadcastHashJoin on the key columns) instead of through 4
-    chained per-subspace broadcast joins — 4 broadcast exchanges and
-    3 intermediate join stages disappear, which is what made the
-    residual search the most contention-amplified query on the r12
-    driver bench. Values are untouched doubles, so `_adc_from_map`'s
+    Plan effect: the candidate side joins the LUT ONCE instead of
+    through 4 chained per-subspace broadcast joins — 4 broadcast
+    exchanges and 3 intermediate join stages disappear, which is
+    what made the residual search the most contention-amplified
+    query on the r12 driver bench. At the KEYED call sites
+    (ivfpq/residual) that one join is a BroadcastHashJoin on the key
+    columns; the raw-PQ call site (sim_knn_pq_adc and friends) joins
+    the pivoted 3-row query LUT with crossJoin(broadcast(...)) — a
+    deliberate fixed-3-query BroadcastNestedLoopJoin, whitelisted in
+    tests/test_plan_audit.py. Values are untouched doubles, so
+    `_adc_from_map`'s
     left-associated 4-term sum is bit-identical to the chained form
     and the oracles keep the didactic 4-way-join SQL."""
     entry = F.struct(

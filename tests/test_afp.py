@@ -165,6 +165,24 @@ def test_probe_batch_idempotent_under_redelivery(spark, sf_dir, tmp_path):
         .count()
     )
     assert n_sigs == 16  # store restored, one row per clip
+    # torn-file crash-retry: the sig write died MID-file — the dir
+    # holds a truncated parquet part and NO _SUCCESS marker. The
+    # retry must ignore the torn dir (committed-version filter), not
+    # throw parsing it, and rebuild the store version bit-identically
+    shutil.rmtree(seen_store + "/b1")
+    import os
+
+    os.makedirs(seen_store + "/b1")
+    with open(seen_store + "/b1/part-00000.snappy.parquet", "wb") as fh:
+        fh.write(b"PAR1\x00\x13torn")  # valid magic, garbage body
+    _afp_probe_batch(spark, b1, 1, seen_store, out_store)
+    assert read_pairs() == want
+    n_sigs2 = (
+        spark.read.schema("doc_id long, afp64 string")
+        .parquet(*[f"{seen_store}/{d}" for d in ("b_init", "b0", "b1")])
+        .count()
+    )
+    assert n_sigs2 == 16
 
 
 def test_groups_separate(spark, sf_dir):

@@ -49,7 +49,7 @@ SHOWCASE = [
     ("retrieval_hybrid_rrf", "Hybrid RRF: each leg collapses to TakeOrderedAndProject top-50 BEFORE any rank window (the global row_number sorts 50 rows, never the corpus); the fusion is a 50x50 full-outer join; both leg stats are 1-row broadcasts."),
     ("corpus_quality_stratified_gate", "Stratified gate: documents are never sorted — per-(lang, n_tokens) counts aggregate map-side, the cumulative threshold runs over that tiny table, and the keep bit comes back as a BroadcastHashJoin on (lang, n_tokens)."),
     ("multimodal_dhash_neardup", "dHash image near-dup: both Arrow codec stages are map-side (image bytes never shuffle — only 16-char signatures move); candidate pairs are the pigeonhole (block, key) equi-join shared with SimHash; exact popcount verifies."),
-    ("sim_knn_pq_rerank", "PQ two-stage search: codebook and per-query LUT broadcast; the ADC scan reads 4-byte codes through four BroadcastHashJoins; only the top-100 shortlist rows fetch raw vectors for the exact rerank."),
+    ("sim_knn_pq_rerank", "PQ two-stage search: codebook and per-query LUT broadcast; the ADC scan reads 4-byte codes through ONE pivoted-map LUT broadcast join (the r13 _lut_pivot collapse of the former four-join chain); only the top-100 shortlist rows fetch raw vectors for the exact rerank."),
     ("sim_ivfpq_search", "Composed IVF-PQ: the centroid assign is a fixed-k broadcast cross; candidates reach the LUT joins only through the probed-cell equi-join — scan fraction and byte compression multiply."),
     ("crawl_url_canonical_dedup", "URL canonicalization is one codegen'd projection over the scan (regexp/split/array_sort); the keeper is a single hash-partitioned window on the canonical key."),
     ("pack_sequences_ffd", "FFD packing: bounded per-(source, block) Arrow groups fit in parallel; the only exchange is the hash partition on the group key — no global sort of documents."),

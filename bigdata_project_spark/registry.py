@@ -167,78 +167,88 @@ _LOADED = False
 # r5-vintage tpch remainder, and 31 of the 49 r6-vintage names
 # (registration order; join_asof_tolerance_1h / join_asof_forward /
 # join_asof_nearest trimmed for the late r13 additions).
-# Round-14 rotation queue: FIRST any oracled queries registered after
-# this window froze (diff all_oracles() against CORRECTNESS_r01-r13
-# row names at r14 start), then oldest-last-checked —
-# join_asof_tolerance_1h, join_asof_forward, join_asof_nearest (r6
-# vintage, trimmed from this window's tail), then the 15 further
-# r6-vintage names this window could not fit (registration order:
-# scalar_collation_ci_grouping, agg_heavy_hitters_exact,
-# sort_pareto_frontier, join_geo_grid_radius,
-# join_interval_overlap_binned, sim_knn_quantized_int8,
-# ivm_join_view_delta, agg_weighted_median_exact,
-# agg_gini_spend_concentration, agg_hhi_market_concentration,
-# events_users_for_p80, sort_keyset_pagination, ...), then the
-# r7-vintage backlog (45 names), then r8 onward. No-oracle
-# (rows-only) entries stay excluded: the driver marks them err.
+# Round-14 window (exactly 50): the 10 round-14 additions first
+# (never driver-checked: full Gopher gate, graph-ANN build/beam/
+# recall, Matryoshka dim curve, isotonic calibration + calibrated
+# gate, unigram-LM train/count/fertility), then strict
+# oldest-last-checked order — the COMPLETE r6 vintage (18 names:
+# the 3 join_asof re-confirms trimmed from the r13 tail plus the 15
+# the r13 window could not fit), then the first 22 of the 45
+# r7-vintage names (registration order).
+# Round-15 rotation queue: FIRST any oracled queries registered
+# after this window froze (diff all_oracles() against
+# CORRECTNESS_r01-r14 row names at r15 start), then
+# oldest-last-checked — the 23-name r7-vintage remainder
+# (registration order: agg_pricing_summary, agg_rollup_region_nation,
+# agg_cube_status_priority, agg_distinct_per_segment,
+# agg_conditional, agg_median_exact, agg_percentile_native,
+# agg_stats_moments, agg_collect_sorted, agg_minmaxby,
+# agg_mode_exact, agg_winsorized_mean, events_markov_transitions,
+# events_audience_overlap, events_longest_streak,
+# events_dow_seasonality, events_session_depth_histogram,
+# events_hour_profile, join_range_price_bands_binned,
+# join_copurchase_lift, events_autocorr_lag7, events_freshness_lag,
+# events_bot_flag_rules), then the r8 vintage (50 names) onward.
+# No-oracle (rows-only) entries stay excluded: the driver marks
+# them err.
 _DRIVER_FIRST: tuple[str, ...] = (
-    # --- never driver-checked: round-13 additions (registration
+    # --- never driver-checked: round-14 additions (registration
     # order) ---
-    "multimodal_audio_fingerprint",
-    "multimodal_audio_neardup",
-    "multimodal_audio_dedup_keeper",
-    "sim_ivf_trained_cells",
-    "sim_ivf_trained_search",
-    "sim_recall_ivf_trained_at_k",
-    "sim_ivfpq_trained",
-    "sim_recall_ivfpq_trained_at_k",
-    "corpus_nb_calibration",
-    "retrieval_ndcg_at_k",
-    "stream_audio_incremental_neardup",
-    "quality_dupline_signals",
-    "corpus_quality_ensemble_gate",
-    # --- oldest-last-checked: the 3 names the late r12 additions
-    # trimmed from the r12 window's tail (r4/r5 vintage) ---
-    "scalar_bit_binary_ops",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    # --- r5-vintage remainder ---
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q20_excess_shippers",
-    "tpch_q21_waiting_suppliers",
-    # --- r6-vintage re-confirms (registration order; the 15 that
-    # don't fit lead the r14 queue above) ---
-    "dedup_simhash_hamming_pairs",
-    "index_inverted_postings",
-    "corpus_token_budget_fill",
-    "lake_skipping_effectiveness",
-    "dedup_lsh_band_tuning",
-    "multimodal_frame_sample_plan",
-    "text_novelty_share",
-    "window_session_numbering",
-    "qa_key_uniqueness",
-    "qa_drift_split_halves",
-    "qa_derived_column_contract",
-    "qa_join_skew_forecast",
-    "join_pointintime_enrich",
-    "events_attribution_last_touch",
-    "events_sliding_distinct_users",
-    "dedup_editdistance_blocked",
-    "events_twap",
-    "split_kfold_assignment",
-    "events_bounce_rate",
-    "agg_mad_outliers",
-    "agg_spend_decile_buckets",
-    "events_wow_growth",
-    "events_time_to_convert",
-    "events_cohort_ltv",
-    "events_dau_wau_stickiness",
-    "events_attribution_linear_ppm",
-    "events_anomaly_daily_zscore",
-    "events_cumulative_users",
-    "events_peak_concurrency",
-    "events_new_vs_returning",
-    "events_volume_anomaly_dow_adjusted",
+    "quality_gopher_full_rules",
+    "sim_graph_knn_build",
+    "sim_graph_beam_search",
+    "sim_recall_graph_at_k",
+    "sim_recall_dim_curve",
+    "corpus_nb_isotonic_calibration",
+    "corpus_nb_calibrated_gate",
+    "vocab_unigram_train",
+    "vocab_unigram_token_count",
+    "vocab_unigram_fertility_by_lang",
+    # --- oldest-last-checked: the full r6 vintage (registration
+    # order) — the 3 join_asof names trimmed from the r13 tail plus
+    # the 15 the r13 window could not fit ---
+    "join_asof_tolerance_1h",
+    "join_asof_forward",
+    "join_asof_nearest",
+    "scalar_collation_ci_grouping",
+    "agg_heavy_hitters_exact",
+    "sort_pareto_frontier",
+    "join_geo_grid_radius",
+    "join_interval_overlap_binned",
+    "sim_knn_quantized_int8",
+    "ivm_join_view_delta",
+    "agg_weighted_median_exact",
+    "agg_gini_spend_concentration",
+    "agg_hhi_market_concentration",
+    "events_users_for_p80",
+    "sort_keyset_pagination",
+    "sub_not_in_null_aware",
+    "events_changepoint_cusum",
+    "events_ab_test_zflag",
+    # --- r7-vintage head (registration order; the 23-name remainder
+    # leads the r15 queue above) ---
+    "dedup_prefix_filter_jaccard",
+    "dedup_containment_pairs",
+    "dedup_normalized_exact",
+    "text_unigram_surprisal",
+    "quality_duplicate_passage_share",
+    "dedup_minhash_estimate_error",
+    "corpus_keep_best_per_cluster",
+    "corpus_quality_gate",
+    "sim_truncated_dim_recall",
+    "sim_maxsim_multivector",
+    "sim_ann_lsh_multiprobe",
+    "sim_recall_multiprobe",
+    "multimodal_audio_chunk_plan",
+    "agg_two_stage_salted_flags",
+    "agg_histogram_fixed",
+    "scalar_string_format",
+    "qa_skew_histogram",
+    "qa_benford_leading_digit",
+    "qa_nonfinite_values",
+    "agg_regression_price_on_qty",
+    "agg_user_event_entropy",
+    "agg_correlation_matrix",
 )
 
 

@@ -695,3 +695,76 @@ REGISTRY["corpus_nb_calibrated_gate"].oracle = REGISTRY[
     NB=REGISTRY["corpus_nb_quality_classifier"].oracle,
     ISO=REGISTRY["corpus_nb_isotonic_calibration"].oracle,
 )
+
+
+@query(
+    "corpus_quality_ensemble_cal_gate",
+    oracle="""
+    SELECT g.doc_id,
+           CAST(g.full_keep AS INT) AS gopher_full_keep,
+           CAST(n.cal_keep AS INT) AS cal_keep,
+           CAST(l.keep AS INT) AS lm_keep,
+           CAST(g.full_keep + n.cal_keep + l.keep AS INT) AS n_votes,
+           CAST(g.full_keep + n.cal_keep + l.keep >= 2 AS INT) AS ensemble_keep
+    FROM ({G}) g
+    JOIN ({CAL}) n ON n.doc_id = g.doc_id
+    JOIN ({LM}) l ON l.doc_id = g.doc_id
+    """,
+    tags=("llm", "quality", "gate", "ensemble", "calibration"),
+)
+def corpus_quality_ensemble_cal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r14 re-base of the 2-of-3 quality ensemble on this
+    round's two upgrades: the FULL Gopher rule set replaces the base
+    five rules, and the isotonic-CALIBRATED NB keep replaces the raw
+    log-odds keep — the ensemble a pipeline ships after acting on
+    both the rule audit and the reliability table. Vote arithmetic,
+    support discipline (intersection of the three signals' supports,
+    inner joins), and the 2-of-3 bounds are exactly
+    `corpus_quality_ensemble_gate`'s; all three component oracles
+    nest, so the composed verdict stays value-verified end to end.
+    tests/test_ensemble.py pins the vote arithmetic and that the
+    calibrated ensemble keeps a SUPERSET-or-equal of... nothing — it
+    pins the measured relationship instead: the calibrated NB keeps
+    more docs than the raw NB (the under-confidence flip), while the
+    full rules keep fewer than the base rules, so the two re-bases
+    pull the vote in opposite directions; the test records where the
+    composed verdicts differ.
+
+    Scale: three doc_id-keyed equi-joins over outputs of
+    scale-shaped pipelines — no new corpus-scale stage (the
+    corpus_quality_ensemble_gate argument verbatim)."""
+    from bigdata_project_spark.operators.corpus_ext import (
+        quality_gopher_full_rules,
+    )
+
+    g = quality_gopher_full_rules(spark, sf_dir).select(
+        "doc_id", F.col("full_keep").cast("int").alias("gopher_full_keep")
+    )
+    cal = corpus_nb_calibrated_gate(spark, sf_dir).select(
+        F.col("doc_id").alias("n_did"), F.col("cal_keep").cast("int").alias("cal_keep")
+    )
+    lmk = corpus_lm_perplexity_gate(spark, sf_dir).select(
+        F.col("doc_id").alias("l_did"), F.col("keep").cast("int").alias("lm_keep")
+    )
+    votes = F.col("gopher_full_keep") + F.col("cal_keep") + F.col("lm_keep")
+    return (
+        g.join(cal, F.col("doc_id") == F.col("n_did"))
+        .join(lmk, F.col("doc_id") == F.col("l_did"))
+        .select(
+            "doc_id",
+            "gopher_full_keep",
+            "cal_keep",
+            "lm_keep",
+            votes.cast("int").alias("n_votes"),
+            (votes >= 2).cast("int").alias("ensemble_keep"),
+        )
+    )
+
+
+REGISTRY["corpus_quality_ensemble_cal_gate"].oracle = REGISTRY[
+    "corpus_quality_ensemble_cal_gate"
+].oracle.format(
+    G=REGISTRY["quality_gopher_full_rules"].oracle,
+    CAL=REGISTRY["corpus_nb_calibrated_gate"].oracle,
+    LM=REGISTRY["corpus_lm_perplexity_gate"].oracle,
+)

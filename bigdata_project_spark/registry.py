@@ -167,19 +167,20 @@ _LOADED = False
 # r5-vintage tpch remainder, and 31 of the 49 r6-vintage names
 # (registration order; join_asof_tolerance_1h / join_asof_forward /
 # join_asof_nearest trimmed for the late r13 additions).
-# Round-14 window (exactly 50): the 10 round-14 additions first
+# Round-14 window (exactly 50): the 11 round-14 additions first
 # (never driver-checked: full Gopher gate, graph-ANN build/beam/
 # recall, Matryoshka dim curve, isotonic calibration + calibrated
-# gate, unigram-LM train/count/fertility), then strict
-# oldest-last-checked order — the COMPLETE r6 vintage (18 names:
-# the 3 join_asof re-confirms trimmed from the r13 tail plus the 15
-# the r13 window could not fit), then the first 22 of the 45
-# r7-vintage names (registration order).
+# gate + calibrated ensemble, unigram-LM train/count/fertility),
+# then strict oldest-last-checked order — the COMPLETE r6 vintage
+# (18 names: the 3 join_asof re-confirms trimmed from the r13 tail
+# plus the 15 the r13 window could not fit), then the first 21 of
+# the 45 r7-vintage names (registration order).
 # Round-15 rotation queue: FIRST any oracled queries registered
 # after this window froze (diff all_oracles() against
 # CORRECTNESS_r01-r14 row names at r15 start), then
-# oldest-last-checked — the 23-name r7-vintage remainder
-# (registration order: agg_pricing_summary, agg_rollup_region_nation,
+# oldest-last-checked — the 24-name r7-vintage remainder
+# (registration order: agg_correlation_matrix, agg_pricing_summary,
+# agg_rollup_region_nation,
 # agg_cube_status_priority, agg_distinct_per_segment,
 # agg_conditional, agg_median_exact, agg_percentile_native,
 # agg_stats_moments, agg_collect_sorted, agg_minmaxby,
@@ -201,6 +202,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "sim_recall_dim_curve",
     "corpus_nb_isotonic_calibration",
     "corpus_nb_calibrated_gate",
+    "corpus_quality_ensemble_cal_gate",
     "vocab_unigram_train",
     "vocab_unigram_token_count",
     "vocab_unigram_fertility_by_lang",
@@ -225,7 +227,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "sub_not_in_null_aware",
     "events_changepoint_cusum",
     "events_ab_test_zflag",
-    # --- r7-vintage head (registration order; the 23-name remainder
+    # --- r7-vintage head (registration order; the 24-name remainder
     # leads the r15 queue above) ---
     "dedup_prefix_filter_jaccard",
     "dedup_containment_pairs",
@@ -248,7 +250,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "qa_nonfinite_values",
     "agg_regression_price_on_qty",
     "agg_user_event_entropy",
-    "agg_correlation_matrix",
 )
 
 

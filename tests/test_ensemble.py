@@ -59,3 +59,41 @@ def test_dupline_signals_match_seeded_structure(spark, sf_dir):
             assert r["n_dup_lines"] == 0, (d, r)
         assert 0.0 <= r["dup_line_fraction"] <= 1.0
         assert 0.0 <= r["dup_char_fraction"] <= 1.0
+
+
+def test_cal_ensemble_votes_and_rebase_directions(spark, sf_dir):
+    """The r14 calibrated ensemble: vote arithmetic exact per row,
+    keep set between component intersection and union (2-of-3
+    theorem), and the two re-bases pull opposite directions as
+    measured — the calibrated NB keeps >= the raw NB's keep count
+    (under-confidence flip) while full Gopher keeps <= the base
+    rules' count — with the composed verdict actually differing from
+    the base ensemble somewhere."""
+    from bigdata_project_spark.registry import all_queries
+
+    qs = all_queries()
+    cal_rows = qs["corpus_quality_ensemble_cal_gate"](spark, sf_dir).collect()
+    assert cal_rows
+    for r in cal_rows:
+        votes = r["gopher_full_keep"] + r["cal_keep"] + r["lm_keep"]
+        assert r["n_votes"] == votes
+        assert r["ensemble_keep"] == int(votes >= 2)
+        if r["gopher_full_keep"] and r["cal_keep"] and r["lm_keep"]:
+            assert r["ensemble_keep"] == 1
+        if not (r["gopher_full_keep"] or r["cal_keep"] or r["lm_keep"]):
+            assert r["ensemble_keep"] == 0
+    base_rows = qs["corpus_quality_ensemble_gate"](spark, sf_dir).collect()
+    base = {r["doc_id"]: r for r in base_rows}
+    n_cal_nb = sum(r["cal_keep"] for r in cal_rows)
+    n_raw_nb = sum(r["nb_keep"] for r in base_rows)
+    n_full_g = sum(r["gopher_full_keep"] for r in cal_rows)
+    n_base_g = sum(r["gopher_keep"] for r in base_rows)
+    assert n_cal_nb >= n_raw_nb, (n_cal_nb, n_raw_nb)
+    assert n_full_g <= n_base_g, (n_full_g, n_base_g)
+    diffs = [
+        r["doc_id"]
+        for r in cal_rows
+        if r["doc_id"] in base
+        and r["ensemble_keep"] != base[r["doc_id"]]["ensemble_keep"]
+    ]
+    assert diffs, "re-based ensemble never differs from the base one"

@@ -60,6 +60,7 @@ BNLJ_WHITELIST: dict[str, str] = {
     "corpus_nb_calibration": "nested NB prior/absence 1-row broadcasts",
     "corpus_nb_isotonic_calibration": "nested NB 1-row broadcasts + <=17-row PAV minimax theta joins",
     "corpus_nb_calibrated_gate": "nested NB 1-row broadcasts + <=17-row isotonic-table broadcast",
+    "corpus_quality_ensemble_cal_gate": "nested NB/isotonic 1-row broadcasts + LM vocab 1-row broadcast",
     "corpus_quality_ensemble_gate": "nested NB prior/absence + LM vocab 1-row broadcasts",
     "retrieval_ndcg_at_k": "nested ANN systems' centroid crosses + BF query-set broadcast",
     "sim_ivf_trained_cells": "fixed-k trained-centroid cross to assign cells (Lloyd)",

@@ -87,8 +87,10 @@ BNLJ_WHITELIST: dict[str, str] = {
     "sim_knn_bruteforce": "fixed 5-vector query set broadcast (non-equi by design)",
     "sim_truncated_dim_recall": "fixed tiny query set broadcast in both exact passes",
     "sim_recall_dim_curve": "fixed 3-query set broadcast (non-equi by design) shared by the three prefix dims + nested brute-force truth",
-    "sim_graph_beam_search": "3-entry x 3-query non-equi broadcast seeding the walk (graph hops are equi-joins)",
-    "sim_recall_graph_at_k": "nested beam entry-seed broadcast + brute-force query-set broadcast",
+    # (sim_graph_beam_search's entry-seed non-equi broadcast happens
+    # before a localCheckpoint, so its FINAL plan carries no BNLJ and
+    # it needs no entry here)
+    "sim_recall_graph_at_k": "nested brute-force query-set broadcast (the beam side is checkpoint-truncated)",
     "sim_knn_quantized_int8": "fixed 5-vector query set broadcast (non-equi by design)",
     "sim_maxsim_multivector": "fixed 3-query multi-vector set broadcast (non-equi by design)",
     "multimodal_feature_knn": "fixed tiny query-feature set broadcast",

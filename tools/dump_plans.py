@@ -96,7 +96,21 @@ def main() -> None:
         df.collect()  # execute THIS queryExecution so AQE finalizes it
         plan = df._jdf.queryExecution().executedPlan().toString()
         release_cached(spark, sweep_all=True)
-        out += [f"## {name}", "", claim, "", "```", plan.rstrip(), "```", ""]
+        lines = plan.rstrip().split("\n")
+        # cap pathological sections: plans whose projections embed the
+        # generated fold/DP/64-term-chain expressions repeat the same
+        # giant strings per operator (vocab_unigram_token_count would
+        # print 52k lines alone) — the plan SHAPE (operator tree) is in
+        # the head; the elided tail is expression repetition
+        if len(lines) > 600:
+            lines = (
+                lines[:400]
+                + [f"... [{len(lines) - 450} lines elided: repeated generated "
+                   "expression text; operator tree above is complete "
+                   "for the elided span's stages] ..."]
+                + lines[-50:]
+            )
+        out += [f"## {name}", "", claim, "", "```", "\n".join(lines), "```", ""]
     Path(__file__).resolve().parent.parent.joinpath("PLANS.md").write_text("\n".join(out))
     print(f"PLANS.md written ({len(SHOWCASE)} plans)")
     spark.stop()

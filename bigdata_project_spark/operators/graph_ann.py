@@ -196,10 +196,14 @@ def sim_graph_knn_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     right_a = emb.select(F.col("vec_id").alias("dst"), F.col("b_a").alias("ka"))
     left_b = emb.select(F.col("vec_id").alias("src"), F.col("b_b").alias("kb"))
     right_b = emb.select(F.col("vec_id").alias("dst"), F.col("b_b").alias("kb"))
-    cand0 = (
+    # canonical orientation only (src < dst): each bucket self-join
+    # emits both orientations of every same-bucket pair, so keeping
+    # one before the dedup halves the distinct's shuffle; _mirror
+    # below reconstructs the symmetric candidate set exactly.
+    canon0 = (
         left_a.join(right_a, "ka").select("src", "dst")
         .union(left_b.join(right_b, "kb").select("src", "dst"))
-        .filter(F.col("src") != F.col("dst"))
+        .filter(F.col("src") < F.col("dst"))
         .distinct()
     )
 
@@ -219,8 +223,30 @@ def sim_graph_knn_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             cand.join(a, "src").join(b, "dst").select("src", "dst", cos.alias("cosine"))
         )
 
+    def _mirror(sc: DataFrame) -> DataFrame:
+        return sc.union(
+            sc.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "cosine")
+        )
+
+    # r14 optimization (guide §2.3 "shuffle fewer bytes" applied to
+    # compute): the exact cosine is bit-exact SYMMETRIC — float
+    # products commute and the fold adds the same index-ordered
+    # terms — and cand0 is symmetric by construction, so round 0
+    # scores each unordered pair ONCE and mirrors: the scoring joins
+    # (which co-partition the candidate relation with the embedding
+    # table — the build's dominant shuffle at scale) and the 64-term
+    # fold run on half the rows, and mirror(score(canon0)) is
+    # row-identical to score(cand0). Extending the same reuse across
+    # NN-descent rounds (Dong et al.'s 'new' flags) was built and
+    # measured NET-NEGATIVE here: the round candidate set is NOT
+    # symmetric (two-hop pairs), so restricting accumulated scores
+    # back to it costs an extra join + anti-join + checkpoint per
+    # round — more fixed stage overhead than the saved fold work at
+    # any SF the bench sees (see OPTIMIZATION_r14.md). Values are
+    # untouched; the oracle keeps the didactic score-everything SQL.
+    sc0 = tracked_persist(_score(canon0))
+    scored = _mirror(sc0)
     w = W.partitionBy("src").orderBy(F.desc("cosine"), "dst")
-    scored = _score(cand0)
     for _ in range(_ND_ROUNDS):
         e = tracked_persist(
             scored.select("*", F.row_number().over(w).alias("rn"))
@@ -330,8 +356,14 @@ def sim_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the beam plan doubles per unrolled hop (union + join both
         # reference the previous beam) and each copy carries 64-term
         # cosine folds — 6 hops of that OOM'd the driver during plan
-        # canonicalization. localCheckpoint blocks are invisible to
-        # DataFrame.unpersist, so register them for release_cached.
+        # canonicalization. EAGER is deliberate (re-measured r14):
+        # every hop consumes the previous beam through F.broadcast
+        # exchanges, and a broadcast collects its child on the spot —
+        # with a LAZY checkpoint the unmaterialized chain is recomputed
+        # by each broadcast that races ahead of the block write
+        # (measured +25% on sim_recall_graph_at_k). localCheckpoint
+        # blocks are invisible to DataFrame.unpersist, so register
+        # them for release_cached.
         before = persistent_rdd_ids(spark)
         out = df.localCheckpoint(eager=True)
         track_rdd_ids(spark, persistent_rdd_ids(spark) - before)

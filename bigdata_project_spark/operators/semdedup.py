@@ -464,24 +464,35 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col(f"{a}.norm_sq")) * F.sqrt(F.col(f"{b}.norm_sq"))
         )
 
-    b, c = bcells.alias("b"), ccells.alias("c")
-    corpus_hits = (
-        b.join(c, F.col("b.cell") == F.col("c.cell"))
-        .filter(_cos("b", "c") >= SEMDEDUP_TAU)
-        .groupBy(F.col("b.vec_id").alias("vec_id"))
-        .agg(F.min(F.col("c.vec_id")).alias("dup_corpus"))
+    # r14 optimization (guide §2.4 "share one exchange"): the corpus
+    # probe and the within-batch probe are BOTH cell equi-joins of
+    # the same batch side, so they run as ONE join against the
+    # flagged union of the two match sets and split back in the
+    # aggregate (min over corpus hits / min over earlier-batch hits)
+    # — one cell-keyed join + one aggregate instead of two of each,
+    # same dup_corpus/dup_batch values row for row.
+    b = bcells.alias("b")
+    o = (
+        ccells.withColumn("is_corpus", F.lit(True))
+        .unionByName(bcells.withColumn("is_corpus", F.lit(False)))
+        .alias("o")
     )
-    e = bcells.alias("e")
-    batch_hits = (
-        b.join(e, (F.col("b.cell") == F.col("e.cell")) & (F.col("e.vec_id") < F.col("b.vec_id")))
-        .filter(_cos("b", "e") >= SEMDEDUP_TAU)
+    hits = (
+        b.join(
+            o,
+            (F.col("b.cell") == F.col("o.cell"))
+            & (F.col("o.is_corpus") | (F.col("o.vec_id") < F.col("b.vec_id"))),
+        )
+        .filter(_cos("b", "o") >= SEMDEDUP_TAU)
         .groupBy(F.col("b.vec_id").alias("vec_id"))
-        .agg(F.min(F.col("e.vec_id")).alias("dup_batch"))
+        .agg(
+            F.min(F.when(F.col("o.is_corpus"), F.col("o.vec_id"))).alias("dup_corpus"),
+            F.min(F.when(~F.col("o.is_corpus"), F.col("o.vec_id"))).alias("dup_batch"),
+        )
     )
     return (
         bcells.select("vec_id", "cell")
-        .join(corpus_hits, "vec_id", "left")
-        .join(batch_hits, "vec_id", "left")
+        .join(hits, "vec_id", "left")
         .select(
             "vec_id",
             "cell",
@@ -515,8 +526,9 @@ def run_semantic_ingest_stream(
     store) is verified against it end to end.
 
     Scale: per micro-batch work is O(batch x cell_load) — the
-    broadcast centroid assign plus two cell equi-joins (corpus cells,
-    seen cells). The seen store grows with the increment, not the
+    broadcast centroid assign plus ONE flagged cell equi-join against
+    corpus cells union seen cells (r14: the two probes share the
+    exchange). The seen store grows with the increment, not the
     corpus, and is cell-keyed so each probe touches only the batch's
     cells. A production deployment swaps the staged parquet chunks
     for the Kafka source and the seen store for the index's upsert
@@ -584,29 +596,40 @@ def run_semantic_ingest_stream(
                         f"{max_seen_vec[0]}"
                     )
                 max_seen_vec[0] = int(b_hi)
-            b, c = bcells.alias("b"), ccells.alias("c")
-            corpus_hits = (
-                b.join(c, F.col("b.cell") == F.col("c.cell"))
-                .filter(cos("b", "c") >= SEMDEDUP_TAU)
-                .groupBy(F.col("b.vec_id").alias("vec_id"))
-                .agg(F.min(F.col("c.vec_id")).alias("dup_corpus"))
-            )
+            # one flagged cell-keyed join per micro-batch instead of
+            # two (the dedup_semantic_incremental merged-probe shape,
+            # guide §2.4): corpus index and seen-store-plus-batch
+            # union with an is_corpus flag, min split in the aggregate
+            b = bcells.alias("b")
             prior = spark.read.parquet(seen_store).unionByName(bcells)
-            e = prior.alias("e")
-            batch_hits = (
+            o = (
+                ccells.withColumn("is_corpus", F.lit(True))
+                .unionByName(prior.withColumn("is_corpus", F.lit(False)))
+                .alias("o")
+            )
+            hits = (
                 b.join(
-                    e,
-                    (F.col("b.cell") == F.col("e.cell"))
-                    & (F.col("e.vec_id") < F.col("b.vec_id")),
+                    o,
+                    (F.col("b.cell") == F.col("o.cell"))
+                    & (
+                        F.col("o.is_corpus")
+                        | (F.col("o.vec_id") < F.col("b.vec_id"))
+                    ),
                 )
-                .filter(cos("b", "e") >= SEMDEDUP_TAU)
+                .filter(cos("b", "o") >= SEMDEDUP_TAU)
                 .groupBy(F.col("b.vec_id").alias("vec_id"))
-                .agg(F.min(F.col("e.vec_id")).alias("dup_batch"))
+                .agg(
+                    F.min(F.when(F.col("o.is_corpus"), F.col("o.vec_id"))).alias(
+                        "dup_corpus"
+                    ),
+                    F.min(F.when(~F.col("o.is_corpus"), F.col("o.vec_id"))).alias(
+                        "dup_batch"
+                    ),
+                )
             )
             out = (
                 bcells.select("vec_id", "cell")
-                .join(corpus_hits, "vec_id", "left")
-                .join(batch_hits, "vec_id", "left")
+                .join(hits, "vec_id", "left")
                 .select(
                     "vec_id",
                     "cell",

@@ -306,45 +306,52 @@ def _sql_spark_parts() -> str:
 
 def _viterbi_df(vocab: DataFrame, cost: DataFrame) -> DataFrame:
     """(word, freq) x (piece, cost) -> (word, freq, n_pieces,
-    pieces): the Spark twin of _sql_viterbi — substring fan-out,
-    broadcastable piece-cost join, one grouped cost array, then the
-    suffix DP and path reconstruction as two aggregate() folds."""
-    sub = vocab.select(
+    pieces): the Spark twin of _sql_viterbi — the per-word W*L cost
+    array is built in ONE map-side projection against a pivoted
+    piece -> cost map, then the suffix DP and path reconstruction
+    run as two aggregate() folds.
+
+    r14 optimization (guide §2.3/§2.4, the pq.py::_lut_pivot
+    discipline): the piece-cost table is V + alphabet rows, so
+    instead of a 48-way substring explode + broadcast join + a
+    collect_list re-grouping exchange PER VITERBI PASS, the cost
+    table pivots into a single map row that cross-broadcasts onto
+    the vocab (the whitelisted 1-row BNLJ pattern); carr is then 48
+    element_at lookups inside the scan-side projection. Two
+    exchanges and the 48x row fan-out disappear from each of the
+    three passes, and the analyzed plan shrinks by the same factor
+    (the fan-out/regroup subtree dominated driver-side analysis
+    time). Values are untouched BIGINTs in the same k = j*L + l
+    order, so the fold arithmetic — and the oracle, which keeps the
+    didactic explode + join SQL — is bit-identical."""
+    inf = F.lit(_INF).cast("long")
+    cmap = cost.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("piece"), F.col("cost").cast("long")))
+        ).alias("cmap")
+    )
+    entries = [
+        F.when(
+            F.lit(j + l) <= F.length("word"),
+            F.coalesce(
+                F.element_at("cmap", F.substring(F.col("word"), j + 1, l)), inf
+            ),
+        ).otherwise(inf)
+        for j in range(_W)
+        for l in range(1, _L + 1)
+    ]
+    # the 1-element explode is a deliberate projection barrier (a
+    # Generate node, still map-side, zero fan-out): the DP folds
+    # downstream reference carr several times, and without a barrier
+    # CollapseProject inlines the 48-lookup array into every
+    # reference — measured 389 KB -> 1.8 MB formatted plan and ~13 s
+    # of driver-side optimization per pass. The groupBy this
+    # projection replaced was load-bearing in exactly that respect.
+    carr = vocab.join(F.broadcast(cmap), F.lit(True)).select(
         "word",
         "freq",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j * _L + l).alias("k"),
-                        F.when(
-                            F.lit(j + l) <= F.length("word"),
-                            F.substring(F.col("word"), j + 1, l),
-                        ).alias("piece"),
-                    )
-                    for j in range(_W)
-                    for l in range(1, _L + 1)
-                ]
-            )
-        ).alias("o"),
-    ).select("word", "freq", F.col("o.k").alias("k"), F.col("o.piece").alias("piece"))
-    joined = sub.join(F.broadcast(cost.select("piece", "cost")), "piece", "left")
-    carr = (
-        joined.select(
-            "word",
-            "freq",
-            "k",
-            F.when(F.col("piece").isNull(), F.lit(_INF))
-            .otherwise(F.coalesce(F.col("cost"), F.lit(_INF)))
-            .alias("pc"),
-        )
-        .groupBy("word", "freq")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("k", "pc"))), lambda s: s["pc"]
-            ).alias("carr")
-        )
-        .select("word", "freq", F.length("word").alias("n"), "carr")
+        F.length("word").alias("n"),
+        F.explode(F.array(F.array(*entries))).alias("carr"),
     )
     return (
         carr.selectExpr("*", f"({_sql_spark_sarr()}) AS sarr")

@@ -72,9 +72,9 @@ BNLJ_WHITELIST: dict[str, str] = {
     "join_bloom_prefilter": "1-row bloom-filter map broadcast onto the probe side",
     "join_bloom_fp_audit": "1-row bloom-filter map broadcast onto the probe side",
     "vocab_bpe_merges": "six 1-row best-pair broadcasts (one per BPE iteration)",
-    "vocab_unigram_train": "1-row piece-total broadcasts (whole-bit cost denominators, one per EM round)",
-    "vocab_unigram_token_count": "1-row piece-total broadcasts (whole-bit cost denominators, one per EM round)",
-    "vocab_unigram_fertility_by_lang": "1-row piece-total broadcasts (whole-bit cost denominators, one per EM round)",
+    "vocab_unigram_train": "1-row piece-total and pivoted piece-cost-map broadcasts (one each per EM round)",
+    "vocab_unigram_token_count": "1-row piece-total and pivoted piece-cost-map broadcasts (one each per EM round)",
+    "vocab_unigram_fertility_by_lang": "1-row piece-total and pivoted piece-cost-map broadcasts (one each per EM round)",
     "vocab_bpe_token_count": "six 1-row best-pair broadcasts (one per BPE iteration)",
     "vocab_bpe_fertility_by_lang": "six 1-row best-pair broadcasts (one per BPE iteration)",
     "corpus_lm_perplexity_buckets": "1-row vocab-size broadcast (shared _lm_cum build)",

@@ -233,6 +233,58 @@ def bench_sf(spark, sf_dir: str, repeats: int = 3) -> dict:
     }
 
 
+# The driver captures only the LAST ~2000 characters of stdout. A full
+# 113-query map is ~3.7 KB even in compact JSON, so it can never fit in
+# one parseable line inside that tail — r8 hit this with 62 queries and
+# r14's PERF landed with per_query: {} both rounds. The r15 output
+# therefore ends with tail-survivable lines (additions only; the full
+# human-readable per-scale lines above are unchanged):
+#   1. compact per-query chunk lines ("headline_query_times", a few
+#      queries each, slowest printed nearest the end) — a tail reader
+#      that merges every parseable JSON line recovers the last ~50;
+#   2. the final summary line now carries a size-capped "queries" map
+#      (slowest first, as many as keep the line under _TAIL_BUDGET) so
+#      a reader that parses only the final line still gets per-query
+#      numbers for every expensive query. "queries_omitted" makes the
+#      truncation explicit; BENCH_DETAIL.json keeps the complete map.
+_TAIL_BUDGET = 1800  # bytes for the final line; observed tail is ~2000
+
+
+def _tail_lines(primary: dict) -> list[str]:
+    compact = {"separators": (",", ":")}
+    out = []
+    # slowest FIRST: the tail keeps the END of stdout, and the capped
+    # summary line already carries the slowest queries — printing the
+    # fastest chunks last means whatever chunk lines survive in the
+    # tail COMPLEMENT the capped map instead of duplicating it
+    items = sorted(primary["queries"].items(), key=lambda kv: (-kv[1], kv[0]))
+    chunk_n = 8
+    for i in range(0, len(items), chunk_n):
+        out.append(
+            json.dumps(
+                {
+                    "metric": "headline_query_times",
+                    "queries": dict(items[i : i + chunk_n]),
+                    "sf": primary["sf"],
+                    "repeats": primary["repeats"],
+                },
+                **compact,
+            )
+        )
+    summary = {k: primary[k] for k in ("metric", "value", "unit", "sf", "repeats")}
+    summary["n_queries"] = len(primary["queries"])
+    capped: dict[str, float] = {}
+    for name, sec in sorted(primary["queries"].items(), key=lambda kv: (-kv[1], kv[0])):
+        capped[name] = sec
+        if len(json.dumps({**summary, "queries": capped}, **compact)) > _TAIL_BUDGET:
+            del capped[name]
+            break
+    summary["queries"] = capped
+    summary["queries_omitted"] = len(primary["queries"]) - len(capped)
+    out.append(json.dumps(summary, **compact))
+    return out
+
+
 def main() -> None:
     _ensure_loaded()
     spark = get_spark("bench")
@@ -250,23 +302,135 @@ def main() -> None:
     lines.append(bench_sf(spark, SF_DIR))  # primary scale point, median of 3
     for line in lines:
         print(json.dumps(line))
-    # short summary LAST: the driver captures only the tail of stdout
-    # and parses the final JSON line — r8's 62-query map (~3.5 KB)
-    # outgrew that tail and the driver recorded parsed:null. The full
-    # per-query maps stay on the earlier lines; this line carries just
-    # the headline total.
+    # tail-survivable per-query lines + capped-map summary LAST (the
+    # driver parses the final JSON line and keeps only a ~2 KB tail)
     primary = lines[-1]
+    for tl in _tail_lines(primary):
+        print(tl)
     summary = {k: primary[k] for k in ("metric", "value", "unit", "sf", "repeats")}
     summary["n_queries"] = len(primary["queries"])
-    print(json.dumps(summary))
-    # durable per-query map (r11): the driver records only the summary
-    # line, so the full per-query timings are persisted to a tracked
-    # file — each round's bench becomes diffable query-by-query against
-    # the previous round's file in git history.
+    # durable per-query map (r11): the stdout tail is size-capped, so
+    # the full per-query timings are persisted to a tracked file —
+    # each round's bench becomes diffable query-by-query against the
+    # previous round's file in git history.
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     detail_path.write_text(json.dumps({"lines": lines, "summary": summary}, indent=1) + "\n")
     spark.stop()
 
 
+# ---------------------------------------------------------------- A/B
+# Same-session interleaved A/B (r15, VERDICT ask #4): this host's
+# wall-clock drifts ±30% between sessions and even within an hour, so
+# cross-session absolute seconds cannot accept/reject an optimization.
+# `python bench.py --ab REF [--queries a,b,c] [--repeats N]` loads the
+# REF checkout's registry NEXT TO the working tree's inside ONE Spark
+# session and alternates warm runs per query (warm A, warm B, then
+# timed A/B pairs), so both sides see the same ambient conditions.
+# Caveat (documented, acceptable for plan-level A/Bs): Python-worker
+# functions (mapInPandas/mapInArrow bodies) are deserialized by module
+# reference on the executors, which import the working tree via
+# PYTHONPATH — the REF side therefore measures REF's *plans* with the
+# working tree's Python-worker bodies. Every JVM-side expression,
+# join, exchange, and persist — what the A/B is for — is REF's own.
+# This mode is additions-only: the driver's `python bench.py` path and
+# its timing loop are untouched.
+
+
+def _load_ref_registry(ref: str):
+    """Materialize REF (git archive -> temp dir) and import its
+    registry and caching modules under an isolated sys.modules
+    snapshot. Returns (registry dict, release_cached, checkout dir)."""
+    import subprocess
+    import tempfile
+
+    repo = str(Path(__file__).resolve().parent)
+    tmp = tempfile.mkdtemp(prefix="bench_ab_ref_")
+    tar = subprocess.run(
+        ["git", "archive", ref], cwd=repo, check=True, stdout=subprocess.PIPE
+    ).stdout
+    subprocess.run(["tar", "-x", "-C", tmp], input=tar, check=True)
+    saved = {k: v for k, v in sys.modules.items() if k.startswith("bigdata_project_spark")}
+    for k in saved:
+        del sys.modules[k]
+    sys.path.insert(0, tmp)
+    try:
+        import bigdata_project_spark.caching as ref_caching
+        import bigdata_project_spark.registry as ref_registry
+
+        ref_registry._ensure_loaded()
+        registry = dict(ref_registry.REGISTRY)
+        release = ref_caching.release_cached
+    finally:
+        sys.path.remove(tmp)
+        for k in [m for m in sys.modules if m.startswith("bigdata_project_spark")]:
+            del sys.modules[k]
+        sys.modules.update(saved)
+    return registry, release, tmp
+
+
+def main_ab(ref: str, names: list[str] | None, repeats: int) -> None:
+    _ensure_loaded()
+    ref_registry, ref_release, ref_dir = _load_ref_registry(ref)
+    spark = get_spark("bench-ab")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def releases() -> None:
+        release_cached(spark, sweep_all=True)
+        ref_release(spark, sweep_all=True)
+
+    def run(fn) -> float:
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        releases()
+        return dt
+
+    names = names or [n for n in HEADLINE if n in ref_registry]
+    results = {}
+    for name in names:
+        if name not in ref_registry or name not in REGISTRY:
+            print(f"# skip {name}: not in both registries", file=sys.stderr)
+            continue
+        new_fn, old_fn = REGISTRY[name].fn, ref_registry[name].fn
+        spark.sparkContext.setJobDescription(f"ab:{name}")
+        run(new_fn)  # warm both sides' codegen/footers before timing
+        run(old_fn)
+        new_ts, old_ts = [], []
+        for _ in range(repeats):  # alternate so drift hits both sides
+            new_ts.append(run(new_fn))
+            old_ts.append(run(old_fn))
+        new_m = statistics.median(new_ts)
+        old_m = statistics.median(old_ts)
+        results[name] = {
+            "new": round(new_m, 4),
+            "old": round(old_m, 4),
+            "ratio": round(new_m / old_m, 4) if old_m else None,
+            "new_runs": [round(t, 4) for t in new_ts],
+            "old_runs": [round(t, 4) for t in old_ts],
+        }
+        print(
+            f"# {name}: new {new_m:.3f}s old {old_m:.3f}s "
+            f"ratio {new_m / old_m:.3f}",
+            file=sys.stderr,
+        )
+    print(
+        json.dumps(
+            {"metric": "ab_compare", "ref": ref, "sf_dir": SF_DIR, "repeats": repeats,
+             "queries": results},
+        )
+    )
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--ab", metavar="REF", help="same-session interleaved A/B vs a git ref")
+    parser.add_argument("--queries", help="comma-separated query names (A/B mode)")
+    parser.add_argument("--repeats", type=int, default=3, help="timed pairs per query (A/B mode)")
+    args = parser.parse_args()
+    if args.ab:
+        main_ab(args.ab, args.queries.split(",") if args.queries else None, args.repeats)
+    else:
+        main()

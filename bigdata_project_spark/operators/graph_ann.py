@@ -182,16 +182,36 @@ def sim_graph_knn_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     NN-descent refinement rounds (2-hop + reversed candidates
     re-ranked). Module docstring has the algorithm, determinism, and
     the never-all-pairs scale argument."""
+    return _build_graph(_banked_emb(spark, sf_dir))
+
+
+def _banked_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE persisted normed + sign-banked embeddings relation (r15):
+    the graph build consumes the banks, and the beam walk + the
+    recall gate's brute-force truth consume (vec_id, embedding,
+    norm_sq) from the SAME cache — previously each component
+    re-scanned and re-normed the corpus behind its own persist.
+    Sharing the scan changes no values (the extra bank columns never
+    reach any output)."""
     from bigdata_project_spark.caching import tracked_persist
 
-    emb = with_norm(load(spark, sf_dir, "embeddings")).select(
-        "vec_id",
-        "embedding",
-        "norm_sq",
-        _bank_col(_BANKS[0]).alias("b_a"),
-        _bank_col(_BANKS[1]).alias("b_b"),
+    return tracked_persist(
+        with_norm(load(spark, sf_dir, "embeddings")).select(
+            "vec_id",
+            "embedding",
+            "norm_sq",
+            _bank_col(_BANKS[0]).alias("b_a"),
+            _bank_col(_BANKS[1]).alias("b_b"),
+        )
     )
-    emb = tracked_persist(emb)
+
+
+def _build_graph(emb: DataFrame) -> DataFrame:
+    """The k-NN-graph build over a persisted banked relation — the
+    body of sim_graph_knn_build, shared with the beam/recall queries
+    so the whole family trains from one materialized corpus pass."""
+    from bigdata_project_spark.caching import tracked_persist
+
     left_a = emb.select(F.col("vec_id").alias("src"), F.col("b_a").alias("ka"))
     right_a = emb.select(F.col("vec_id").alias("dst"), F.col("b_a").alias("ka"))
     left_b = emb.select(F.col("vec_id").alias("src"), F.col("b_b").alias("kb"))
@@ -345,76 +365,95 @@ def sim_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= {_B} rows/query broadcast against the degree-capped edge
     list — search cost independent of corpus size given the graph
     (module docstring)."""
-    from bigdata_project_spark.caching import (
-        persistent_rdd_ids,
-        track_rdd_ids,
-        tracked_persist,
-    )
+    emb = _banked_emb(spark, sf_dir)
+    g = _ckpt(spark, _build_graph(emb).select(F.col("vec_id").alias("g_src"), "nbr_id"))
+    return _beam_walk(spark, emb, g)
 
-    def _ckpt(df: DataFrame) -> DataFrame:
-        # truncate lineage per hop (the clustering.py discipline):
-        # the beam plan doubles per unrolled hop (union + join both
-        # reference the previous beam) and each copy carries 64-term
-        # cosine folds — 6 hops of that OOM'd the driver during plan
-        # canonicalization. EAGER is deliberate (re-measured r14):
-        # every hop consumes the previous beam through F.broadcast
-        # exchanges, and a broadcast collects its child on the spot —
-        # with a LAZY checkpoint the unmaterialized chain is recomputed
-        # by each broadcast that races ahead of the block write
-        # (measured +25% on sim_recall_graph_at_k). localCheckpoint
-        # blocks are invisible to DataFrame.unpersist, so register
-        # them for release_cached.
-        before = persistent_rdd_ids(spark)
-        out = df.localCheckpoint(eager=True)
-        track_rdd_ids(spark, persistent_rdd_ids(spark) - before)
-        return out
 
-    g = _ckpt(
-        sim_graph_knn_build(spark, sf_dir).select(
-            F.col("vec_id").alias("g_src"), "nbr_id"
-        )
-    )
-    normed = tracked_persist(
-        with_norm(load(spark, sf_dir, "embeddings")).select(
-            "vec_id", "embedding", "norm_sq"
-        )
-    )
-    qv = normed.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+def _ckpt(spark: SparkSession, df: DataFrame) -> DataFrame:
+    # truncate lineage (the clustering.py discipline): the beam plan
+    # doubles per unrolled hop (union + join both reference the
+    # previous beam) and each copy carries 64-term cosine folds —
+    # 6 barrier-free hops of that OOM'd the driver during plan
+    # canonicalization. EAGER is deliberate (re-measured r14):
+    # every hop consumes the previous beam through F.broadcast
+    # exchanges, and a broadcast collects its child on the spot —
+    # with a LAZY checkpoint the unmaterialized chain is recomputed
+    # by each broadcast that races ahead of the block write
+    # (measured +25% on sim_recall_graph_at_k). localCheckpoint
+    # blocks are invisible to DataFrame.unpersist, so register
+    # them for release_cached.
+    from bigdata_project_spark.caching import persistent_rdd_ids, track_rdd_ids
+
+    before = persistent_rdd_ids(spark)
+    out = df.localCheckpoint(eager=True)
+    track_rdd_ids(spark, persistent_rdd_ids(spark) - before)
+    return out
+
+
+_CKPT_EVERY = 2  # beam hops per lineage barrier (r15: was 1)
+
+
+def _beam_walk(spark: SparkSession, emb: DataFrame, g: DataFrame) -> DataFrame:
+    """The greedy beam walk over a built graph `g` (g_src, nbr_id)
+    and a persisted normed corpus `emb` — the body of
+    sim_graph_beam_search.
+
+    r15 job-count cuts (guide §2.4 remove exchanges, §5 persist
+    policy), each value-neutral:
+    - the query vectors ride IN the beam rows (q_emb, q_n columns,
+      functionally dependent on query_id) instead of being re-joined
+      from a broadcast of the query table every hop — one broadcast
+      exchange (and its build job) fewer per hop;
+    - the lineage barrier runs every {_CKPT_EVERY} hops instead of
+      every hop: the plan grows ~2x per un-barriered hop (bounded:
+      4x between barriers), and the intermediate hop's relations are
+      only consumed inside the NEXT barrier's one job, where AQE
+      exchange reuse dedupes the doubled references — so half the
+      eager checkpoint jobs at the same plan-size order of magnitude.
+      Checkpoints stay EAGER (see _ckpt)."""
+    qv = emb.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("norm_sq").alias("q_n"),
     )
     cos = _dot_col("q_emb", "embedding") / (F.sqrt("q_n") * F.sqrt("norm_sq"))
-    entries = normed.filter(F.col("vec_id").isin(*_ENTRIES)).select(
+    entries = emb.filter(F.col("vec_id").isin(*_ENTRIES)).select(
         "vec_id", "embedding", "norm_sq"
     )
     beam = (
         qv.join(F.broadcast(entries), F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", cos.alias("cosine"))
+        .select("query_id", "q_emb", "q_n", "vec_id", cos.alias("cosine"))
     )
     wb = W.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
-    for _ in range(_HOPS):
+    corpus = emb.select("vec_id", "embedding", "norm_sq")
+    for t in range(_HOPS):
         cand = (
-            beam.select("query_id", "vec_id")
+            beam.select("query_id", "q_emb", "q_n", "vec_id")
             .union(
                 g.join(
-                    F.broadcast(beam.select("query_id", F.col("vec_id").alias("g_src"))),
+                    F.broadcast(
+                        beam.select(
+                            "query_id", "q_emb", "q_n", F.col("vec_id").alias("g_src")
+                        )
+                    ),
                     "g_src",
-                ).select("query_id", F.col("nbr_id").alias("vec_id"))
+                ).select("query_id", "q_emb", "q_n", F.col("nbr_id").alias("vec_id"))
             )
             .distinct()
         )
         scored = (
-            normed.join(F.broadcast(cand), "vec_id")
-            .join(F.broadcast(qv), "query_id")
+            corpus.join(F.broadcast(cand), "vec_id")
             .filter(F.col("vec_id") != F.col("query_id"))
-            .select("query_id", "vec_id", cos.alias("cosine"))
+            .select("query_id", "q_emb", "q_n", "vec_id", cos.alias("cosine"))
         )
-        beam = _ckpt(
+        beam = (
             scored.select("*", F.row_number().over(wb).alias("rn"))
             .filter(F.col("rn") <= _B)
-            .select("query_id", "vec_id", "cosine")
+            .select("query_id", "q_emb", "q_n", "vec_id", "cosine")
         )
+        if (t + 1) % _CKPT_EVERY == 0 or t == _HOPS - 1:
+            beam = _ckpt(spark, beam)
     return (
         beam.select("*", F.row_number().over(wb).alias("rn"))
         .filter(F.col("rn") <= _TOP_K)
@@ -443,9 +482,20 @@ def sim_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_recall_graph_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the graph beam search vs exact brute-force
     ground truth, per query — the shipping gate for the graph index,
-    computed in-engine with both component oracles nested."""
-    bf = sim_knn_bruteforce(spark, sf_dir).select("query_id", "vec_id")
-    bm = sim_graph_beam_search(spark, sf_dir).select(
+    computed in-engine with both component oracles nested.
+
+    r15: ground truth, graph build, and beam walk all read ONE
+    persisted normed corpus (_banked_emb) — the truth side previously
+    re-scanned and re-normed the embeddings behind its own plan; the
+    shared scan drops a full corpus pass from the gate at any scale.
+    Values are the nested queries' own (same expressions, same
+    tiebreaks), which the shared nested oracle re-verifies."""
+    from bigdata_project_spark.operators.similarity import _bruteforce_from
+
+    emb = _banked_emb(spark, sf_dir)
+    g = _ckpt(spark, _build_graph(emb).select(F.col("vec_id").alias("g_src"), "nbr_id"))
+    bf = _bruteforce_from(emb).select("query_id", "vec_id")
+    bm = _beam_walk(spark, emb, g).select(
         F.col("query_id").alias("i_qid"), F.col("neighbor_id").alias("i_vid")
     )
     return _recall_join(bf, bm)

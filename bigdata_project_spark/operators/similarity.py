@@ -86,7 +86,17 @@ def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors, per-query row_number top-k. This is the ground-truth
     baseline; at 100 TB the scan side stays fully distributed and the
     query side is a broadcast — one pass, no shuffle of the corpus."""
-    emb = with_norm(load(spark, sf_dir, "embeddings"))
+    return _bruteforce_from(with_norm(load(spark, sf_dir, "embeddings")))
+
+
+def _bruteforce_from(emb: DataFrame) -> DataFrame:
+    """The brute-force top-k over an already-normed embeddings frame
+    (vec_id, embedding, norm_sq, ...extra columns ignored) — split out
+    (r15) so evals that already hold a persisted normed corpus (the
+    graph-ANN recall gate) share ONE embeddings scan + norm pass with
+    their ground-truth side instead of re-scanning per component.
+    Values are those of sim_knn_bruteforce exactly: same expressions,
+    extra input columns never reach the output."""
     q = emb.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_embedding"),

@@ -272,19 +272,30 @@ def _sql_spark_sarr() -> str:
 
 def _sql_spark_parts() -> str:
     """Spark-side canonical-path reconstruction as ONE fold over
-    step indices: the accumulator carries (pos, parts[(start,len)]);
-    each step takes the LONGEST piece length whose cost + suffix
-    equals the current suffix (the fixed tie-break), stopping at
-    word end. sarr is the fold output of _sql_spark_sarr (1-based:
-    sarr[j + 1] = s_j)."""
+    step indices: the accumulator carries (pos, sa, parts[(start,
+    len)]); each step takes the LONGEST piece length whose cost +
+    suffix equals the current suffix (the fixed tie-break), stopping
+    at word end.
+
+    r15 plan-size fix (guide §5 "very large query plans", §7.3):
+    the suffix-cost array used to be a separate `sarr` projection
+    column; this fold references it ~13 times, and CollapseProject
+    inlined the WHOLE sarr fold into every reference (and the parts
+    fold in turn into each of its downstream references) — measured
+    386 KB formatted plan / ~4.9 s driver-side analysis per bench run
+    for vocab_unigram_token_count. Embedding the sarr fold ONCE as
+    the `sa` field of the accumulator's initial value makes every
+    reference a cheap `acc.sa` lookup; the fold arithmetic (and so
+    every value) is unchanged. The caller keeps the result behind a
+    Generate barrier for the same reason (see _viterbi_df)."""
     inf = f"CAST({_INF} AS BIGINT)"
 
     def cond(l: int) -> str:
         return (
             f"acc.pos + {l} <= n AND"
             f" coalesce(try_element_at(carr, acc.pos * {_L} + {l}), {inf})"
-            f" + coalesce(try_element_at(sarr, acc.pos + {l} + 1), {inf})"
-            f" = coalesce(try_element_at(sarr, acc.pos + 1), {inf})"
+            f" + coalesce(try_element_at(acc.sa, acc.pos + {l} + 1), {inf})"
+            f" = coalesce(try_element_at(acc.sa, acc.pos + 1), {inf})"
         )
 
     len_expr = (
@@ -294,10 +305,10 @@ def _sql_spark_parts() -> str:
     )
     return (
         f"aggregate(sequence(1, {_W}),"
-        f" named_struct('pos', 0, 'ps',"
+        f" named_struct('pos', 0, 'sa', ({_sql_spark_sarr()}), 'ps',"
         f" cast(array() as array<struct<s: int, l: int>>)),"
         f" (acc, t) -> CASE WHEN acc.pos >= n THEN acc"
-        f" ELSE named_struct('pos', acc.pos + ({len_expr}),"
+        f" ELSE named_struct('pos', acc.pos + ({len_expr}), 'sa', acc.sa,"
         f" 'ps', concat(acc.ps,"
         f" array(named_struct('s', acc.pos, 'l', ({len_expr}))))) END,"
         f" acc -> acc.ps)"
@@ -330,11 +341,14 @@ def _viterbi_df(vocab: DataFrame, cost: DataFrame) -> DataFrame:
             F.collect_list(F.struct(F.col("piece"), F.col("cost").cast("long")))
         ).alias("cmap")
     )
+    # try_element_at (r15, ADVICE): same null-on-missing-key value as
+    # element_at on the pinned Spark, but explicit about it — matches
+    # the fold SQL's try_element_at and survives ANSI semantics drift
     entries = [
         F.when(
             F.lit(j + l) <= F.length("word"),
             F.coalesce(
-                F.element_at("cmap", F.substring(F.col("word"), j + 1, l)), inf
+                F.try_element_at("cmap", F.substring(F.col("word"), j + 1, l)), inf
             ),
         ).otherwise(inf)
         for j in range(_W)
@@ -353,15 +367,22 @@ def _viterbi_df(vocab: DataFrame, cost: DataFrame) -> DataFrame:
         F.length("word").alias("n"),
         F.explode(F.array(F.array(*entries))).alias("carr"),
     )
-    return (
-        carr.selectExpr("*", f"({_sql_spark_sarr()}) AS sarr")
-        .selectExpr("*", f"({_sql_spark_parts()}) AS parts")
-        .selectExpr(
-            "word",
-            "freq",
-            "CAST(size(parts) AS BIGINT) AS n_pieces",
-            "transform(parts, p -> substring(word, p.s + 1, p.l)) AS pieces",
-        )
+    # second 1-element-explode barrier (r15): the combined DP fold
+    # (suffix costs + path, see _sql_spark_parts) is referenced by
+    # BOTH output columns and again by every downstream consumer of
+    # `pieces`; behind a Generate it is evaluated (and printed) once.
+    # Measured on vocab_unigram_token_count: formatted plan 386 KB ->
+    # ~90 KB, driver-side analysis share of the query roughly halved.
+    parts = carr.select(
+        "word",
+        "freq",
+        F.explode(F.array(F.expr(f"({_sql_spark_parts()})"))).alias("parts"),
+    )
+    return parts.selectExpr(
+        "word",
+        "freq",
+        "CAST(size(parts) AS BIGINT) AS n_pieces",
+        "transform(parts, p -> substring(word, p.s + 1, p.l)) AS pieces",
     )
 
 

@@ -170,15 +170,26 @@ def _dist64_col(a: str, b: str):
 
 def _km_assign(unit: DataFrame, cent: DataFrame, keep_dist: bool = False) -> DataFrame:
     """(vec_id, cid[, dist]): argmin cell against the broadcast
-    centroid table — map-side over the corpus scan."""
+    centroid table — map-side over the corpus scan.
+
+    r15 (guide §2.3 "aggregate before you shuffle"): the argmin is a
+    map-side-combinable min(struct(dist, cid)) aggregate instead of a
+    window rn=1 — the partial aggregation collapses the k-way fan-out
+    to one row per vector BEFORE the exchange and drops the window's
+    per-partition sort. Selection is identical: struct min is
+    lexicographic (dist, then cid), exactly the window's ORDER BY
+    dist, cid tie-break, and Spark's min and window sort share one
+    double ordering (NaN greatest, so a NaN distance loses in both
+    forms). The oracle keeps the didactic window SQL."""
     scored = unit.crossJoin(F.broadcast(cent)).select(
         "vec_id", "cid", _dist64_col("u", "c_arr").alias("dist")
     )
-    w = W.partitionBy("vec_id").orderBy("dist", "cid")
-    asg = scored.select("*", F.row_number().over(w).alias("arn")).filter(
-        F.col("arn") == 1
+    best = scored.groupBy("vec_id").agg(F.min(F.struct("dist", "cid")).alias("m"))
+    return best.select(
+        "vec_id",
+        F.col("m.cid").alias("cid"),
+        *([F.col("m.dist").alias("dist")] if keep_dist else []),
     )
-    return asg.select("vec_id", "cid", *(["dist"] if keep_dist else []))
 
 
 def _km_update(unit: DataFrame, asg: DataFrame, prev: DataFrame) -> DataFrame:

@@ -256,11 +256,16 @@ def _pq_encode(subs: DataFrame, cb: DataFrame) -> DataFrame:
         "b",
         _dist16_col("u_sub", "m_arr").alias("dist"),
     )
-    w = W.partitionBy("vec_id", "j").orderBy("dist", "b")
-    best = scored.select("*", F.row_number().over(w).alias("rn")).filter(F.col("rn") == 1)
-    return best.groupBy("vec_id").agg(
+    # r15 (guide §2.3): argmin-per-(vec_id, j) + code pivot fused into
+    # ONE map-side-combinable aggregate — min(struct(dist, b)) is
+    # lexicographic, exactly the former window's ORDER BY dist, b
+    # tie-break (shared double ordering, NaN greatest in both forms);
+    # the when(j = ...) masks make each subspace's min independent.
+    # Replaces a window exchange+sort AND a second pivot exchange with
+    # one partial-aggregated exchange. Oracle keeps the window SQL.
+    return scored.groupBy("vec_id").agg(
         *[
-            F.max(F.when(F.col("j") == j, F.col("b"))).alias(f"c{j}")
+            F.min(F.when(F.col("j") == j, F.struct("dist", "b")))["b"].alias(f"c{j}")
             for j in range(_PQ_M)
         ]
     )

@@ -270,13 +270,12 @@ def _res_encode(subs: DataFrame, cb: DataFrame) -> DataFrame:
     scored = subs.drop("b").join(F.broadcast(cb), "j").select(
         "vec_id", "label", "j", "b", _dist16_col("u_sub", "m_arr").alias("dist")
     )
-    w = W.partitionBy("vec_id", "j").orderBy("dist", "b")
-    best = scored.select("*", F.row_number().over(w).alias("rn")).filter(
-        F.col("rn") == 1
-    )
-    return best.groupBy("vec_id", "label").agg(
+    # r15: same fused min(struct(dist, b)) argmin + pivot as
+    # _pq_encode (see there) — one partial-aggregated exchange
+    # replaces the window exchange+sort and the pivot exchange.
+    return scored.groupBy("vec_id", "label").agg(
         *[
-            F.max(F.when(F.col("j") == j, F.col("b"))).alias(f"c{j}")
+            F.min(F.when(F.col("j") == j, F.struct("dist", "b")))["b"].alias(f"c{j}")
             for j in range(_PQ_M)
         ]
     )
@@ -439,7 +438,15 @@ def sim_ivfpq_residual_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     whatever quantization loss the residual codes still carry, so
     the recall eval below reads as the residual stack's shipped
     number."""
-    short = _res_ranked(spark, sf_dir).filter(
+    return _res_rerank_from(spark, sf_dir, _res_ranked(spark, sf_dir))
+
+
+def _res_rerank_from(spark: SparkSession, sf_dir: str, ranked: DataFrame) -> DataFrame:
+    """The exact-rescoring tail of sim_ivfpq_residual_rerank over an
+    already-ranked ADC relation — split out (r15) so the nDCG eval
+    can feed ONE persisted ranked relation to both residual systems
+    instead of rebuilding the training chain per system."""
+    short = ranked.filter(
         F.col("rnk") <= _PQ_SHORTLIST
     ).select("query_id", "neighbor_id")
     unit = _pq_unit(spark, sf_dir).select("vec_id", "u")

@@ -474,15 +474,18 @@ def run_afp_ingest_stream(
         if lo is None:
             lo, hi = 0, 0
         step = max(1, (int(hi) - int(lo)) // n_chunks + 1)
-        for i in range(n_chunks):
-            chunk_docs = docs.filter(
-                (F.col("doc_id") >= lo + i * step)
-                & (F.col("doc_id") < lo + (i + 1) * step)
-            )
-            chunk = _afp_payloads_df(spark, sf_dir, docs=chunk_docs)
-            chunk.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(src_dir, f"chunk{i}")
-            )
+        # one-pass staging (r15): the probe's emitted pair set is
+        # delivery-order-invariant (a cross-batch pair is emitted by
+        # whichever batch arrives second; the final reader unions all
+        # committed versions), so ALL chunks stage in ONE synthesize
+        # pass + partitionBy write instead of n_chunks filtered
+        # passes — see operators/staging.py. The corpus is still
+        # encoded exactly once.
+        from bigdata_project_spark.operators.staging import stage_chunks_one_pass
+
+        stage_chunks_one_pass(
+            _afp_payloads_df(spark, sf_dir, docs=docs), "doc_id", int(lo), step, src_dir
+        )
         # schema-only inits so the final readers work on empty input
         empty_sigs = docs.limit(0).select(
             F.col("doc_id"), F.lit("").alias("afp64")

@@ -55,6 +55,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from bigdata_project_spark.operators.staging import stage_chunks_one_pass
 from bigdata_project_spark.registry import REGISTRY, query
 from bigdata_project_spark.tables import load
 
@@ -309,14 +310,12 @@ def run_quantile_stream(
         if lo is None:
             lo, hi = 0, 0
         step = max(1, (int(hi) - int(lo)) // n_chunks + 1)
-        for i in range(n_chunks):
-            chunk = li.filter(
-                (F.col("l_orderkey") >= lo + i * step)
-                & (F.col("l_orderkey") < lo + (i + 1) * step)
-            )
-            chunk.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(src_dir, f"chunk{i}")
-            )
+        # one-pass staging (r15): bucket addition commutes across
+        # micro-batches (this stream's whole point), so file delivery
+        # order is not part of the contract and the chunks can be
+        # written in ONE partitionBy job instead of n_chunks filtered
+        # scans — see operators/staging.py for the order-free rule.
+        stage_chunks_one_pass(li, "l_orderkey", int(lo), step, src_dir)
 
         # [path, last merged batch id]: see run_cms_stream — a stale
         # redelivery must not roll the cumulative-version pointer

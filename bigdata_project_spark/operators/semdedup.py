@@ -557,16 +557,34 @@ def run_semantic_ingest_stream(
         # (advisor r9) rather than relying on path-order ties
         batch_members = emb.filter(is_batch).select("vec_id", "embedding", "norm_sq")
         lo, hi = batch_members.agg(F.min("vec_id"), F.max("vec_id")).first()
-        if lo is None:  # empty increment: stage schema-only chunks so the
-            lo, hi = 0, 0  # stream still runs and the result store exists
+        empty_increment = lo is None
+        if empty_increment:  # empty increment: stage a schema-only chunk so
+            lo, hi = 0, 0  # the stream still runs and the result store exists
         step = max(1, (int(hi) - int(lo)) // n_chunks + 1)
         base_mtime = int(time.time()) - 3600 * n_chunks
-        for i in range(n_chunks):
-            chunk = batch_members.filter(
-                (F.col("vec_id") >= lo + i * step) & (F.col("vec_id") < lo + (i + 1) * step)
+        # one-pass staging (r15): ONE partitionBy job writes every
+        # chunk (operators/staging.py), then the SAME explicit-mtime
+        # discipline as before pins delivery order — this stream's
+        # in-order contract lives in the mtimes (set below) and the
+        # loud out-of-order guard in probe(), not in write order.
+        # An entirely empty increment still stages one empty chunk
+        # file the old way so the stream has a file to trigger on
+        # and the result store exists (the empty-twin sweep path).
+        if empty_increment:
+            batch_members.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(src_dir, "chunk=0")
             )
-            chunk_dir = os.path.join(src_dir, f"chunk{i}")
-            chunk.coalesce(1).write.mode("overwrite").parquet(chunk_dir)
+        else:
+            from bigdata_project_spark.operators.staging import (
+                stage_chunks_one_pass,
+            )
+
+            stage_chunks_one_pass(batch_members, "vec_id", int(lo), step, src_dir)
+        for i in range(n_chunks):
+            chunk_dir = os.path.join(src_dir, f"chunk={i}")
+            if not os.path.isdir(chunk_dir):
+                continue  # empty range: no file, no micro-batch (same
+                # final stores — an empty batch merged nothing)
             t = base_mtime + i * 3600  # one hour apart: coarse-mtime-FS-proof
             for root, _dirs, files in os.walk(chunk_dir):
                 for fn in files:

@@ -223,14 +223,13 @@ def run_cms_stream(
         if lo is None:
             lo, hi = 0, 0
         step = max(1, (int(hi) - int(lo)) // n_chunks + 1)
-        for i in range(n_chunks):
-            chunk = docs.filter(
-                (F.col("doc_id") >= lo + i * step)
-                & (F.col("doc_id") < lo + (i + 1) * step)
-            )
-            chunk.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(src_dir, f"chunk{i}")
-            )
+        # one-pass staging (r15): counter addition commutes across
+        # micro-batches (this stream's documented property), so the
+        # chunks stage in ONE partitionBy job instead of n_chunks
+        # filtered scans — see operators/staging.py.
+        from bigdata_project_spark.operators.staging import stage_chunks_one_pass
+
+        stage_chunks_one_pass(docs, "doc_id", int(lo), step, src_dir)
 
         # consolidated store versions: v_init is the empty counter
         # table; later versions are keyed by BATCH ID so an

@@ -348,16 +348,32 @@ def run_frontier_stream(
     out_store = os.path.join(work, "out")
     try:
         lo, hi = raw.agg(F.min("doc_id"), F.max("doc_id")).first()
-        if lo is None:
+        empty_frontier = lo is None
+        if empty_frontier:
             lo, hi = 0, 0
         step = max(1, (int(hi) - int(lo)) // n_chunks + 1)
         base_mtime = int(time.time()) - 3600 * n_chunks
-        for i in range(n_chunks):
-            chunk = raw.filter(
-                (F.col("doc_id") >= lo + i * step) & (F.col("doc_id") < lo + (i + 1) * step)
+        # one-pass staging (r15): ONE partitionBy job writes every
+        # chunk (operators/staging.py); the first-writer-wins ORDER
+        # contract lives in the explicit mtimes set below (advisor r9)
+        # plus probe()'s loud out-of-order guard, exactly as before —
+        # only the n_chunks filtered write jobs are gone. An empty
+        # frontier still stages one schema-only file so the stream
+        # runs and the stores exist (empty-twin sweep path).
+        if empty_frontier:
+            raw.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(src_dir, "chunk=0")
             )
-            chunk_dir = os.path.join(src_dir, f"chunk{i}")
-            chunk.coalesce(1).write.mode("overwrite").parquet(chunk_dir)
+        else:
+            from bigdata_project_spark.operators.staging import (
+                stage_chunks_one_pass,
+            )
+
+            stage_chunks_one_pass(raw, "doc_id", int(lo), step, src_dir)
+        for i in range(n_chunks):
+            chunk_dir = os.path.join(src_dir, f"chunk={i}")
+            if not os.path.isdir(chunk_dir):
+                continue  # empty range: no file, no micro-batch
             t = base_mtime + i * 3600
             for root, _dirs, files in os.walk(chunk_dir):
                 for fn in files:

@@ -36,7 +36,19 @@ def _release_tracked_caches(spark):
     release_cached(spark)
 
 
-@pytest.mark.parametrize("name", sorted(REGISTRY))
+# Tiering (r15, see pytest.ini): the full 365-query sweep is the
+# single largest block of the suite (~half its wall-clock) and
+# replays what the driver's own oracle pass and tools/verify_all.py
+# already run; the default gate tier keeps a DETERMINISTIC 1-in-8
+# cross-family smoke sample (sorted order, so the sample is stable
+# round over round), the rest runs in the slow tier / full run.
+_PARAMS = [
+    pytest.param(n, marks=[] if i % 8 == 0 else [pytest.mark.slow])
+    for i, n in enumerate(sorted(REGISTRY))
+]
+
+
+@pytest.mark.parametrize("name", _PARAMS)
 def test_query_matches_oracle(name, spark, sf_dir, con):
     spec = REGISTRY[name]
     df = spec.fn(spark, sf_dir)

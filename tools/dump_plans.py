@@ -63,8 +63,8 @@ SHOWCASE = [
     ("sim_ivfpq_trained", "Fully-trained IVF-PQ: trained centroids and residual codebook both broadcast; encode is map-side over the corpus scan; candidates reach the pivoted-map ADC only via the probed-cell equi-join — training the coarse stage changed WHERE vectors land, not what shuffles."),
     ("multimodal_audio_neardup", "Audio fingerprint pairs: both Arrow stages (WAV synthesize, decode+fingerprint) are map-side — audio bytes never shuffle; only (doc_id, 16-char) rows reach the pigeonhole block equi-join."),
     ("retrieval_ndcg_at_k", "nDCG eval: every input is an already-reduced k x #queries ranked list; gains/discounts are codegen integer expressions and the ideal-DCG side is a tiny broadcast — the eval adds no corpus-scale stage to its nested systems."),
-    ("sim_graph_knn_build", "Graph-ANN build: candidates come from two 16-way sign-bucket equi self-joins (never all-pairs); NN-descent rounds join the degree-capped edge list (N*G rows) against itself; each unordered pair is cosine-scored ONCE (canonical orientation, mirrored back — the Dong-et-al new-candidate discipline), so the vec_id co-partitioned scoring joins carry half the rows and re-rounds score only unseen pairs; per-node top-G is a keyed window over candidates only."),
-    ("sim_graph_beam_search", "Beam walk: the graph and per-hop beams are lineage-truncated checkpoints; every hop is one broadcast hash-probe of the <=B*|Q|-row frontier against the edge list plus a broadcast scoring join — search cost independent of corpus size given the graph."),
+    ("sim_graph_knn_build", "Graph-ANN build: candidates come from two 16-way sign-bucket equi self-joins (never all-pairs), filtered to canonical src<dst orientation BEFORE the dedup (half the distinct's shuffle) and cosine-scored once per unordered pair, then mirrored — so the round-0 scoring joins, the build's largest, carry half the rows; NN-descent rounds join the degree-capped edge list (N*G rows) against itself and re-score their (non-symmetric) candidate sets in full; per-node top-G is a keyed window over candidates only."),
+    ("sim_graph_beam_search", "Beam walk: graph, truth, and walk share ONE persisted normed corpus; the query vectors ride in the <=B*|Q|-row frontier (no per-hop query-table re-join), every hop is one broadcast hash-probe of the frontier against the edge list plus a broadcast scoring join, and lineage checkpoints land every second hop — search cost independent of corpus size given the graph."),
     ("sim_recall_dim_curve", "Matryoshka curve: all three prefix cosines ride ONE corpus scan against the broadcast query set (the extra dims add codegen, not a shuffle); per-(dim,query) rank windows sort bounded candidate sets."),
     ("vocab_unigram_token_count", "Unigram tokenizer: EM runs over the compressed word-frequency relation; the piece-cost table pivots to a single map row that cross-broadcasts onto the vocab, so each Viterbi pass builds its W*L cost array in a map-side projection (no substring fan-out join, no re-grouping exchange); the DP is two aggregate() folds; re-tokenization is a word-keyed join of the doc stream, the BPE billing shape."),
     ("corpus_nb_isotonic_calibration", "Isotonic fit: all corpus-scale work is the nested classifier's; the PAV minimax runs entirely over a <= ~17-row binned table (broadcast theta joins over prefix sums) — the fit costs nothing at any corpus size."),

@@ -247,7 +247,9 @@ def bench_sf(spark, sf_dir: str, repeats: int = 3) -> dict:
 #      a reader that parses only the final line still gets per-query
 #      numbers for every expensive query. "queries_omitted" makes the
 #      truncation explicit; BENCH_DETAIL.json keeps the complete map.
-_TAIL_BUDGET = 1800  # bytes for the final line; observed tail is ~2000
+# bytes for the final line BEFORE the queries_omitted field (~22 more);
+# the observed driver tail is ~2000 chars and the line must fit whole
+_TAIL_BUDGET = 1750
 
 
 def _tail_lines(primary: dict) -> list[str]:
